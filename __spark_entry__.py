@@ -1,10 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry() runs the flagship pipeline; queries()/oracle_sql() expose every
+implemented operator with its DuckDB oracle (see databus_spark.registry).
 """
 
 from __future__ import annotations
@@ -15,24 +12,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: change-stream -> subscription filter -> compacted snapshot.
+
+    The minimum end-to-end databus slice (SURVEY.md §7 Phase 1): a
+    deterministic change log derived from sf0.001 orders, filtered by a
+    mod-partition subscription, compacted to latest-state per key.
+    """
+    from pyspark.sql import functions as F
+
+    from databus_spark.envelope import ORDERS_PAYLOAD, orders_changelog
+    from databus_spark.operators.compaction import snapshot
+    from databus_spark.operators.filters import key_mod_filter
+
+    log = orders_changelog(spark, "/root/testdata/sf0.001")
+    subscribed = log.where(key_mod_filter(4, 0, 2))
+    return snapshot(subscribed, key_cols=("key_str",), payload_cols=ORDERS_PAYLOAD)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from databus_spark.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from databus_spark.registry import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,59 @@
+"""Source catalog: the engine's analog of databus' /sources + /register.
+
+The reference addresses streams as
+(physicalSource, physicalPartition, logicalSource[, logicalPartition])
+(reference: databus-core/.../core/data_model/DatabusSubscription.java:45-123)
+and serves a sourceId<->name registry
+(reference: databus2-relay-impl/.../request/SourcesRequestProcessor.java:47).
+
+Here a "physical source" is a dataset root directory (an sf dir of
+parquet tables), logical sources are tables, and the registry is a tiny
+broadcast-able dimension DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from databus_spark import TABLES
+
+# Logical-source id assignment (stable; mirrors the reference's
+# SourceIdNameRegistry role, databus-core-schemas/.../SourceIdNameRegistry.java).
+# CDC-enabled sources get the low ids used by envelope.py.
+SOURCE_IDS: dict[str, int] = {
+    "orders": 1,
+    "customer": 2,
+    "lineitem": 3,
+    "events": 4,
+    "documents": 5,
+    "embeddings": 6,
+    "region": 7,
+    "nation": 8,
+    "supplier": 9,
+    "part": 10,
+}
+assert set(SOURCE_IDS) == set(TABLES)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects; read nanos as long and truncate to micros
+        # (exactly what DuckDB's micro-resolution TIMESTAMP does).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sources_registry(spark: SparkSession) -> DataFrame:
+    """Small dimension table: source_id <-> source name (broadcast side of J2/J5)."""
+    rows = [(sid, name) for name, sid in SOURCE_IDS.items()]
+    return spark.createDataFrame(rows, "source_id INT, source STRING")

@@ -1,0 +1,81 @@
+"""Scalar hash functions with exact cross-engine (Spark/DuckDB) parity.
+
+Two workhorses:
+
+* ``java_string_hashcode`` — bit-exact Java ``String.hashCode()``.
+  The reference mod-partitions string keys with it
+  (reference: databus-core-impl/.../databus2/core/filter/KeyModFilter.java:72-79),
+  so subscription bucketing of string-keyed sources must reproduce it
+  exactly. Implemented as a JVM-side higher-order-function fold — NOT a
+  Python UDF — so it stays inside whole-stage codegen and scales.
+
+* ``portable_hash64`` — deterministic 60-bit hash from the md5 hex
+  digest. Used wherever the engine needs a seedable hash that a DuckDB
+  oracle can recompute exactly (minhash, simhash, LSH, fingerprints).
+  Spark's builtin ``hash``/``xxhash64`` have no DuckDB twin, md5 does.
+
+Both ship the mirrored DuckDB SQL template used by the oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TWO32 = 4294967296  # 2**32
+_TWO31 = 2147483648  # 2**31
+
+
+def java_string_hashcode(col: Column | str) -> Column:
+    """Bit-exact Java String.hashCode() for ASCII/Latin-1 strings.
+
+    h = fold(chars, 0, (acc, c) -> acc*31 + c) with int32 wrap-around,
+    computed in unsigned-mod-2^32 space then re-signed. Pure Catalyst
+    expressions (split/aggregate/pmod) — codegen-friendly, no UDF.
+
+    Exact for every BMP string (verified incl. Latin-1 and CJK). For
+    non-BMP chars (surrogate pairs, e.g. emoji) this folds by codepoint
+    where Java folds by UTF-16 unit, so values diverge from the JVM —
+    but stay consistent with the DuckDB oracle, which folds the same way.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    unsigned = F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(_TWO32)),
+    )
+    return (
+        F.when(unsigned >= _TWO31, unsigned - _TWO32).otherwise(unsigned).cast("int")
+    )
+
+
+def java_hash_sql(col_expr: str) -> str:
+    """Inline DuckDB expression for java_string_hashcode({col_expr})."""
+    return (
+        "CAST((CASE WHEN __jh >= 2147483648 THEN __jh - 4294967296 ELSE __jh END) AS INT)"
+        .replace(
+            "__jh",
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(regexp_split_to_array({col_expr}, ''), "
+            "x -> CAST(ascii(x) AS BIGINT))), "
+            "(acc, x) -> (acc * 31 + x) % 4294967296)",
+        )
+    )
+
+
+def portable_hash64(col: Column | str, seed: int | Column = 0) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5(seed || '|' || s).
+
+    Non-negative, identical in Spark (conv) and DuckDB (hex cast) — the
+    engine's seedable hash family for sketches. JVM-side, codegen'd.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(seed) if isinstance(seed, int) else seed
+    return F.conv(F.substring(F.md5(F.concat_ws("|", s, c)), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH64_SQL = "(('0x' || substr(md5(concat({seed}, '|', {col})), 1, 15))::BIGINT)"
+
+
+def portable_hash64_sql(col_expr: str, seed: int | str = 0) -> str:
+    return PORTABLE_HASH64_SQL.format(seed=seed, col=col_expr)

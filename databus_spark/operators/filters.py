@@ -1,0 +1,86 @@
+"""Server-side subscription filter algebra.
+
+The reference evaluates ``DbusFilter.allow(event)`` during the buffer
+scan, before any network write (reference: databus-core-impl/.../databus2/
+core/filter/DbusFilter.java; applied at core/DbusEventBuffer.java:2536).
+Here every filter is a Catalyst ``Column`` predicate, so Catalyst pushes
+it into the parquet scan (PushedFilters) — the engine-native version of
+"filter before the wire".
+
+Filter parity map (file refs are the reference implementations):
+  allow_all                  <- AllowAllDbusFilter.java
+  source_filter              <- SourceDbusFilter.java (srcId set)
+  physical_partition_filter  <- PhysicalPartitionDbusFilter.java (wildcard=None)
+  key_range_filter           <- KeyRangeFilter.java:25-60 (min <= key < max)
+  key_mod_filter             <- KeyModFilter.java:34-79; string keys hash via
+                                bit-exact Java String.hashCode (:72-78)
+  conjunction                <- ConjunctionDbusFilter.java
+  FilterToSQL analog         <- Catalyst pushdown handles it (FilterToSQL.java:27-90)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from databus_spark.functions.hashes import java_string_hashcode
+
+
+def allow_all() -> Column:
+    return F.lit(True)
+
+
+def source_filter(source_ids: Iterable[int]) -> Column:
+    return F.col("source_id").isin(list(source_ids))
+
+
+def physical_partition_filter(part_ids: Iterable[int] | None) -> Column:
+    """None = ALL_PARTITIONS_WILDCARD (PhysicalPartition.java wildcard)."""
+    if part_ids is None:
+        return F.lit(True)
+    return F.col("part_id").isin(list(part_ids))
+
+
+def _numeric_key() -> Column:
+    """Key as long: key_num when set, else key_str parsed as long (or NULL).
+
+    Mirrors KeyRangeFilter.java:40-55 — string keys are parsed as longs,
+    non-numeric strings never match a range filter.
+    """
+    return F.coalesce(F.col("key_num"), F.col("key_str").cast("long"))
+
+
+def key_range_filter(min_key: int, max_key: int) -> Column:
+    """min <= key < max on the numeric key (KeyRangeFilter.java:25-60)."""
+    k = _numeric_key()
+    return k.isNotNull() & (k >= min_key) & (k < max_key)
+
+
+def key_mod_bucket() -> Column:
+    """The bucket expression of KeyModFilter: abs(numeric key) else
+    abs(Java hashCode of the string key) — KeyModFilter.java:55-79."""
+    return F.when(
+        F.col("key_num").isNotNull(), F.abs(F.col("key_num"))
+    ).otherwise(F.abs(java_string_hashcode(F.col("key_str"))).cast("long"))
+
+
+def key_mod_filter(num_buckets: int, min_bucket: int, max_bucket: int) -> Column:
+    """min_bucket <= abs(key) % num_buckets < max_bucket (KeyModFilter.java:34-79)."""
+    b = F.pmod(key_mod_bucket(), F.lit(num_buckets))
+    return (b >= min_bucket) & (b < max_bucket)
+
+
+def conjunction(*preds: Column) -> Column:
+    out = F.lit(True)
+    for p in preds:
+        out = out & p
+    return out
+
+
+def disjunction(*preds: Column) -> Column:
+    out = F.lit(False)
+    for p in preds:
+        out = out | p
+    return out

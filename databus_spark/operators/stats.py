@@ -1,0 +1,113 @@
+"""Event-stream statistics — the engine's DbusEventsStatisticsCollector.
+
+The reference tracks per-source/per-peer event counts, byte sizes,
+min/max SCN and time lags in mergeable JMX collectors
+(reference: databus-core-impl/.../core/monitoring/mbean/DbusEventsTotalStats.java,
+AggregatedDbusEventsTotalStats.java), consumer-lag percentiles in a
+mergeable decaying reservoir (databus-client-api/.../UnifiedClientStats.java:283-300),
+and bucketed int histograms (core/monitoring/HistogramBasedIntStats.java).
+
+Spark restatement: plain aggregations — partial/final merge is Spark's
+native two-phase aggregation, so the "mergeable collector" property is
+free; percentiles use the exact `percentile` aggregate (the approximate
+variant is `percentile_approx` when 100 TB demands it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def per_source_stats(log: DataFrame) -> DataFrame:
+    """A2/A3 analog: counts, scn span, key cardinality, tombstones per source."""
+    return log.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("scn").alias("min_scn"),
+        F.max("scn").alias("max_scn"),
+        F.countDistinct("key_str").alias("n_keys"),
+        F.sum(F.when(F.col("opcode") == "DELETE", 1).otherwise(0)).alias("n_deletes"),
+        F.sum(F.length("key_str")).alias("key_bytes"),
+    )
+
+
+PER_SOURCE_STATS_SQL = """
+    SELECT source,
+           count(*) AS n_events,
+           min(scn) AS min_scn,
+           max(scn) AS max_scn,
+           count(DISTINCT key_str) AS n_keys,
+           CAST(sum(CASE WHEN opcode = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           CAST(sum(length(key_str)) AS BIGINT) AS key_bytes
+    FROM ({changelog}) GROUP BY source
+"""
+
+
+def lag_percentiles(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A4 analog: p50/p90/p95/p99 of event lag vs the stream head (seconds).
+
+    Exact interpolated percentiles (matches DuckDB quantile_cont); at
+    cluster scale swap percentile -> percentile_approx, which is the
+    true analog of the reference's decaying-reservoir estimate.
+    """
+    head = events.agg(F.max(ts_col).alias("_head"))
+    lagged = events.crossJoin(F.broadcast(head)).select(
+        (F.col("_head").cast("double") - F.col(ts_col).cast("double")).alias("lag_s")
+    )
+    return lagged.agg(
+        *[
+            F.round(F.percentile("lag_s", q), 4).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.95, 0.99)
+        ]
+    )
+
+
+LAG_PERCENTILES_SQL = """
+    SELECT round(quantile_cont(lag_s, 0.50), 4) AS p50,
+           round(quantile_cont(lag_s, 0.90), 4) AS p90,
+           round(quantile_cont(lag_s, 0.95), 4) AS p95,
+           round(quantile_cont(lag_s, 0.99), 4) AS p99
+    FROM (
+        SELECT epoch(max({ts}) OVER ()) - epoch({ts}) AS lag_s FROM {table}
+    )
+"""
+
+
+def value_histogram(events: DataFrame, col: str = "value", width: float = 10.0) -> DataFrame:
+    """A5 analog: fixed-width bucket histogram of a numeric column."""
+    bucket = F.floor(F.col(col) / F.lit(width)).cast("long").alias("bucket")
+    return (
+        events.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+    SELECT CAST(floor({col} / {width}) AS BIGINT) AS bucket, count(*) AS n
+    FROM {table} GROUP BY 1
+"""
+
+
+def txn_window_stats(log: DataFrame) -> DataFrame:
+    """Event-window accounting (A7): rows and end-markers per scn window,
+    then windows-per-size histogram (how many txns have k rows)."""
+    per_window = log.groupBy("source", "scn").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("txn_end"), 1).otherwise(0)).alias("n_end_markers"),
+    )
+    return per_window.groupBy("source", "n_rows").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_end_markers").alias("n_end_markers"),
+    )
+
+
+TXN_WINDOW_STATS_SQL = """
+    SELECT source, n_rows, count(*) AS n_windows,
+           CAST(sum(n_end_markers) AS BIGINT) AS n_end_markers
+    FROM (
+        SELECT source, scn, count(*) AS n_rows,
+               sum(CASE WHEN txn_end THEN 1 ELSE 0 END) AS n_end_markers
+        FROM ({changelog}) GROUP BY source, scn
+    ) GROUP BY source, n_rows
+"""

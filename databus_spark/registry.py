@@ -1,0 +1,315 @@
+"""Query registry: every implemented operator as a (Spark plan, DuckDB oracle) pair.
+
+This is the engine's correctness contract. Each entry in QUERIES is a
+callable (spark, sf_dir) -> DataFrame; ORACLES holds the equivalent
+ANSI SQL DuckDB runs on the same parquet tables. Column names/aliases
+are kept identical on both sides (the comparator sorts columns by name
+and hashes values).
+
+Operators without a SQL-expressible oracle (streaming, multimodal
+stubs) appear in QUERIES only — the driver then records a rows-only
+check, and tests/ carry the stronger assertions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databus_spark.catalog import load_table, sources_registry
+from databus_spark.envelope import (
+    CUSTOMER_CHANGELOG_SQL,
+    CUSTOMER_PAYLOAD,
+    LINEITEM_CHANGELOG_SQL,
+    MULTI_SOURCE_CHANGELOG_SQL,
+    ORDERS_CHANGELOG_SQL,
+    ORDERS_PAYLOAD,
+    customer_changelog,
+    lineitem_changelog,
+    multi_source_changelog,
+    orders_changelog,
+)
+from databus_spark.functions.hashes import java_hash_sql, java_string_hashcode
+from databus_spark.operators import bootstrap, compaction, stats
+from databus_spark.operators.filters import key_mod_filter, key_range_filter
+from databus_spark.plans import filterconfig
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+ENV_OUT = ["scn", "opcode", "source", "source_id", "part_id", "key_num", "key_str"]
+_ENV_OUT_SQL = ", ".join(ENV_OUT)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col, alias, scale: int = 6):
+    """Order-independent cross-engine double sum: exact decimal sum, then
+    one double conversion. Avoids IEEE summation-order divergence between
+    Spark and the DuckDB oracle."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double").alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# --------------------------------------------------------------------------
+# Snapshot compaction (bootstrap applier semantics, SURVEY §2.2 K4 / §2.6 A6)
+# --------------------------------------------------------------------------
+
+@query(
+    "snapshot_orders",
+    compaction.snapshot_oracle_sql(
+        ORDERS_CHANGELOG_SQL, key_cols=("key_str",), payload_cols=ORDERS_PAYLOAD
+    ),
+)
+def snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstructed `orders` state: latest event per key, tombstones dropped.
+
+    Parity: BootstrapApplierThread.java:850 (insert..on duplicate key update).
+    """
+    log = orders_changelog(spark, sf_dir)
+    return compaction.snapshot(log, key_cols=("key_str",), payload_cols=ORDERS_PAYLOAD)
+
+
+@query(
+    "snapshot_customer",
+    compaction.snapshot_oracle_sql(
+        CUSTOMER_CHANGELOG_SQL, key_cols=("key_str",), payload_cols=CUSTOMER_PAYLOAD
+    ),
+)
+def snapshot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed snapshot compaction (customer, key = c_name)."""
+    log = customer_changelog(spark, sf_dir)
+    return compaction.snapshot(log, key_cols=("key_str",), payload_cols=CUSTOMER_PAYLOAD)
+
+
+# --------------------------------------------------------------------------
+# Subscription filters (SURVEY §2.3 F2-F8)
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_keymod_longkey",
+    f"""
+    SELECT {_ENV_OUT_SQL} FROM ({ORDERS_CHANGELOG_SQL})
+    WHERE abs(key_num) % 8 BETWEEN 0 AND 3
+    """,
+)
+def filter_keymod_longkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyModFilter on a numeric key: buckets [0-3] of 8 (KeyModFilter.java:34-79)."""
+    log = orders_changelog(spark, sf_dir)
+    return log.where(key_mod_filter(8, 0, 4)).select(*ENV_OUT)
+
+
+@query(
+    "filter_keymod_strkey",
+    f"""
+    SELECT {_ENV_OUT_SQL},
+           abs(CAST({java_hash_sql('key_str')} AS BIGINT)) % 8 AS bucket
+    FROM ({CUSTOMER_CHANGELOG_SQL})
+    WHERE abs(CAST({java_hash_sql('key_str')} AS BIGINT)) % 8 BETWEEN 0 AND 3
+    """,
+)
+def filter_keymod_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyModFilter on a STRING key — bit-exact Java String.hashCode bucketing
+    (KeyModFilter.java:72-78), as pure Catalyst expressions (no UDF)."""
+    log = customer_changelog(spark, sf_dir)
+    bucket = F.pmod(F.abs(java_string_hashcode(F.col("key_str")).cast("long")), F.lit(8))
+    return (
+        log.where(key_mod_filter(8, 0, 4))
+        .select(*ENV_OUT, bucket.alias("bucket"))
+    )
+
+
+@query(
+    "filter_keyrange",
+    f"""
+    SELECT {_ENV_OUT_SQL} FROM ({ORDERS_CHANGELOG_SQL})
+    WHERE key_num IS NOT NULL AND key_num >= 100 AND key_num < 500
+    """,
+)
+def filter_keyrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyRangeFilter: 100 <= key < 500 (KeyRangeFilter.java:25-60)."""
+    log = orders_changelog(spark, sf_dir)
+    return log.where(key_range_filter(100, 500)).select(*ENV_OUT)
+
+
+_COMPOSITE_CONFIG = {
+    "orders": {"partitionType": "MOD", "numBuckets": 8, "buckets": "[0-3,5]"},
+    "customer": {"partitionType": "MOD", "numBuckets": 4, "buckets": "[1,3]"},
+    "lineitem": {"partitionType": "NONE"},
+}
+
+
+@query(
+    "filter_composite_json",
+    f"""
+    SELECT {_ENV_OUT_SQL} FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+    WHERE {filterconfig.oracle_predicate(_COMPOSITE_CONFIG)}
+      AND part_id IN (0, 1, 2)
+    """,
+)
+def filter_composite_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DbusKeyCompositeFilter from JSON config AND'd with a physical-partition
+    filter (ConjunctionDbusFilter) over the multi-source stream."""
+    from databus_spark.operators.filters import conjunction, physical_partition_filter
+
+    log = multi_source_changelog(spark, sf_dir)
+    pred = conjunction(
+        filterconfig.compile_config(_COMPOSITE_CONFIG),
+        physical_partition_filter([0, 1, 2]),
+    )
+    return log.where(pred).select(*ENV_OUT)
+
+
+# --------------------------------------------------------------------------
+# Bootstrap & paging (SURVEY §2.5 J3/J4, §2.7 L2)
+# --------------------------------------------------------------------------
+
+_BST_START = 1_000_000_500
+_BST_TARGET = 2_000_000_750
+
+
+@query(
+    "bootstrap_snapshot_catchup",
+    bootstrap.bootstrap_oracle_sql(
+        ORDERS_CHANGELOG_SQL,
+        _BST_START,
+        _BST_TARGET,
+        key_cols=("key_str",),
+        out_cols="key_str, scn, " + ", ".join(ORDERS_PAYLOAD),
+    ),
+)
+def bootstrap_snapshot_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot(<=startSCN) ∪ catchup((start,target]) -> exact state at target.
+
+    Parity: BootstrapProcessor.java:214-273 + BootstrapCheckpointHandler
+    phase flip; the oracle compacts directly at target (provably equal).
+    """
+    log = orders_changelog(spark, sf_dir)
+    state = bootstrap.bootstrap_state(log, _BST_START, _BST_TARGET, key_cols=("key_str",))
+    return state.select("key_str", "scn", *ORDERS_PAYLOAD)
+
+
+@query(
+    "keyset_page",
+    f"""
+    SELECT {_ENV_OUT_SQL} FROM ({ORDERS_CHANGELOG_SQL})
+    WHERE scn > 500 ORDER BY scn LIMIT 100
+    """,
+)
+def keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination chunk: scn > 500, next 100 (BootstrapProcessor.java:239)."""
+    log = orders_changelog(spark, sf_dir)
+    return bootstrap.keyset_page(log, after=500, limit=100).select(*ENV_OUT)
+
+
+# --------------------------------------------------------------------------
+# Stats / aggregations (SURVEY §2.6 A1-A7)
+# --------------------------------------------------------------------------
+
+@query("max_scn_probe", f"SELECT source, max(scn) AS max_scn FROM ({MULTI_SOURCE_CHANGELOG_SQL}) GROUP BY source")
+def max_scn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: max SCN per source (OracleTxlogEventReader.java:784-812)."""
+    log = multi_source_changelog(spark, sf_dir)
+    return log.groupBy("source").agg(F.max("scn").alias("max_scn"))
+
+
+@query("per_source_stats", stats.PER_SOURCE_STATS_SQL.format(changelog=MULTI_SOURCE_CHANGELOG_SQL))
+def per_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: per-source event counts, scn span, key cardinality, tombstones."""
+    return stats.per_source_stats(multi_source_changelog(spark, sf_dir))
+
+
+@query("lag_percentiles", stats.LAG_PERCENTILES_SQL.format(ts="ts", table="events"))
+def lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: consumer-lag percentiles p50/p90/p95/p99 (UnifiedClientStats.java:283-300)."""
+    return stats.lag_percentiles(load_table(spark, sf_dir, "events"))
+
+
+@query("value_histogram", stats.VALUE_HISTOGRAM_SQL.format(col="value", width="10.0", table="events"))
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: fixed-width histogram buckets (HistogramBasedIntStats.java)."""
+    return stats.value_histogram(load_table(spark, sf_dir, "events"), "value", 10.0)
+
+
+@query("txn_window_stats", stats.TXN_WINDOW_STATS_SQL.format(changelog=MULTI_SOURCE_CHANGELOG_SQL))
+def txn_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T13: event-window accounting — rows per txn window histogram,
+    end-of-window marker counts (DbusEventBuffer.endEvents semantics)."""
+    return stats.txn_window_stats(multi_source_changelog(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Registry / schema joins (SURVEY §2.5 J2/J5)
+# --------------------------------------------------------------------------
+
+@query(
+    "source_registry_join",
+    f"""
+    SELECT r.source_name, count(*) AS n_events
+    FROM ({MULTI_SOURCE_CHANGELOG_SQL}) e
+    JOIN (VALUES (1, 'orders'), (2, 'customer'), (3, 'lineitem'),
+                 (4, 'events'), (5, 'documents'), (6, 'embeddings'),
+                 (7, 'region'), (8, 'nation'), (9, 'supplier'), (10, 'part'))
+         AS r(source_id, source_name)
+      ON e.source_id = r.source_id
+    GROUP BY r.source_name
+    """,
+)
+def source_registry_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J5: broadcast-hash join of the stream against the sourceId<->name
+    registry dimension (SourcesRequestProcessor.java:47)."""
+    log = multi_source_changelog(spark, sf_dir)
+    dim = sources_registry(spark).withColumnRenamed("source", "source_name")
+    return (
+        log.join(F.broadcast(dim), "source_id")
+        .groupBy("source_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytics over materialized change tables (the "new capability" layer)
+# --------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql("l_quantity", "sum_qty", 2)},
+           {_dsum_sql("l_extendedprice", "sum_base_price", 2)},
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price", 6)},
+           count(*) AS count_order
+    FROM (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY key_str ORDER BY scn DESC) AS _rn
+            FROM ({LINEITEM_CHANGELOG_SQL})
+        ) WHERE _rn = 1 AND opcode <> 'DELETE'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregate over the RECONSTRUCTED lineitem state —
+    SQL analytics over a materialized change table, which the reference
+    cannot do at all (its consumers would re-implement this by hand)."""
+    log = lineitem_changelog(spark, sf_dir)
+    snap = compaction.snapshot(log, key_cols=("key_str",))
+    return snap.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty", 2),
+        _dsum(F.col("l_extendedprice"), "sum_base_price", 2),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price", 6),
+        F.count(F.lit(1)).alias("count_order"),
+    )

@@ -1,0 +1,164 @@
+"""Versioned parquet snapshot store with MERGE (upsert) semantics.
+
+The engine's analog of the reference's bootstrap snapshot tables
+``tab_<srcid>`` maintained by ``insert ... on duplicate key update``
+(reference: databus-bootstrap-producer/.../BootstrapApplierThread.java:850)
+plus their log/applier separation and periodic compaction
+(BootstrapDBCleaner.java).
+
+No Delta/Iceberg jars ship in this image, so MERGE is implemented as
+copy-on-write over hash-bucketed parquet with an atomic version pointer:
+
+    root/
+      _VERSION                  <- text file: current version number
+      v<N>/bucket=<k>/*.parquet <- state partitioned by key-hash bucket
+
+merge(batch) rewrites ONLY the buckets the batch touches (anti-join +
+union per bucket), then commits a new version pointer — the same
+copy-on-write-by-file strategy Delta's MERGE uses, at directory
+granularity. On a cluster this class is swapped for a one-line
+``DeltaTable.merge``; the interface is kept identical to make that a
+drop-in (see ``DELTA_MERGE_SQL``).
+
+Idempotence: merge() is last-writer-wins by (key, scn). Replaying a
+micro-batch (T7/T8 at-least-once retry) converges to the same state,
+which is what makes the streaming applier exactly-once end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databus_spark.operators.compaction import latest_by_key
+
+# What this store becomes when Delta is on the classpath (kept for parity docs):
+DELTA_MERGE_SQL = """
+MERGE INTO snapshot s
+USING batch b ON s.key_str = b.key_str AND s.source = b.source
+WHEN MATCHED AND b.scn > s.scn AND b.opcode = 'DELETE' THEN DELETE
+WHEN MATCHED AND b.scn > s.scn THEN UPDATE SET *
+WHEN NOT MATCHED AND b.opcode <> 'DELETE' THEN INSERT *
+"""
+
+
+class ParquetSnapshotStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: Sequence[str] = ("source", "key_str"),
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # -- version pointer ----------------------------------------------------
+    def _version(self) -> int:
+        path = os.path.join(self.root, "_VERSION")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return int(f.read().strip())
+
+    def _commit(self, version: int) -> None:
+        tmp = os.path.join(self.root, "_VERSION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.root, "_VERSION"))
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v{version}")
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets)).alias("_bucket")
+
+    # -- reads ---------------------------------------------------------------
+    def read(self) -> DataFrame | None:
+        """Live state: tombstones filtered out (they are retained on disk so
+        that a replayed/out-of-order older batch cannot resurrect a deleted
+        key — same reason Delta retains deletion vectors)."""
+        v = self._version()
+        if v == 0:
+            return None
+        df = self.spark.read.parquet(self._data_dir(v)).drop("_bucket")
+        return df.where(F.col("opcode") != "DELETE")
+
+    # -- MERGE ----------------------------------------------------------------
+    def merge(self, batch: DataFrame) -> int:
+        """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.
+
+        Only buckets containing batch keys are rewritten; untouched
+        buckets are carried forward by cheap directory hard-links, so
+        merge cost scales with batch keyspan, not table size.
+        """
+        batch = latest_by_key(batch, self.key_cols)  # intra-batch last-wins
+        batch = batch.withColumn("_bucket", self._bucket_col())
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        cur_version = self._version()
+        new_version = cur_version + 1
+        new_dir = self._data_dir(new_version)
+        os.makedirs(new_dir, exist_ok=True)
+
+        current = None
+        if cur_version > 0:
+            current = self.spark.read.parquet(self._data_dir(cur_version))
+
+        # 1. carry forward untouched buckets without rewriting data files
+        if cur_version > 0:
+            for entry in os.listdir(self._data_dir(cur_version)):
+                if not entry.startswith("_bucket="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                if b not in touched:
+                    self._link_tree(
+                        os.path.join(self._data_dir(cur_version), entry),
+                        os.path.join(new_dir, entry),
+                    )
+
+        # 2. merge the touched buckets: latest of (current ∪ batch). Tombstones
+        # are KEPT (read() hides them) so replayed older upserts lose to them.
+        merged = batch
+        if current is not None:
+            cur_touched = current.where(F.col("_bucket").isin(touched))
+            cols = [c for c in batch.columns]
+            merged = cur_touched.select(*cols).unionByName(batch)
+        merged = latest_by_key(merged, self.key_cols + ["_bucket"])
+        (
+            merged.repartition(max(1, len(touched)), "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(new_dir)
+        )
+        self._commit(new_version)
+        return new_version
+
+    @staticmethod
+    def _link_tree(src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            s, d = os.path.join(src, name), os.path.join(dst, name)
+            if os.path.isdir(s):
+                ParquetSnapshotStore._link_tree(s, d)
+            else:
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Drop superseded versions (the BootstrapDBCleaner analog)."""
+        v = self._version()
+        for entry in os.listdir(self.root):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) < v - keep_last + 1:
+                    shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)

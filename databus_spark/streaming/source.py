@@ -1,0 +1,91 @@
+"""Envelope stream sources.
+
+The reference ingests changes from DB pollers / binlog tails into relay
+ring buffers and clients pull from them (SURVEY §2.1 S1-S12). Spark
+replaces the transport entirely: a source is anything `readStream` can
+tail. Two sources here:
+
+* ``stage_changelog`` + ``changelog_stream`` — persist a deterministic
+  changelog as a sequence of scn-ordered parquet files, then tail it as
+  a file-source micro-batch stream (maxFilesPerTrigger=1 => one "event
+  window group" per micro-batch). The analog of the relay buffer being
+  drained in windowed chunks (DbusEventBuffer.streamEvents
+  WINDOW_AT_TIME mode, core/DbusEventBuffer.java:2198-2201).
+
+* ``rate_envelope_stream`` — synthetic deterministic-rate generator on
+  the built-in rate source; the analog of DatabusEventRandomProducer
+  (core/util/DatabusEventRandomProducer.java:46,173-210).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databus_spark.envelope import ENVELOPE_COLS
+
+
+def stage_changelog(
+    log: DataFrame, stage_dir: str, n_chunks: int = 8, order_col: str = "scn"
+) -> None:
+    """Write a changelog as n_chunks scn-range files so a file stream
+    replays it in SCN order, whole windows per chunk (never splitting a
+    txn window across chunks — rows of one scn share one chunk)."""
+    chunked = log.withColumn("_chunk", F.ntile(n_chunks).over(Window.orderBy(order_col)))
+    # ntile can split a txn window across chunks; snap each scn to its min chunk
+    snap = F.min("_chunk").over(Window.partitionBy(order_col))
+    chunked = chunked.withColumn("_chunk", snap)
+    for i in range(1, n_chunks + 1):
+        part = chunked.where(F.col("_chunk") == i).drop("_chunk")
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage_dir, f"chunk={i:05d}"))
+
+
+def changelog_stream(
+    spark: SparkSession, stage_dir: str, schema, files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage_dir + "/chunk=*")
+    )
+
+
+def rate_envelope_stream(
+    spark: SparkSession, rows_per_second: int = 1000, n_keys: int = 1000
+) -> DataFrame:
+    """Deterministic synthetic envelope stream from the rate source.
+
+    Key = value % n_keys, scn = value, ~5% DELETEs — same spirit as the
+    reference's random producer but reproducible (pure functions of
+    `value`, no RNG state).
+    """
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    v = F.col("value")
+    return rate.select(
+        v.alias("scn"),
+        F.col("timestamp").alias("ts"),
+        F.when(v % 20 == 19, "DELETE").otherwise("UPSERT").alias("opcode"),
+        F.lit("synthetic").alias("source"),
+        F.lit(99).alias("source_id"),
+        (v % 4).cast("int").alias("part_id"),
+        (v % n_keys).alias("key_num"),
+        (v % n_keys).cast("string").alias("key_str"),
+        F.lit(True).alias("txn_end"),
+        (v * 7 % 1000).cast("double").alias("payload_value"),
+    )
+
+
+def envelope_schema_of(log: DataFrame):
+    return log.schema
+
+
+__all__ = [
+    "stage_changelog",
+    "changelog_stream",
+    "rate_envelope_stream",
+    "envelope_schema_of",
+    "ENVELOPE_COLS",
+]

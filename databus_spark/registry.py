@@ -417,3 +417,274 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_media(docs))
+
+
+# --------------------------------------------------------------------------
+# Scalar functions & payload filters (SURVEY §2.9, §2.3 F11)
+# --------------------------------------------------------------------------
+
+@query(
+    "scalar_functions",
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hash,
+           sha256(text) AS sha256_hash,
+           to_base64(encode(substr(text, 1, 24))) AS b64_prefix,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec/integrity scalars of the reference (SchemaId md5, Base64 util;
+    crc32/gzip live in functions.codecs with pytest parity — no DuckDB twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hash"),
+        F.sha2(F.col("text"), 256).alias("sha256_hash"),
+        F.base64(F.encode(F.substring("text", 1, 24), "UTF-8")).alias("b64_prefix"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "filter_payload_fields",
+    f"""
+    SELECT {_ENV_OUT_SQL}, o_totalprice, o_custkey, o_orderstatus
+    FROM ({ORDERS_CHANGELOG_SQL})
+    WHERE o_totalprice > 100000 AND o_custkey < 100 AND o_orderstatus = 'O'
+    """,
+)
+def filter_payload_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: eq/gt/lt predicates on decoded payload fields
+    (PayloadFieldEqFilter/GtFilter/LtFilter in the bootstrap reader)."""
+    log = orders_changelog(spark, sf_dir)
+    return log.where(
+        (F.col("o_totalprice") > 100000)
+        & (F.col("o_custkey") < 100)
+        & (F.col("o_orderstatus") == "O")
+    ).select(*ENV_OUT, "o_totalprice", "o_custkey", "o_orderstatus")
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(props->>'k' AS INT) AS k, event_type
+    FROM events WHERE CAST(props->>'k' AS INT) >= 90
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction + predicate (Encoding.JSON analog)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", k.alias("k"), "event_type").where(F.col("k") >= 90)
+
+
+# --------------------------------------------------------------------------
+# Time windows & sessions — NEW capabilities over the envelope stream
+# (the reference has txn windows only, SURVEY §2.10 T13)
+# --------------------------------------------------------------------------
+
+@query(
+    "time_window_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           count(*) AS n,
+           {_dsum_sql("value", "sum_value", 2)}
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def time_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time windows per event type."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    return e.groupBy(w.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "sum_value", 2)
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "time_window_sliding",
+    f"""
+    SELECT window_start, window_start + INTERVAL 12 HOUR AS window_end,
+           count(*) AS n, {_dsum_sql("value", "sum_value", 2)}
+    FROM (
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) - INTERVAL 6 HOUR, value FROM events
+    ) GROUP BY 1
+    """,
+)
+def time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 12h windows every 6h (each event lands in two windows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "12 hours", "6 hours")
+    return e.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "sum_value", 2)
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "sum_value",
+    )
+
+
+_SESSION_GAP_S = 6 * 3600
+
+
+@query(
+    "sessionize",
+    f"""
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN gap IS NULL OR gap > {_SESSION_GAP_S} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+            SELECT user_id, ts,
+                   epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h) via lag + running sum — the batch
+    equivalent of streaming session_window()."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    by_user = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(by_user)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(by_user.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_id")
+    )
+
+
+@query(
+    "cube_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n, {_dsum_sql("l_quantity", "sum_qty", 2)}
+    FROM (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY key_str ORDER BY scn DESC) AS _rn
+            FROM ({LINEITEM_CHANGELOG_SQL})
+        ) WHERE _rn = 1 AND opcode <> 'DELETE'
+    )
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the reconstructed lineitem state — grouping-set analytics
+    the reference lacks entirely (SURVEY §2.6: 'Spark gives them free')."""
+    log = lineitem_changelog(spark, sf_dir)
+    snap = compaction.snapshot(log, key_cols=("key_str",))
+    return snap.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity"), "sum_qty", 2),
+    )
+
+
+# --------------------------------------------------------------------------
+# dtail (SURVEY §2.2 K7): stream tail rendered as deterministic JSON
+# --------------------------------------------------------------------------
+
+@query(
+    "dtail_json",
+    f"""
+    SELECT {{render}} AS event_json
+    FROM (
+        SELECT scn, opcode, source, key_str FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+        ORDER BY scn DESC, source DESC, key_str DESC LIMIT 20
+    )
+    """.format(render="concat('{{\"scn\":', CAST(scn AS VARCHAR), ',\"opcode\":\"', opcode, '\",\"source\":\"', source, '\",\"key\":\"', key_str, '\"}}')".replace('{{','{').replace('}}','}')),
+)
+def dtail_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dtail -p JSON analog: last-20 tail of the multi-source stream,
+    hand-rendered JSON (JsonDtailPrinter renders by hand too)."""
+    from databus_spark.functions.codecs import render_event_json
+
+    log = multi_source_changelog(spark, sf_dir)
+    tail = log.orderBy(F.desc("scn"), F.desc("source"), F.desc("key_str")).limit(20)
+    return tail.select(render_event_json().alias("event_json"))
+
+
+# --------------------------------------------------------------------------
+# Schema registry + versioned decode (SURVEY §1.2, §2.4, §2.5 J2)
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_evolution_decode",
+    """
+    SELECT o_orderkey AS key_num,
+           CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+           'orders_payload' AS schema_name,
+           o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+    """,
+)
+def schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer->reader schema resolution: v1 writers lack o_orderpriority;
+    decoding everything with the v2 READER schema yields NULL there.
+    Registry resolved per row via broadcast join on the md5 schema id
+    (DbusEventAvroDecoder.java:84-148, SchemaId.java:59)."""
+    from databus_spark.sources.schema_registry import (
+        SchemaRegistry,
+        VersionedSchema,
+        decode_with_reader,
+    )
+
+    v1 = VersionedSchema("orders_payload", 1, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+    v2 = VersionedSchema(
+        "orders_payload", 2,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING",
+    )
+    reg = SchemaRegistry()
+    reg.register(v1)
+    reg.register(v2)
+
+    o = load_table(spark, sf_dir, "orders")
+    # serialize each row with its writer schema (v1 for even keys, v2 odd)
+    payload_v1 = F.concat(
+        F.lit('{"o_orderkey":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"o_custkey":'), F.col("o_custkey").cast("string"),
+        F.lit(',"o_totalprice":'), F.col("o_totalprice").cast("string"), F.lit("}"),
+    )
+    payload_v2 = F.concat(
+        F.lit('{"o_orderkey":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"o_custkey":'), F.col("o_custkey").cast("string"),
+        F.lit(',"o_totalprice":'), F.col("o_totalprice").cast("string"),
+        F.lit(',"o_orderpriority":"'), F.col("o_orderpriority"), F.lit('"}'),
+    )
+    is_v1 = F.col("o_orderkey") % 2 == 0
+    events = o.select(
+        F.col("o_orderkey").alias("key_num"),
+        F.when(is_v1, F.lit(v1.schema_id)).otherwise(F.lit(v2.schema_id)).alias("schema_id"),
+        F.when(is_v1, payload_v1).otherwise(payload_v2).alias("payload_json"),
+    )
+    out = decode_with_reader(events, "payload_json", v2, reg, spark)
+    return out.drop("schema_id")

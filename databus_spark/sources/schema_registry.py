@@ -1,0 +1,91 @@
+"""Versioned schema registry + writer->reader payload decoding.
+
+Reference parity:
+  VersionedSchema (name, version, schema text)  <- databus-core-schemas/
+      .../schemas/VersionedSchema.java
+  SchemaId = MD5 of canonical schema text       <- schemas/SchemaId.java:36,59
+  registry lookup per event digest              <- DbusEventAvroDecoder.java:84-110
+  writer->reader resolution (old readers decode
+  new data; missing fields default)             <- DbusEventAvroDecoder.java:84-148
+
+Spark restatement: payloads travel as serialized strings (JSON here;
+Avro via from_avro when the spark-avro jar is present — same plan
+shape); the registry is a broadcast dimension joined on schema_id
+(J2), and reader-schema projection is from_json(payload, reader_schema)
+— fields the writer lacked become NULL, fields the reader dropped are
+pruned. All JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class VersionedSchema:
+    name: str
+    version: int
+    ddl: str  # Spark DDL schema text, e.g. "a BIGINT, b STRING"
+
+    @property
+    def schema_id(self) -> str:
+        """MD5 of canonical schema text (SchemaId.java:59)."""
+        return hashlib.md5(self.canonical().encode()).hexdigest()
+
+    def canonical(self) -> str:
+        return f"{self.name}/{self.version}/{self.ddl}"
+
+
+class SchemaRegistry:
+    """In-memory VersionedSchemaSet + id->schema resolution."""
+
+    def __init__(self) -> None:
+        self._by_id: dict[str, VersionedSchema] = {}
+        self._versions: dict[str, list[VersionedSchema]] = {}
+
+    def register(self, vs: VersionedSchema) -> VersionedSchema:
+        self._by_id[vs.schema_id] = vs
+        self._versions.setdefault(vs.name, []).append(vs)
+        self._versions[vs.name].sort(key=lambda s: s.version)
+        return vs
+
+    def by_id(self, schema_id: str) -> VersionedSchema:
+        return self._by_id[schema_id]
+
+    def latest(self, name: str) -> VersionedSchema:
+        return self._versions[name][-1]
+
+    def dim_df(self, spark: SparkSession) -> DataFrame:
+        """Broadcastable registry dimension (schema_id, name, version)."""
+        rows = [(s.schema_id, s.name, s.version) for s in self._by_id.values()]
+        return spark.createDataFrame(rows, "schema_id STRING, schema_name STRING, schema_version INT")
+
+
+def decode_with_reader(
+    df: DataFrame,
+    payload_col: str,
+    reader: VersionedSchema,
+    registry: SchemaRegistry,
+    spark: SparkSession,
+) -> DataFrame:
+    """Decode serialized payloads with the READER schema, resolving each
+    row's writer version via a broadcast registry join on schema_id.
+
+    Writer->reader rules (Avro resolution semantics, DbusEventAvroDecoder):
+    fields absent from the writer payload -> NULL; fields the reader
+    dropped -> pruned by from_json's schema projection.
+    """
+    dim = registry.dim_df(spark)
+    decoded = df.join(F.broadcast(dim), "schema_id", "left").withColumn(
+        "_payload", F.from_json(F.col(payload_col), reader.ddl)
+    )
+    return decoded.select(
+        *[c for c in df.columns if c not in (payload_col,)],
+        "schema_name",
+        "schema_version",
+        F.col("_payload.*"),
+    )

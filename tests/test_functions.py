@@ -1,0 +1,49 @@
+"""Scalar-function parity checks without a DuckDB twin (crc32, gzip)."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+
+def test_crc32_matches_zlib(spark):
+    """Spark's crc32 must match zlib (the reference's ByteBufferCRC32 is
+    standard CRC-32, DbusEventV2.java:138-151)."""
+    samples = ["", "databus", "Customer#000000042", "x" * 1000]
+    df = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s", F.crc32(F.encode("s", "UTF-8")).alias("c")
+    )
+    got = {r["s"]: r["c"] for r in df.collect()}
+    for s in samples:
+        assert got[s] == zlib.crc32(s.encode()), s
+
+
+def test_gzip_roundtrip_deterministic(spark):
+    """CompressUtil analog: compress/decompress round-trip, deterministic bytes."""
+    from databus_spark.functions.codecs import gzip_compress, gzip_decompress
+
+    df = spark.createDataFrame(
+        [("checkpoint-blob-1",), ("{}",), ("",)], "s string"
+    ).select("s", gzip_compress("s").alias("z"))
+    back = df.select("s", gzip_decompress("z").alias("s2"), "z").collect()
+    for r in back:
+        assert r["s2"] == r["s"]
+    # determinism across invocations (mtime pinned)
+    again = {r["s"]: bytes(r["z"]) for r in df.collect()}
+    for r in back:
+        assert bytes(r["z"]) == again[r["s"]]
+
+
+def test_schema_registry_ids_and_latest():
+    from databus_spark.sources.schema_registry import SchemaRegistry, VersionedSchema
+
+    v1 = VersionedSchema("p", 1, "a BIGINT")
+    v2 = VersionedSchema("p", 2, "a BIGINT, b STRING")
+    reg = SchemaRegistry()
+    reg.register(v2)
+    reg.register(v1)
+    assert reg.latest("p") == v2
+    assert reg.by_id(v1.schema_id) == v1
+    assert v1.schema_id != v2.schema_id
+    assert len(v1.schema_id) == 32  # md5 hex

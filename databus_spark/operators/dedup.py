@@ -126,17 +126,29 @@ _SHINGLES_SQL = f"""
 """
 
 
+MAX_SHINGLE_DF = 100  # spam-shingle cap: df above this carries no dedup signal
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.6) -> DataFrame:
     """Candidate pairs sharing >=1 k-shingle, scored by exact Jaccard.
 
     The self-join goes through the shingle inverted index — never a
-    cross join. Hot shingles fan out quadratically; at scale drop
-    shingles with document frequency above a cap first (spam shingles
-    carry no dedup signal) — here the distinct-shingle explode suffices.
+    cross join. Hot shingles fan out quadratically, so shingles with
+    document frequency > MAX_SHINGLE_DF are dropped from the JOIN side
+    (the standard spam-shingle cap in corpus dedup); per-doc shingle
+    counts for the Jaccard denominator still use ALL shingles, so the
+    score is exact whenever a pair shares at least one rare shingle.
     """
     sh = _shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= MAX_SHINGLE_DF)
+        .select("shingle"),
+        "shingle",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -163,9 +175,15 @@ def ngram_jaccard_sql(k: int = 5, threshold: float = 0.6) -> str:
     return f"""
         WITH sh AS ({sh}),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        rare AS (
+            SELECT * FROM sh WHERE shingle IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= {MAX_SHINGLE_DF}
+            )
+        ),
         shared AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b, n_shared,

@@ -1,0 +1,217 @@
+"""Consumer callback surface: the engine's UDF layer (SURVEY §2.11).
+
+The reference's consumer API is lifecycle callbacks driven by the
+dispatcher state machine (reference: databus-client-api/.../
+DatabusStreamConsumer.java:34-140 — onStartConsumption /
+onStartDataEventSequence / onStartSource / onDataEvent / onEndSource /
+onEndDataEventSequence / onCheckpoint / onRollback; dispatch loop
+databus-client-common/.../GenericDispatcher.java; composition:
+MultiConsumerCallback.java (parallel fan-out, per-callback timeouts),
+SelectingDatabusCombinedConsumer (route by source),
+BatchingDatabusCombinedConsumer (micro-batching), LoggingConsumer).
+
+Spark restatement: consumers receive micro-batch slices inside
+foreachBatch. The dispatcher iterates each batch in SCN-window order
+and, within a window, per source — reproducing the reference's
+callback ordering exactly, but handing the consumer a DataFrame slice
+(vectorized) instead of one event at a time. A consumer raising ->
+the micro-batch fails -> Spark retries it: the reference's
+ROLLBACK-and-replay (GenericDispatcher.java:671-950) for free.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+class Consumer:
+    """Base lifecycle consumer (AbstractDatabusCombinedConsumer analog)."""
+
+    def on_start_consumption(self) -> None: ...
+
+    def on_start_window(self, scn: int) -> None: ...
+
+    def on_source_events(self, source: str, events: DataFrame) -> None:
+        """The onDataEvent analog — one call per (window, source), with
+        the window's rows for that source (already scn-ordered)."""
+
+    def on_end_window(self, scn: int) -> None: ...
+
+    def on_checkpoint(self, scn: int) -> None: ...
+
+    def on_rollback(self, scn: int) -> None: ...
+
+    def on_stop_consumption(self) -> None: ...
+
+
+class LoggingConsumer(Consumer):
+    """Counts and logs (LoggingConsumer analog); also a test probe."""
+
+    def __init__(self) -> None:
+        self.calls: list[tuple[str, object]] = []
+        self.rows = 0
+
+    def on_start_consumption(self) -> None:
+        self.calls.append(("start", None))
+
+    def on_start_window(self, scn: int) -> None:
+        self.calls.append(("start_window", scn))
+
+    def on_source_events(self, source: str, events: DataFrame) -> None:
+        n = events.count()
+        self.rows += n
+        self.calls.append(("events", (source, n)))
+
+    def on_end_window(self, scn: int) -> None:
+        self.calls.append(("end_window", scn))
+
+    def on_checkpoint(self, scn: int) -> None:
+        self.calls.append(("checkpoint", scn))
+
+
+class SelectingConsumer(Consumer):
+    """Routes to a delegate only for subscribed sources
+    (SelectingDatabusCombinedConsumer analog)."""
+
+    def __init__(self, delegate: Consumer, sources: Iterable[str]) -> None:
+        self.delegate = delegate
+        self.sources = set(sources)
+
+    def on_start_consumption(self) -> None:
+        self.delegate.on_start_consumption()
+
+    def on_start_window(self, scn: int) -> None:
+        self.delegate.on_start_window(scn)
+
+    def on_source_events(self, source: str, events: DataFrame) -> None:
+        if source in self.sources:
+            self.delegate.on_source_events(source, events)
+
+    def on_end_window(self, scn: int) -> None:
+        self.delegate.on_end_window(scn)
+
+    def on_checkpoint(self, scn: int) -> None:
+        self.delegate.on_checkpoint(scn)
+
+
+class BatchingConsumer(Consumer):
+    """Accumulates slices and flushes every `threshold` rows
+    (BatchingDatabusCombinedConsumer analog)."""
+
+    def __init__(self, delegate: Consumer, threshold: int) -> None:
+        self.delegate = delegate
+        self.threshold = threshold
+        self._pending: list[DataFrame] = []
+        self._pending_rows = 0
+        self.flushes = 0
+
+    def on_source_events(self, source: str, events: DataFrame) -> None:
+        self._pending.append(events)
+        self._pending_rows += events.count()
+        if self._pending_rows >= self.threshold:
+            self.flush(source)
+
+    def flush(self, source: str = "<batched>") -> None:
+        if not self._pending:
+            return
+        union = self._pending[0]
+        for df in self._pending[1:]:
+            union = union.unionByName(df)
+        self.delegate.on_source_events(source, union)
+        self._pending, self._pending_rows = [], 0
+        self.flushes += 1
+
+    def on_checkpoint(self, scn: int) -> None:
+        self.flush()
+        self.delegate.on_checkpoint(scn)
+
+
+class MultiConsumer(Consumer):
+    """Fan-out to several consumers with per-callback timing; any failure
+    propagates, failing the micro-batch -> Spark retry = ROLLBACK
+    (MultiConsumerCallback semantics, minus threads: Spark already
+    parallelizes the heavy lifting inside each DataFrame op)."""
+
+    def __init__(self, consumers: list[Consumer], timeout_s: float | None = None) -> None:
+        self.consumers = consumers
+        self.timeout_s = timeout_s
+        self.timings: list[tuple[str, float]] = []
+
+    def _each(self, method: str, *args) -> None:
+        for c in self.consumers:
+            t0 = time.monotonic()
+            getattr(c, method)(*args)
+            dt = time.monotonic() - t0
+            self.timings.append((f"{type(c).__name__}.{method}", dt))
+            if self.timeout_s is not None and dt > self.timeout_s:
+                raise TimeoutError(
+                    f"{type(c).__name__}.{method} exceeded {self.timeout_s}s ({dt:.3f}s)"
+                )
+
+    def on_start_consumption(self) -> None:
+        self._each("on_start_consumption")
+
+    def on_start_window(self, scn: int) -> None:
+        self._each("on_start_window", scn)
+
+    def on_source_events(self, source: str, events: DataFrame) -> None:
+        self._each("on_source_events", source, events)
+
+    def on_end_window(self, scn: int) -> None:
+        self._each("on_end_window", scn)
+
+    def on_checkpoint(self, scn: int) -> None:
+        self._each("on_checkpoint", scn)
+
+
+class Dispatcher:
+    """Drives consumers from micro-batches in SCN-window order
+    (GenericDispatcher's EXPECT_EVENT_WINDOW -> ... -> checkpoint loop)."""
+
+    def __init__(self, consumer: Consumer, checkpoint_every: int = 1) -> None:
+        self.consumer = consumer
+        self.checkpoint_every = checkpoint_every
+        self._windows_since_ckpt = 0
+        self.last_checkpoint_scn = -1
+        self._started = False
+
+    def dispatch_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+        if not self._started:
+            self.consumer.on_start_consumption()
+            self._started = True
+        batch = batch.localCheckpoint(eager=True)
+        windows = [
+            (r["scn"], r["sources"])
+            for r in batch.groupBy("scn")
+            .agg(F.sort_array(F.collect_set("source")).alias("sources"))
+            .orderBy("scn")
+            .collect()
+        ]
+        for scn, sources in windows:
+            window_df = batch.where(F.col("scn") == scn)
+            self.consumer.on_start_window(scn)
+            for source in sources:  # START/END_STREAM_SOURCE ordering
+                self.consumer.on_source_events(
+                    source, window_df.where(F.col("source") == source)
+                )
+            self.consumer.on_end_window(scn)
+            self._windows_since_ckpt += 1
+            if self._windows_since_ckpt >= self.checkpoint_every:
+                self.consumer.on_checkpoint(scn)
+                self.last_checkpoint_scn = scn
+                self._windows_since_ckpt = 0
+
+    def run(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.dispatch_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -688,3 +688,117 @@ def schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = decode_with_reader(events, "payload_json", v2, reg, spark)
     return out.drop("schema_id")
+
+
+# --------------------------------------------------------------------------
+# Serving: byte-bounded fetch, per-partition checkpoints (SURVEY §2.7 L3, §2.8)
+# --------------------------------------------------------------------------
+
+@query(
+    "stream_fetch_bounded",
+    f"""
+    SELECT scn, opcode, source, key_str, row_bytes
+    FROM (
+        SELECT scn, opcode, source, key_str, row_bytes,
+               sum(row_bytes) OVER (ORDER BY scn, source, key_str
+                                    ROWS UNBOUNDED PRECEDING) AS cum_bytes
+        FROM (
+            SELECT scn, opcode, source, key_str,
+                   CAST(45 + length(key_str) + length(source) AS BIGINT) AS row_bytes
+            FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+            WHERE scn > 1000
+        )
+    )
+    WHERE cum_bytes <= 20000
+    """,
+)
+def stream_fetch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/L3: /stream fetch after a checkpoint, bounded by a byte budget
+    (the `size` param / batchFetchSize of ReadEventsRequestProcessor.java:78;
+    45-byte fixed header per DbusEventV2.java:33-90). Implemented as a
+    running-size cutoff in scn order."""
+    from pyspark.sql.window import Window as W
+
+    log = multi_source_changelog(spark, sf_dir).where(F.col("scn") > 1000)
+    row_bytes = (45 + F.length("key_str") + F.length("source")).cast("long")
+    w = W.orderBy("scn", "source", "key_str").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        log.select("scn", "opcode", "source", "key_str", row_bytes.alias("row_bytes"))
+        .withColumn("cum_bytes", F.sum("row_bytes").over(w))
+        .where(F.col("cum_bytes") <= 20000)
+        .drop("cum_bytes")
+    )
+
+
+_CKPT_MULT = {0: 1_000_000_000, 1: 2_000_000_000, 2: 0, 3: 5_000_000_000}
+
+
+@query(
+    "checkpoint_mult_fetch",
+    f"""
+    SELECT {_ENV_OUT_SQL} FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+    WHERE scn > CASE part_id
+        WHEN 0 THEN 1000000000 WHEN 1 THEN 2000000000
+        WHEN 2 THEN 0 ELSE 5000000000 END
+    """,
+)
+def checkpoint_mult_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckpointMult (core/CheckpointMult.java): each physical partition
+    resumes from ITS OWN checkpoint — Kafka-style {partition: offset}
+    fetch over the multi-partition union (DbusEventBufferMult)."""
+    log = multi_source_changelog(spark, sf_dir)
+    ckpt = F.create_map(
+        *[F.lit(x) for kv in _CKPT_MULT.items() for x in kv]
+    )
+    return log.where(F.col("scn") > ckpt[F.col("part_id")]).select(*ENV_OUT)
+
+
+# --------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation (SURVEY §4 / SCALE.md)
+# --------------------------------------------------------------------------
+
+@query(
+    "skew_salted_agg",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (hot) key:
+    phase 1 aggregates (key, salt) partials, phase 2 merges — the
+    manual skew-mitigation pattern; AQE does this automatically for
+    joins, this is the agg-side equivalent. Result provably equals the
+    direct aggregation (the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.withColumn("_salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
+    phase1 = salted.groupBy("o_orderpriority", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("_s"),
+    )
+    return phase1.groupBy("o_orderpriority").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("double").alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate stats (A4/A7 approximate variants) — rows-only checks:
+# approx results have no deterministic DuckDB twin by construction.
+# --------------------------------------------------------------------------
+
+@query("approx_stats")
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) + approx percentiles — the true
+    analogs of the reference's mergeable sketches (UnifiedClientStats
+    decaying reservoir, A4; distinct accounting, A7). Driver records a
+    rows-only check; tests assert error bounds vs exact."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("p50_value"),
+        F.percentile_approx("value", 0.99, 1000).alias("p99_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -802,3 +802,157 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 1000).alias("p99_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# GoldenGate XML trail source (SURVEY §2.1 S6) + corpus operators
+# --------------------------------------------------------------------------
+
+@query(
+    "xml_trail_parse",
+    """
+    SELECT CAST(o_orderkey // 3 AS BIGINT) AS txn_scn,
+           'I' AS op_type,
+           o_orderkey AS key_num,
+           o_totalprice AS price
+    FROM orders
+    """,
+)
+def xml_trail_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: GoldenGate-trail-shaped ingest — per-transaction XML batches
+    parsed with from_xml and exploded back into per-op envelope rows
+    (GoldenGateEventProducer + ggParser StateMachine/TransactionState
+    analog: ops of one txn grouped under one scn). The XML writer side
+    here is the fixture; the parse/flatten path is the operator."""
+    o = load_table(spark, sf_dir, "orders")
+    op_xml = F.concat(
+        F.lit('<op type="I" key="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('" price="'),
+        F.col("o_totalprice").cast("string"),
+        F.lit('"/>'),
+    )
+    txn = (F.col("o_orderkey") / 3).cast("long")
+    trail = (
+        o.select(txn.alias("txn"), F.struct(F.col("o_orderkey").alias("k"), op_xml.alias("x")).alias("op"))
+        .groupBy("txn")
+        .agg(F.array_join(F.transform(F.sort_array(F.collect_list("op")), lambda s: s["x"]), "").alias("ops"))
+        .select(
+            F.concat(
+                F.lit('<tx scn="'), F.col("txn").cast("string"), F.lit('">'),
+                F.col("ops"), F.lit("</tx>"),
+            ).alias("xml")
+        )
+    )
+    parsed = trail.select(
+        F.from_xml(
+            "xml",
+            "_scn BIGINT, op ARRAY<STRUCT<_type: STRING, _key: BIGINT, _price: DOUBLE>>",
+        ).alias("tx")
+    )
+    return parsed.select(
+        F.col("tx._scn").alias("txn_scn"), F.explode("tx.op").alias("op")
+    ).select(
+        "txn_scn",
+        F.col("op._type").alias("op_type"),
+        F.col("op._key").alias("key_num"),
+        F.col("op._price").alias("price"),
+    )
+
+
+@query(
+    "hash_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(concat(7, '|', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 100 < 10
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based sampling (stable ~10% of the corpus) —
+    reproducible across engines/runs, unlike TABLESAMPLE; the standard
+    trick for stable training-data splits."""
+    from databus_spark.functions.hashes import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.pmod(portable_hash64(F.col("doc_id").cast("string"), 7), F.lit(100)) < 10
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "vocab_top_terms",
+    f"""
+    SELECT tok, n, CAST(rank AS INT) AS rank FROM (
+        SELECT tok, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ) WHERE rank <= 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (BPE-training prep)."""
+    from pyspark.sql.window import Window as W
+
+    from databus_spark.operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 50)
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+    SELECT doc_id, tok, CAST(rank AS INT) AS rank, tfidf FROM (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, tf.tok
+               ) AS rank
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf/df via two aggregations, idf
+    as a broadcast scalar, deterministic tie-breaks."""
+    from pyspark.sql.window import Window as W
+
+    from databus_spark.operators.text import tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "tok", "rank", "tfidf")
+    )

@@ -139,19 +139,29 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.6) -> 
     counts for the Jaccard denominator still use ALL shingles, so the
     score is exact whenever a pair shares at least one rare shingle.
     """
-    sh = _shingles(docs, k)
+    sh = _shingles(docs, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = sh.join(
+    # pair generation instead of a self-join: group docs per shingle once,
+    # emit the C(df,2) ordered pairs of each rare shingle's posting list.
+    # One explode + two shuffles total; the posting list is bounded by
+    # MAX_SHINGLE_DF so the per-row pair array is O(cap^2) worst case.
+    postings = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= MAX_SHINGLE_DF)
-        .select("shingle"),
-        "shingle",
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= MAX_SHINGLE_DF))
     )
-    a, b = rare.alias("a"), rare.alias("b")
+    pair_array = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -220,7 +230,9 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> Da
     """Banded LSH: docs agreeing on ALL rows of any band become candidates;
     candidates are scored by signature similarity (fraction of equal
     minhashes — the unbiased Jaccard estimate) and thresholded."""
-    sig = minhash_signatures(docs, k)
+    # signatures feed the band union (xN_BANDS) and both sides of the
+    # scoring join — checkpoint once instead of recomputing the explode+agg
+    sig = minhash_signatures(docs, k).localCheckpoint(eager=False)
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for b in range(N_BANDS):

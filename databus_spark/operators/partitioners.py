@@ -1,0 +1,29 @@
+"""Producer-side partition routing (SURVEY §2.11 producer UDFs).
+
+Reference parity:
+  PartitionFunction / ConstantPartitionFunction <- databus2-relay-impl/
+      .../producers/PartitionFunction.java
+  DbusConstantPartitionRouter                   <- core/DbusConstantPartitionRouter.java
+  DbusHashPartitionRouter (key hash -> partition) <- core/DbusHashPartitionRouter.java
+
+The hash router must agree with the consumer-side KeyModFilter so a
+producer routing to partition p and a consumer subscribing to bucket p
+see the same rows — hence the same bit-exact Java hashCode expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from databus_spark.operators.filters import key_mod_bucket
+
+
+def constant_router(partition: int) -> Column:
+    return F.lit(int(partition)).cast("int")
+
+
+def hash_router(n_partitions: int) -> Column:
+    """abs(numeric key | java hash of string key) % n — consistent with
+    KeyModFilter bucketing, so routing and subscription compose."""
+    return F.pmod(key_mod_bucket(), F.lit(n_partitions)).cast("int")

@@ -956,3 +956,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "tok", "rank", "tfidf")
     )
+
+
+@query(
+    "partition_router",
+    f"""
+    SELECT key_str,
+           CAST(abs(CAST({java_hash_sql('key_str')} AS BIGINT)) % 8 AS INT) AS route_partition,
+           count(*) AS n_events
+    FROM ({CUSTOMER_CHANGELOG_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def partition_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer-side hash partition routing (DbusHashPartitionRouter):
+    route_partition agrees bit-exactly with consumer KeyModFilter buckets
+    so producer routing and consumer subscription compose."""
+    from databus_spark.operators.partitioners import hash_router
+
+    log = customer_changelog(spark, sf_dir)
+    return (
+        log.withColumn("route_partition", hash_router(8))
+        .groupBy("key_str", "route_partition")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -31,11 +31,24 @@ def main() -> None:
     queries = entry_mod.queries()
     headline = [name for name in queries]
 
+    def clear_caches() -> None:
+        """Drop cached/checkpointed blocks between queries so one query's
+        storage pressure doesn't evict another's localCheckpoint blocks."""
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in list(jmap.values()):
+                rdd.unpersist(True)  # blocking: blocks actually freed
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:
-        df = queries[name](spark, sf_dir)
+        clear_caches()
         t0 = time.time()
+        df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)

@@ -417,3 +417,81 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# 5. Near-dup clusters: connected components + survivor selection
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over candidate pairs by iterative min-label
+    propagation; cluster id = min doc_id of the component, survivor =
+    the doc equal to its cluster id.
+
+    Iterative-but-distributed: each round is one join + one aggregate
+    over the edge list (label propagation); the driver only checks the
+    converged flag. Rounds needed = component diameter (near-dup
+    clusters are tiny), capped at max_iterations. The standard
+    large-graph alternative (alternating large-star/small-star) drops
+    in here unchanged if components ever get deep.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
+    )
+
+
+def dedup_clusters_sql(pairs_sql: str) -> str:
+    """Oracle: transitive closure via recursive CTE, min reachable id."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id,
+               node = min(r) AS is_survivor
+        FROM reach GROUP BY node
+    """

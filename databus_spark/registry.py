@@ -980,3 +980,112 @@ def partition_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key_str", "route_partition")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join + dedup clustering + grouped analytics
+# --------------------------------------------------------------------------
+
+@query(
+    "as_of_join_events",
+    """
+    WITH daily AS (
+        SELECT event_type, time_bucket(INTERVAL 1 DAY, ts) AS ts,
+               CAST(sum(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.ts,
+           d.day_value AS right_day_value, d.ts AS right_ts
+    FROM events e
+    ASOF LEFT JOIN daily d
+      ON e.event_type = d.event_type AND e.ts >= d.ts
+    """,
+)
+def as_of_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (state at event time): each event picks the latest
+    daily reference row with day_ts <= event ts per event_type — a
+    native operator Spark lacks, built as union + last-value window
+    (ONE shuffle); DuckDB's native ASOF JOIN is the oracle."""
+    from databus_spark.operators.joins import as_of_join
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.window("ts", "1 day").alias("w")
+    ).agg(_dsum(F.col("value"), "day_value", 2)).select(
+        "event_type", F.col("w.start").alias("ts"), "day_value"
+    )
+    left = e.select("event_id", "event_type", "ts")
+    return as_of_join(left, daily, key="event_type", ts_col="ts")
+
+
+from databus_spark.operators.dedup import dedup_clusters, dedup_clusters_sql  # noqa: E402
+
+
+@query(
+    "dedup_cluster_survivors",
+    dedup_clusters_sql(dedup.minhash_lsh_sql(k=5, threshold=0.5)),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over MinHash-LSH candidate
+    pairs (iterative min-label propagation), survivor = min doc_id per
+    cluster. Oracle: recursive-CTE transitive closure."""
+    pairs = dedup.minhash_lsh_pairs(dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+               ) AS rank
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment: broadcast dim join +
+    per-group top-k (TakeOrdered pattern, no global sort)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@query(
+    "pivot_events_daily",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts by type as columns."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.window("ts", "1 day").alias("w")
+    out = (
+        e.groupBy(day)
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(F.col("w.start").alias("day"), "click", "view", "purchase", "signup", "error")
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
+    )

@@ -162,3 +162,23 @@ class ParquetSnapshotStore:
             if entry.startswith("v") and entry[1:].isdigit():
                 if int(entry[1:]) < v - keep_last + 1:
                     shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+
+
+def prune_staged_log(stage_dir: str, retain_from_scn: int, spark: SparkSession) -> list[str]:
+    """Retention cleaner for the staged change log (the BootstrapDBCleaner /
+    ring-buffer-overwrite analog): drop whole chunks whose max scn is
+    below the retention floor. Chunks are never split — a txn window
+    lives entirely in one chunk, so pruning preserves window atomicity.
+    Returns the pruned chunk dirs."""
+    import glob
+
+    pruned = []
+    for chunk in sorted(glob.glob(os.path.join(stage_dir, "chunk=*"))):
+        try:
+            max_scn = spark.read.parquet(chunk).agg(F.max("scn")).collect()[0][0]
+        except Exception:
+            continue
+        if max_scn is not None and max_scn < retain_from_scn:
+            shutil.rmtree(chunk)
+            pruned.append(chunk)
+    return pruned

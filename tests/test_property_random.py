@@ -1,0 +1,113 @@
+"""Randomized-workload parity (reference test strategy §5:
+DatabusEventRandomProducer / DbusEventGenerator analogs, but
+deterministic via hypothesis): random changelogs -> engine snapshot
+must equal the DuckDB oracle; random batch splits/orders -> the MERGE
+store must converge to the same state.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # key
+        st.sampled_from(["UPSERT", "UPSERT", "UPSERT", "DELETE"]),
+        st.integers(min_value=0, max_value=10_000),  # payload value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _changelog_df(spark, events):
+    rows = [
+        (i + 1, str(k), k, op, float(v), "rand")
+        for i, (k, op, v) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "scn LONG, key_str STRING, key_num LONG, opcode STRING, val DOUBLE, source STRING"
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=events_strategy)
+def test_snapshot_matches_duckdb_on_random_changelog(spark, events):
+    from databus_spark.operators.compaction import snapshot
+
+    df = _changelog_df(spark, events)
+    got = sorted(
+        tuple(r)
+        for r in snapshot(df, key_cols=("key_str",)).select("key_str", "scn", "val").collect()
+    )
+    con = duckdb.connect()
+    con.register("log", df.toPandas())
+    exp = sorted(
+        con.execute(
+            """
+            SELECT key_str, scn, val FROM (
+                SELECT *, row_number() OVER (PARTITION BY key_str ORDER BY scn DESC) rn
+                FROM log
+            ) WHERE rn = 1 AND opcode <> 'DELETE'
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=events_strategy,
+    split=st.integers(min_value=1, max_value=5),
+    order_seed=st.integers(min_value=0, max_value=1000),
+)
+def test_merge_store_order_invariant(spark, tmp_path_factory, events, split, order_seed):
+    """Any batch partition of the log, merged in any order, converges to
+    the compaction of the full log (idempotent last-wins MERGE)."""
+    import random
+
+    from databus_spark.operators.compaction import snapshot
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    df = _changelog_df(spark, events).localCheckpoint(eager=True)
+    n = df.count()
+    chunk = max(1, n // split)
+    batches = [
+        df.where((F.col("scn") > i * chunk) & (F.col("scn") <= (i + 1) * chunk))
+        for i in range((n + chunk - 1) // chunk + 1)
+    ]
+    rng = random.Random(order_seed)
+    rng.shuffle(batches)
+
+    root = tmp_path_factory.mktemp("prop_store")
+    store = ParquetSnapshotStore(spark, str(root), key_cols=("source", "key_str"))
+    for b in batches:
+        if b.limit(1).count():
+            store.merge(b)
+
+    got = sorted(
+        tuple(r) for r in store.read().select("key_str", "scn", "val").collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in snapshot(df, key_cols=("source", "key_str")).select("key_str", "scn", "val").collect()
+    )
+    assert got == exp
+
+
+@given(spec=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=6))
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_filterconfig_parse_ranges_roundtrip(spec):
+    """parse_ranges accepts any '[a-b,c]' spec and yields half-open ranges."""
+    from databus_spark.plans.filterconfig import parse_ranges
+
+    pieces = [f"{min(a, b)}-{max(a, b)}" if a != b else str(a) for a, b in spec]
+    parsed = parse_ranges("[" + ",".join(pieces) + "]")
+    assert len(parsed) == len(spec)
+    for (a, b), (lo, hi) in zip(spec, parsed):
+        assert lo == min(a, b) and hi == max(a, b) + 1

@@ -121,3 +121,24 @@ def test_checkpoint_json_roundtrip():
     c.advance_after_catchup_phase(4300)
     assert c.consumption_mode == "ONLINE_CONSUMPTION"
     assert c.windowScn == 4300
+
+
+def test_prune_staged_log_retention(spark, sf_dir, tmp_path):
+    """BootstrapDBCleaner analog: chunks below the retention floor are
+    dropped; remaining chunks still serve scn >= floor completely."""
+    from databus_spark.store.snapshot import prune_staged_log
+
+    log = orders_changelog(spark, sf_dir)
+    stage = str(tmp_path / "stage")
+    stage_changelog(log, stage, n_chunks=5)
+
+    import glob
+
+    from pyspark.sql import functions as F
+
+    floor = 1_000_000_000  # keep updates+deletes, prune insert-only chunks
+    pruned = prune_staged_log(stage, floor, spark)
+    assert pruned, "expected at least one chunk pruned"
+    remaining = spark.read.schema(log.schema).parquet(stage + "/chunk=*")
+    kept = remaining.where(F.col("scn") >= floor).count()
+    assert kept == log.where(F.col("scn") >= floor).count()

@@ -67,6 +67,62 @@ def main() -> None:
     timings["apply_multi_source"] = round(apply_secs, 3)
     total += apply_secs
 
+    # --- BASELINE.md target metrics -------------------------------------
+    # 1. filtered-subscription overhead vs unfiltered scan (target <= 1.2x).
+    # The idiomatic subscription path filters the pre-routed partition
+    # column (pushed to the scan); the key-mod hash path is reported as a
+    # separate diagnostic (it computes Java hashCode per string-keyed row).
+    from databus_spark.operators.filters import key_mod_filter, physical_partition_filter
+
+    def best_of(df, n: int = 2) -> float:
+        best = float("inf")
+        for _ in range(n):
+            clear_caches()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    best_of(log, 1)  # warm-up (JIT + file listing)
+    unfiltered_s = best_of(log)
+    filtered_s = best_of(log.where(physical_partition_filter([0, 1])))
+    keymod_s = best_of(log.where(key_mod_filter(8, 0, 4)))
+
+    # 2. bootstrap snapshot+catchup wall time at this SF
+    from databus_spark.operators.bootstrap import bootstrap_state
+
+    clear_caches()
+    t0 = time.time()
+    bootstrap_state(log, 1_000_000_500, 6_000_000_000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    bootstrap_s = time.time() - t0
+
+    # 3. streaming micro-batch latency: drain a staged changelog via the
+    # foreachBatch MERGE applier, p50 trigger-to-commit from the listener
+    import tempfile
+
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+    from databus_spark.streaming.applier import StreamingApplier
+    from databus_spark.streaming.metrics import EngineMetricsListener
+    from databus_spark.streaming.source import changelog_stream, stage_changelog
+
+    clear_caches()
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    olog = orders_changelog(spark, sf_dir)
+    stage_changelog(olog, f"{tmp}/stage", n_chunks=8)
+    listener = EngineMetricsListener()
+    spark.streams.addListener(listener)
+    t0 = time.time()
+    applier = StreamingApplier(ParquetSnapshotStore(spark, f"{tmp}/snap"))
+    q = applier.run(changelog_stream(spark, f"{tmp}/stage", olog.schema), f"{tmp}/ck")
+    q.awaitTermination(480)
+    stream_apply_s = time.time() - t0
+    spark.streams.removeListener(listener)
+    batch_ms = sorted(b.process_ms for b in listener.batches if b.num_input_rows > 0)
+    p50_batch_ms = batch_ms[len(batch_ms) // 2] if batch_ms else None
+
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
@@ -76,6 +132,13 @@ def main() -> None:
         "n_queries": len(headline),
         "changelog_rows": n_changes,
         "apply_rows_per_sec": round(n_changes / max(apply_secs, 1e-9), 1),
+        "filter_overhead_ratio": round(filtered_s / max(unfiltered_s, 1e-9), 3),
+        "keymod_filter_overhead_ratio": round(keymod_s / max(unfiltered_s, 1e-9), 3),
+        "bootstrap_wall_s": round(bootstrap_s, 3),
+        "stream_apply_wall_s": round(stream_apply_s, 3),
+        "stream_apply_rows_per_sec": round(applier.rows_applied / max(stream_apply_s, 1e-9), 1),
+        "microbatch_p50_ms": p50_batch_ms,
+        "n_microbatches": applier.batches_applied,
     }
     print(json.dumps(out))
     spark.stop()

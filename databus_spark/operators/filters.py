@@ -67,8 +67,17 @@ def key_mod_bucket() -> Column:
 
 
 def key_mod_filter(num_buckets: int, min_bucket: int, max_bucket: int) -> Column:
-    """min_bucket <= abs(key) % num_buckets < max_bucket (KeyModFilter.java:34-79)."""
+    """min_bucket <= abs(key) % num_buckets < max_bucket (KeyModFilter.java:34-79).
+
+    Single-bound fast path: pmod is always >= 0, so min_bucket <= 0 needs
+    only one comparison — which matters because each comparison re-evaluates
+    the hash fold for string keys (no CSE across HOF predicates).
+    """
     b = F.pmod(key_mod_bucket(), F.lit(num_buckets))
+    if min_bucket <= 0:
+        return b < max_bucket
+    if max_bucket >= num_buckets:
+        return b >= min_bucket
     return (b >= min_bucket) & (b < max_bucket)
 
 

@@ -47,3 +47,26 @@ def test_schema_registry_ids_and_latest():
     assert reg.by_id(v1.schema_id) == v1
     assert v1.schema_id != v2.schema_id
     assert len(v1.schema_id) == 32  # md5 hex
+
+
+def test_payload_codec_roundtrip_with_available_codec(spark):
+    """Payload serde round-trips under whichever codec the image has
+    (Avro if spark-avro is loaded, JSON fallback otherwise)."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.sources.payload_codec import (
+        avro_available,
+        decode_payload,
+        encode_payload,
+    )
+
+    df = spark.createDataFrame([(1, "x", 2.5), (2, None, -1.0)], "a LONG, b STRING, c DOUBLE")
+    enc = df.select(encode_payload(F.struct("a", "b", "c")).alias("p"))
+    dec = enc.select(decode_payload(F.col("p"), "a LONG, b STRING, c DOUBLE").alias("s")).select("s.*")
+    assert sorted(map(tuple, dec.collect())) == sorted(map(tuple, df.collect()))
+    # reader-schema projection: extra reader field -> NULL
+    wide = enc.select(
+        decode_payload(F.col("p"), "a LONG, b STRING, c DOUBLE, d STRING").alias("s")
+    ).select("s.d")
+    assert all(r["d"] is None for r in wide.collect())
+    assert isinstance(avro_available(), bool)

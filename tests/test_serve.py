@@ -1,0 +1,76 @@
+"""RelayFacade: the /sources /register /stream lifecycle composed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databus_spark.envelope import multi_source_changelog
+from databus_spark.serve import RelayFacade
+from databus_spark.sources.schema_registry import SchemaRegistry, VersionedSchema
+from databus_spark.streaming.checkpoint import Checkpoint
+
+
+@pytest.fixture(scope="module")
+def facade(spark, sf_dir):
+    reg = SchemaRegistry()
+    reg.register(VersionedSchema("orders", 1, "o_orderkey BIGINT, o_totalprice DOUBLE"))
+    reg.register(
+        VersionedSchema("orders", 2, "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+    )
+    log = multi_source_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    return RelayFacade(spark, log, reg), log
+
+
+def test_sources_endpoint(facade):
+    f, _ = facade
+    rows = {r["source"]: r["source_id"] for r in f.sources().collect()}
+    assert rows["orders"] == 1 and rows["customer"] == 2
+
+
+def test_register_endpoint_returns_all_versions(facade):
+    f, _ = facade
+    rows = f.register(["orders"]).collect()
+    assert {r["schema_version"] for r in rows} == {1, 2}
+    assert all(len(r["schema_id"]) == 32 for r in rows)
+    with pytest.raises(KeyError):
+        f.register(["not_a_source"])
+
+
+def test_stream_checkpoint_filters_and_size(facade):
+    f, log = facade
+    ckpt = Checkpoint().on_window_end(1_000_000_000, 0)
+
+    # after-checkpoint + source + partition conjunction
+    out = f.stream(ckpt, sources=["orders"], partitions=[0, 1])
+    exp = log.where(
+        (F.col("scn") > 1_000_000_000)
+        & (F.col("source") == "orders")
+        & F.col("part_id").isin([0, 1])
+    )
+    assert out.count() == exp.count()
+    assert out.agg(F.min("scn")).collect()[0][0] > 1_000_000_000
+
+    # key-filter config narrows further
+    cfg = {"orders": {"partitionType": "MOD", "numBuckets": 4, "buckets": "[0]"}}
+    narrowed = f.stream(ckpt, sources=["orders"], filter_config=cfg)
+    assert 0 < narrowed.count() < out.count() + 1
+
+    # byte budget caps the scan in scn order
+    budget = 5000
+    page = f.stream(0, size_bytes=budget).collect()
+    assert len(page) > 0
+    total = sum(45 + len(r["key_str"]) + len(r["source"]) for r in page)
+    assert total <= budget
+    scns = [r["scn"] for r in page]
+    assert scns == sorted(scns)
+
+
+def test_stream_pagination_is_resumable(facade):
+    """Two consecutive size-bounded pages are disjoint and contiguous."""
+    f, _ = facade
+    page1 = f.stream(0, size_bytes=4000).collect()
+    last_scn = max(r["scn"] for r in page1)
+    page2 = f.stream(last_scn, size_bytes=4000).collect()
+    assert page2
+    assert min(r["scn"] for r in page2) > last_scn

@@ -1089,3 +1089,71 @@ def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "signup", "error"]],
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-join analytics over snapshots (join-reordering / broadcast showcase)
+# --------------------------------------------------------------------------
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n_name, r_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 5-way star join. The fact side stays unshuffled
+    until the agg; dims broadcast (Catalyst picks it — nation/region/
+    customer are under the autoBroadcast threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name", "r_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "urgent_orders_shipped",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_orderkey) AS n_orders,
+           CAST(sum(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY 1
+    """,
+)
+def urgent_orders_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: fact-fact equi-join with a cross-table predicate
+    and distinct aggregation (shuffles on the join key once)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            _dsum(F.col("l_quantity"), "total_qty", 2),
+        )
+    )

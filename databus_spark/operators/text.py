@@ -207,3 +207,44 @@ def _fingerprint_sql(k: int = 5) -> str:
 
 
 FINGERPRINT_SQL = _fingerprint_sql()
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex-based PII redaction: emails/phones/SSNs replaced with typed
+    placeholders; per-doc match counts kept for audit. Pure regexp
+    expressions — JVM-side, order: ssn before phone (ssn is a phone
+    substring otherwise)."""
+    redacted = F.col(text_col)
+    counts = []
+    for kind in ("email", "ssn", "phone"):
+        pat = PII_PATTERNS[kind]
+        counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"n_{kind}"))
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return docs.select("doc_id", *counts, redacted.alias("redacted_text"))
+
+
+def redact_pii_sql(source_sql: str) -> str:
+    e, s, p = PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["phone"]
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{e}')) AS n_email,
+               len(regexp_extract_all(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{s}')) AS n_ssn,
+               len(regexp_extract_all(
+                   regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'),
+                   '{p}')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'), '{p}', '<PHONE>', 'g')
+                   AS redacted_text
+        FROM ({source_sql})
+    """

@@ -1157,3 +1157,43 @@ def urgent_orders_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_quantity"), "total_qty", 2),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# --------------------------------------------------------------------------
+
+_PII_SOURCE_SQL = """
+    SELECT doc_id,
+           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                  '@example.com or (555) 012-', CAST(doc_id % 9000 + 1000 AS VARCHAR),
+                  CASE WHEN doc_id % 5 = 0
+                       THEN concat(' ssn 123-45-', CAST(doc_id % 9000 + 1000 AS VARCHAR))
+                       ELSE '' END) AS text
+    FROM documents
+"""
+
+
+@query("pii_redact", text.redact_pii_sql(_PII_SOURCE_SQL))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a corpus with deterministic synthesized PII
+    (emails/phones/SSNs): typed placeholders + per-doc audit counts,
+    all JVM-side regexp expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or (555) 012-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"), (F.col("doc_id") % 9000 + 1000).cast("string")
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return text.redact_pii(with_pii)

@@ -155,6 +155,32 @@ class ParquetSnapshotStore:
                 except OSError:
                     shutil.copy2(s, d)
 
+    def optimize(self, tombstone_horizon_scn: int | None = None) -> int:
+        """Compaction maintenance (the Delta OPTIMIZE + tombstone-retention
+        analog). Per-bucket copy-on-write already keeps ~1 file per bucket,
+        so the accumulating cost here is TOMBSTONES: DELETE markers are
+        retained so replayed older batches cannot resurrect keys (see
+        read()). Once every consumer checkpoint has passed
+        `tombstone_horizon_scn`, markers at or below it can never be
+        contradicted and are purged. Returns the new version."""
+        v = self._version()
+        if v == 0:
+            return 0
+        current = self.spark.read.parquet(self._data_dir(v))
+        if tombstone_horizon_scn is not None:
+            current = current.where(
+                ~((F.col("opcode") == "DELETE") & (F.col("scn") <= tombstone_horizon_scn))
+            )
+        new_version = v + 1
+        (
+            current.repartition(self.n_buckets, "_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(self._data_dir(new_version))
+        )
+        self._commit(new_version)
+        return new_version
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop superseded versions (the BootstrapDBCleaner analog)."""
         v = self._version()
@@ -182,3 +208,10 @@ def prune_staged_log(stage_dir: str, retain_from_scn: int, spark: SparkSession) 
             shutil.rmtree(chunk)
             pruned.append(chunk)
     return pruned
+
+
+def _count_files(path: str) -> int:
+    total = 0
+    for _root, _dirs, files in os.walk(path):
+        total += sum(1 for f in files if f.endswith(".parquet"))
+    return total

@@ -142,3 +142,31 @@ def test_prune_staged_log_retention(spark, sf_dir, tmp_path):
     remaining = spark.read.schema(log.schema).parquet(stage + "/chunk=*")
     kept = remaining.where(F.col("scn") >= floor).count()
     assert kept == log.where(F.col("scn") >= floor).count()
+
+
+def test_store_optimize_purges_aged_tombstones(spark, sf_dir, tmp_path):
+    """OPTIMIZE analog: tombstones at or below the all-consumers horizon
+    are purged; live state identical; later replays of post-horizon
+    batches still cannot resurrect post-horizon deletes."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), n_buckets=4)
+    store.merge(log)
+    before_rows = _rows(store.read(), ["key_str", "scn"])
+    v = store._version()
+    all_rows = spark.read.parquet(store._data_dir(v))
+    n_tombstones = all_rows.where(F.col("opcode") == "DELETE").count()
+    assert n_tombstones > 0
+
+    horizon = 2_000_000_700  # part of the delete wave is now aged out
+    store.optimize(tombstone_horizon_scn=horizon)
+    after_all = spark.read.parquet(store._data_dir(store._version()))
+    aged = after_all.where((F.col("opcode") == "DELETE") & (F.col("scn") <= horizon))
+    fresh = after_all.where((F.col("opcode") == "DELETE") & (F.col("scn") > horizon))
+    assert aged.count() == 0
+    assert fresh.count() > 0
+    assert _rows(store.read(), ["key_str", "scn"]) == before_rows
+    store.vacuum(keep_last=1)

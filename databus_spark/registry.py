@@ -1197,3 +1197,41 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.redact_pii(with_pii)
+
+
+# --------------------------------------------------------------------------
+# events table as a live CDC stream (FIXTURES.md §3 mapping)
+# --------------------------------------------------------------------------
+
+@query(
+    "events_as_changelog_state",
+    """
+    SELECT user_id, scn AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, event_id AS scn, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS _rn
+        FROM events
+    ) WHERE _rn = 1
+    """,
+)
+def events_as_changelog_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's `events` table mapped directly onto the envelope
+    (event_id -> scn, user_id -> key) and compacted: latest event per
+    user — CDC over an activity stream without any fixture transform."""
+    e = load_table(spark, sf_dir, "events")
+    env = e.select(
+        F.col("event_id").alias("scn"),
+        F.col("user_id").alias("key_num"),
+        F.col("user_id").cast("string").alias("key_str"),
+        F.lit("UPSERT").alias("opcode"),
+        "event_type",
+        "value",
+    )
+    latest = compaction.latest_by_key(env, key_cols=("key_str",))
+    return latest.select(
+        F.col("key_num").alias("user_id"),
+        F.col("scn").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -91,6 +91,21 @@ class ParquetSnapshotStore:
         df = self.spark.read.parquet(self._data_dir(v)).drop("_bucket")
         return df.where(F.col("opcode") != "DELETE")
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read any retained historical version (vacuum
+        bounds retention) — the Delta VERSION AS OF analog, free because
+        MERGE is copy-on-write versioned."""
+        path = self._data_dir(version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"version {version} not retained under {self.root}")
+        df = self.spark.read.parquet(path).drop("_bucket")
+        return df.where(F.col("opcode") != "DELETE")
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(e[1:]) for e in os.listdir(self.root) if e.startswith("v") and e[1:].isdigit()
+        )
+
     # -- MERGE ----------------------------------------------------------------
     def merge(self, batch: DataFrame) -> int:
         """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.

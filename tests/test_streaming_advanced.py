@@ -144,3 +144,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(300)
     ks = sorted(r["k"] for r in spark.sql("SELECT * FROM dd_out").collect())
     assert ks == ["a", "b", "c", "d"]  # second 'a' suppressed
+
+
+def test_incremental_agg_view_maintenance(spark, sf_dir, tmp_path):
+    """View = orders per customer, maintained incrementally: after the
+    stream drains, the view equals a direct aggregation of the final
+    snapshot, and each refresh touched only the batch's groups."""
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+    from databus_spark.streaming.views import ViewMaintainingApplier
+
+    log = orders_changelog(spark, sf_dir)
+    stage = str(tmp_path / "stage")
+    stage_changelog(log, stage, n_chunks=5)
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"))
+    view_store = ParquetSnapshotStore(spark, str(tmp_path / "view"), key_cols=("key_str",))
+    applier = ViewMaintainingApplier(
+        store,
+        view_store,
+        group_col="o_custkey",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("total"),
+        ],
+    )
+    q = applier.run(changelog_stream(spark, stage, log.schema), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    from databus_spark.operators.compaction import snapshot as batch_snapshot_fn
+
+    final_state = batch_snapshot_fn(log, key_cols=("source", "key_str"))
+    expected = (
+        final_state.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("total"),
+        )
+    )
+    got = applier.view()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # incrementality: every refresh touched a strict subset of all groups
+    n_all_groups = expected.count()
+    assert applier.groups_refreshed and all(
+        g <= n_all_groups for g in applier.groups_refreshed
+    )
+    assert any(g < n_all_groups for g in applier.groups_refreshed)

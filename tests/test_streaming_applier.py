@@ -170,3 +170,30 @@ def test_store_optimize_purges_aged_tombstones(spark, sf_dir, tmp_path):
     assert fresh.count() > 0
     assert _rows(store.read(), ["key_str", "scn"]) == before_rows
     store.vacuum(keep_last=1)
+
+
+def test_store_time_travel_versions(spark, sf_dir, tmp_path):
+    """Delta time-travel analog: every merge commits a readable version."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"))
+    inserts = log.where(F.col("scn") < 1_000_000_000)
+    store.merge(inserts)
+    store.merge(log.where(F.col("scn") >= 1_000_000_000))
+
+    assert store.versions() == [1, 2]
+    v1 = store.read_version(1)
+    assert _rows(v1, ["key_str", "scn"]) == _rows(
+        batch_snapshot(inserts, key_cols=("source", "key_str")), ["key_str", "scn"]
+    )
+    assert _rows(store.read_version(2), ["key_str", "scn"]) == _rows(
+        batch_snapshot(log, key_cols=("source", "key_str")), ["key_str", "scn"]
+    )
+    store.vacuum(keep_last=1)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        store.read_version(1)

@@ -1235,3 +1235,122 @@ def events_as_changelog_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC stream analysis & data-quality profiling
+# --------------------------------------------------------------------------
+
+@query(
+    "running_account_balance",
+    """
+    SELECT key_str, scn,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+                OVER (PARTITION BY o_custkey ORDER BY scn
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM (SELECT * FROM (
+        SELECT o_custkey, key_str, scn, o_totalprice, opcode
+        FROM (
+            SELECT o_orderkey AS key_num, CAST(o_orderkey AS VARCHAR) AS key_str,
+                   o_orderkey AS scn, o_custkey, o_totalprice, 'UPSERT' AS opcode
+            FROM orders
+        )
+    ) WHERE opcode = 'UPSERT')
+    """,
+)
+def running_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total in scn order (cumulative window
+    over the change stream — the 'account balance' CDC pattern)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    env = o.select(
+        F.col("o_orderkey").alias("scn"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    w = W.partitionBy("o_custkey").orderBy("scn").rowsBetween(W.unboundedPreceding, 0)
+    return env.select(
+        "key_str",
+        "scn",
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "opcode_transitions",
+    f"""
+    SELECT prev_op, opcode AS cur_op, count(*) AS n
+    FROM (
+        SELECT opcode,
+               lag(opcode) OVER (PARTITION BY source, key_str ORDER BY scn) AS prev_op
+        FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+    )
+    WHERE prev_op IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def opcode_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key opcode transition matrix over the stream (UPSERT->DELETE
+    etc.) — CDC lifecycle analysis via lag windows."""
+    from pyspark.sql.window import Window as W
+
+    log = multi_source_changelog(spark, sf_dir)
+    w = W.partitionBy("source", "key_str").orderBy("scn")
+    return (
+        log.withColumn("prev_op", F.lag("opcode").over(w))
+        .where(F.col("prev_op").isNotNull())
+        .groupBy("prev_op", F.col("opcode").alias("cur_op"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "partition_spread_per_source",
+    f"""
+    SELECT source, count(DISTINCT part_id) AS n_partitions,
+           count(DISTINCT key_str) AS n_keys,
+           count(*) AS n_events
+    FROM ({MULTI_SOURCE_CHANGELOG_SQL}) GROUP BY 1
+    """,
+)
+def partition_spread_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: distinct physical partitions / keys in flight per source."""
+    log = multi_source_changelog(spark, sf_dir)
+    return log.groupBy("source").agg(
+        F.countDistinct("part_id").alias("n_partitions"),
+        F.countDistinct("key_str").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "null_rate_profile",
+    f"""
+    SELECT
+        count(*) AS n_rows,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+        CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+        round(avg(CASE WHEN o_orderstatus = 'U' THEN 1.0 ELSE 0.0 END), 6) AS updated_frac
+    FROM (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY key_str ORDER BY scn DESC) AS _rn
+            FROM ({ORDERS_CHANGELOG_SQL})
+        ) WHERE _rn = 1 AND opcode <> 'DELETE'
+    )
+    """,
+)
+def null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the reconstructed state: per-column null
+    rates + update-wave fraction (corpus QA over a materialized view)."""
+    log = orders_changelog(spark, sf_dir)
+    snap = compaction.snapshot(log, key_cols=("key_str",))
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("null_status"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_price"),
+        F.round(F.avg(F.when(F.col("o_orderstatus") == "U", 1.0).otherwise(0.0)), 6).alias("updated_frac"),
+    )

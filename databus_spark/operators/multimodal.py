@@ -46,7 +46,7 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
         media.alias("media"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
-            F.octet_length(media).alias("n_bytes").cast("long"),
+            F.octet_length(media).cast("long").alias("n_bytes"),
             F.md5(F.col(text_col)).alias("checksum"),
         ).alias("meta"),
     )

@@ -85,3 +85,26 @@ def test_approx_stats_error_bounds(spark, sf_dir):
         x = exact[et]
         assert abs(a["approx_users"] - x["users"]) <= max(2, 0.1 * x["users"])
         assert abs(a["p50_value"] - x["p50"]) <= 0.2 * max(1.0, abs(x["p50"]))
+
+
+def test_multimodal_frame_sample_plan_shape(spark, sf_dir):
+    """frame_sample: one row per sampled byte offset per payload, plan
+    stays JVM-side (no Python for the slicing plan itself)."""
+    from databus_spark.operators.multimodal import attach_media, frame_sample
+
+    from databus_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_media(docs)
+    frames = frame_sample(media, every_n_bytes=64)
+    rows = frames.collect()
+    assert len(rows) > 50  # multi-frame docs exist
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["frame_idx"], r["byte_offset"]))
+    sizes = {r["doc_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    for doc_id, fr in per_doc.items():
+        idxs = sorted(i for i, _ in fr)
+        assert idxs == list(range(len(idxs)))  # contiguous frame indices
+        assert len(fr) == (sizes[doc_id] - 1) // 64 + 1
+        assert all(off == i * 64 for i, off in sorted(fr))

@@ -1354,3 +1354,24 @@ def null_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_price"),
         F.round(F.avg(F.when(F.col("o_orderstatus") == "U", 1.0).otherwise(0.0)), 6).alias("updated_frac"),
     )
+
+
+@query(
+    "buffer_info",
+    f"""
+    SELECT source, part_id, min(scn) AS min_scn, max(scn) AS max_scn,
+           count(*) AS n_events
+    FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def buffer_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/bufferInfo endpoint analog (HttpRelay.java:249-269 registers it):
+    retained scn window + event count per (source, physical partition) —
+    what consumers poll to decide stream-vs-bootstrap."""
+    log = multi_source_changelog(spark, sf_dir)
+    return log.groupBy("source", "part_id").agg(
+        F.min("scn").alias("min_scn"),
+        F.max("scn").alias("max_scn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

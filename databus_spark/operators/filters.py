@@ -47,9 +47,10 @@ def _numeric_key() -> Column:
     """Key as long: key_num when set, else key_str parsed as long (or NULL).
 
     Mirrors KeyRangeFilter.java:40-55 — string keys are parsed as longs,
-    non-numeric strings never match a range filter.
+    non-numeric strings never match a range filter. try_cast keeps the
+    non-numeric branch NULL (not an error) under Spark's ANSI mode.
     """
-    return F.coalesce(F.col("key_num"), F.col("key_str").cast("long"))
+    return F.coalesce(F.col("key_num"), F.col("key_str").try_cast("long"))
 
 
 def key_range_filter(min_key: int, max_key: int) -> Column:
@@ -60,10 +61,17 @@ def key_range_filter(min_key: int, max_key: int) -> Column:
 
 def key_mod_bucket() -> Column:
     """The bucket expression of KeyModFilter: abs(numeric key) else
-    abs(Java hashCode of the string key) — KeyModFilter.java:55-79."""
-    return F.when(
-        F.col("key_num").isNotNull(), F.abs(F.col("key_num"))
-    ).otherwise(F.abs(java_string_hashcode(F.col("key_str"))).cast("long"))
+    abs(Java hashCode of the string key) — KeyModFilter.java:55-79.
+
+    The reference first tries Long.parseLong on string keys and only
+    hashes strings that don't parse (KeyModFilter.java:60-76), so a
+    string-keyed source with numeric-string keys buckets by the parsed
+    value — matched here via try_cast before the hashCode fallback.
+    """
+    parsed = F.coalesce(F.col("key_num"), F.col("key_str").try_cast("long"))
+    return F.when(parsed.isNotNull(), F.abs(parsed)).otherwise(
+        F.abs(java_string_hashcode(F.col("key_str"))).cast("long")
+    )
 
 
 def key_mod_filter(num_buckets: int, min_bucket: int, max_bucket: int) -> Column:

@@ -24,6 +24,20 @@ MODE_SNAPSHOT = "BOOTSTRAP_SNAPSHOT"
 MODE_CATCHUP = "BOOTSTRAP_CATCHUP"
 
 
+class InvalidCheckpointTransition(Exception):
+    """Illegal consumption-mode transition (the reference throws
+    InvalidEventException / asserts in BootstrapCheckpointHandler).
+    A real exception — not ``assert`` — so ``python -O`` cannot strip
+    the guard and let an illegal transition corrupt the checkpoint."""
+
+
+def _require_mode(actual: str, allowed: tuple[str, ...], op: str) -> None:
+    if actual not in allowed:
+        raise InvalidCheckpointTransition(
+            f"{op} is illegal in mode {actual} (allowed: {', '.join(allowed)})"
+        )
+
+
 @dataclass
 class Checkpoint:
     consumption_mode: str = MODE_INIT
@@ -51,7 +65,7 @@ class Checkpoint:
 
     # -- mode transitions (BootstrapCheckpointHandler semantics) --------------
     def on_window_end(self, scn: int, ts_nsecs: int = 0) -> "Checkpoint":
-        assert self.consumption_mode in (MODE_INIT, MODE_ONLINE)
+        _require_mode(self.consumption_mode, (MODE_INIT, MODE_ONLINE), "on_window_end")
         self.prevScn = self.windowScn
         self.windowScn = scn
         self.tsNsecs = ts_nsecs
@@ -68,13 +82,15 @@ class Checkpoint:
         return self
 
     def advance_snapshot_offset(self, offset: int) -> "Checkpoint":
-        assert self.consumption_mode == MODE_SNAPSHOT
+        _require_mode(self.consumption_mode, (MODE_SNAPSHOT,), "advance_snapshot_offset")
         self.snapshot_offset = offset
         return self
 
     def advance_after_snapshot_phase(self, start_scn: int) -> "Checkpoint":
         """Snapshot of current source done (BootstrapCheckpointHandler.java:161-176)."""
-        assert self.consumption_mode == MODE_SNAPSHOT
+        _require_mode(
+            self.consumption_mode, (MODE_SNAPSHOT,), "advance_after_snapshot_phase"
+        )
         self.bootstrap_start_scn = start_scn
         self.bootstrap_snapshot_source_index += 1
         self.snapshot_offset = -1
@@ -84,7 +100,9 @@ class Checkpoint:
         return self
 
     def advance_after_catchup_phase(self, target_scn: int) -> "Checkpoint":
-        assert self.consumption_mode == MODE_CATCHUP
+        _require_mode(
+            self.consumption_mode, (MODE_CATCHUP,), "advance_after_catchup_phase"
+        )
         self.bootstrap_target_scn = target_scn
         self.bootstrap_catchup_source_index += 1
         if self.bootstrap_catchup_source_index >= len(self.sources):

@@ -38,6 +38,13 @@ class ViewMaintainingApplier(StreamingApplier):
         **kwargs,
     ) -> None:
         super().__init__(store, **kwargs)
+        if tuple(view_store.key_cols) != ("key_str",):
+            raise ValueError(
+                "ViewMaintainingApplier requires view_store key_cols=('key_str',): "
+                "view rows are keyed by the stringified group value only and carry "
+                f"no 'source' column (got {tuple(view_store.key_cols)}); construct "
+                "the view store with ParquetSnapshotStore(..., key_cols=('key_str',))"
+            )
         self.view_store = view_store
         self.group_col = group_col
         self.agg_exprs = list(agg_exprs)

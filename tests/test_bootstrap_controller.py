@@ -63,6 +63,96 @@ def test_available_scn_streams_without_bootstrap(spark, sf_dir, tmp_path):
     assert ctl.checkpoint.bootstrap_since_scn == -1  # never bootstrapped
 
 
+def test_catchup_replays_moving_head(spark, sf_dir, tmp_path):
+    """T6: the head moves during the snapshot phase -> catchup replays a
+    NON-empty (start, target] range and lands on the oracle state
+    (BootstrapProcessor.java:214-273, TargetSCNRequestProcessor.java:47)."""
+    from databus_spark.envelope import UPDATE_BASE
+
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    log_dir = str(tmp_path / "logdb")
+    # bootstrap DB holds only the insert wave when the snapshot is cut
+    log.where(F.col("scn") < UPDATE_BASE).write.mode("append").parquet(log_dir)
+
+    stage = str(tmp_path / "stage")
+    stage_changelog(log, stage, n_chunks=4)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"))
+    ctl = BootstrapController(
+        spark,
+        lambda: spark.read.schema(log.schema).parquet(log_dir),  # live re-read
+        stage,
+        log.schema,
+        store,
+        sources=["orders"],
+    )
+
+    ctl.checkpoint.start_bootstrap(0, ["orders"])
+    start_scn = ctl.snapshot_phase()
+    assert start_scn < UPDATE_BASE
+    assert ctl.checkpoint.consumption_mode == "BOOTSTRAP_CATCHUP"
+
+    # the head moves while the consumer is mid-bootstrap: update+delete
+    # waves land in the bootstrap DB before catchup starts
+    log.where(F.col("scn") >= UPDATE_BASE).write.mode("append").parquet(log_dir)
+
+    target_scn = ctl.catchup_phase(start_scn)
+    assert ctl.checkpoint.consumption_mode == "ONLINE_CONSUMPTION"
+    assert target_scn > start_scn
+    assert ctl.last_catchup_rows > 0  # catchup actually replayed rows
+
+    expected = batch_snapshot(log, key_cols=("source", "key_str"))
+    assert _rows(store.read()) == _rows(expected)
+
+
+def test_bootstrap_delivers_tombstones_for_stale_keys(spark, sf_dir, tmp_path):
+    """Keys deleted between the consumer's checkpoint and start_scn are
+    absent from the snapshot; bootstrap must merge DELETE tombstones for
+    them or they survive forever (reference serves replacement state)."""
+    from databus_spark.envelope import UPDATE_BASE
+
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"))
+    # consumer state as of the insert wave: deleted-later keys still live
+    store.merge(log.where(F.col("scn") < UPDATE_BASE))
+    pre_keys = {r["key_str"] for r in store.read().select("key_str").collect()}
+
+    stage = str(tmp_path / "stage")
+    stage_changelog(log, stage, n_chunks=4)
+    ctl = BootstrapController(spark, log, stage, log.schema, store, sources=["orders"])
+    ctl.bootstrap(0)
+
+    expected = batch_snapshot(log, key_cols=("source", "key_str"))
+    assert _rows(store.read()) == _rows(expected)
+    # the o_orderkey % 13 == 0 keys were deleted after the consumer's
+    # checkpoint; they were in the pre-state and must be gone now
+    post_keys = {r["key_str"] for r in store.read().select("key_str").collect()}
+    removed = pre_keys - post_keys
+    assert removed and all(int(k) % 13 == 0 for k in removed)
+
+
+def test_empty_retention_window_raises_scn_not_found(spark, sf_dir, tmp_path):
+    log = orders_changelog(spark, sf_dir)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"))
+    ctl = BootstrapController(
+        spark, log, str(tmp_path / "missing_stage"), log.schema, store, ["orders"]
+    )
+    with pytest.raises(SCNNotFoundError, match="empty"):
+        ctl.check_availability(0)
+
+
+def test_checkpoint_rejects_illegal_transition():
+    from databus_spark.streaming.checkpoint import (
+        Checkpoint,
+        InvalidCheckpointTransition,
+    )
+
+    ckpt = Checkpoint().start_bootstrap(5, ["orders"])
+    with pytest.raises(InvalidCheckpointTransition):
+        ckpt.on_window_end(10)  # online window end during BOOTSTRAP_SNAPSHOT
+    with pytest.raises(InvalidCheckpointTransition):
+        Checkpoint().advance_after_catchup_phase(10)  # catchup before snapshot
+
+
 def test_incremental_puller_chunked_and_resumable(spark, sf_dir, tmp_path):
     log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
     handler = FileMaxSCNHandler(str(tmp_path / "maxscn.json"))

@@ -70,3 +70,23 @@ def test_payload_codec_roundtrip_with_available_codec(spark):
     ).select("s.d")
     assert all(r["d"] is None for r in wide.collect())
     assert isinstance(avro_available(), bool)
+
+
+def test_key_mod_bucket_parses_numeric_strings(spark):
+    """KeyModFilter tries Long.parseLong before hashing (KeyModFilter.java:60-76):
+    a numeric string key buckets by its parsed value, not its hashCode."""
+    from databus_spark.functions.hashes import java_string_hashcode
+    from databus_spark.operators.filters import key_mod_bucket
+
+    df = spark.createDataFrame(
+        [(None, "42"), (None, "-7"), (None, "abc"), (17, "ignored")],
+        "key_num LONG, key_str STRING",
+    )
+    got = {r["key_str"]: r["b"] for r in df.select("key_str", key_mod_bucket().alias("b")).collect()}
+    assert got["42"] == 42          # parsed, not hashed
+    assert got["-7"] == 7           # abs of parsed value
+    assert got["ignored"] == 17     # key_num wins outright
+    abc_hash = df.where(F.col("key_str") == "abc").select(
+        F.abs(java_string_hashcode(F.col("key_str"))).cast("long").alias("h")
+    ).collect()[0]["h"]
+    assert got["abc"] == abc_hash   # non-numeric string falls back to hashCode

@@ -68,11 +68,26 @@ def main() -> None:
     total += apply_secs
 
     # --- BASELINE.md target metrics -------------------------------------
-    # 1. filtered-subscription overhead vs unfiltered scan (target <= 1.2x).
-    # The idiomatic subscription path filters the pre-routed partition
-    # column (pushed to the scan); the key-mod hash path is reported as a
-    # separate diagnostic (it computes Java hashCode per string-keyed row).
-    from databus_spark.operators.filters import key_mod_filter, physical_partition_filter
+    # 1. filtered-subscription overhead vs unfiltered scan (target <= 1.2x),
+    # measured over a STAGED envelope (the consumer's real input: the relay
+    # persists events once; consumers scan the staged log, they don't
+    # recompute the changelog). The key-mod subscription uses the
+    # route_partition column materialized at ingest, so it prunes whole
+    # bucket directories; the per-row Java-hashCode path is kept as a
+    # separate diagnostic (what a consumer pays WITHOUT routed staging).
+    import shutil
+    import tempfile
+
+    from databus_spark.operators.filters import (
+        key_mod_filter,
+        key_mod_subscription,
+        physical_partition_filter,
+    )
+    from databus_spark.streaming.source import stage_changelog as _stage
+
+    routed_dir = tempfile.mkdtemp(prefix="bench_routed_")
+    _stage(log, routed_dir, n_chunks=4, route_buckets=8)
+    staged = spark.read.option("basePath", routed_dir).parquet(routed_dir + "/chunk=*")
 
     def best_of(df, n: int = 2) -> float:
         best = float("inf")
@@ -83,10 +98,12 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
-    best_of(log, 1)  # warm-up (JIT + file listing)
-    unfiltered_s = best_of(log)
-    filtered_s = best_of(log.where(physical_partition_filter([0, 1])))
-    keymod_s = best_of(log.where(key_mod_filter(8, 0, 4)))
+    best_of(staged, 1)  # warm-up (JIT + file listing)
+    unfiltered_s = best_of(staged)
+    filtered_s = best_of(staged.where(physical_partition_filter([0, 1])))
+    keymod_s = best_of(staged.where(key_mod_subscription(8, 0, 4, route_buckets=8)))
+    keymod_hash_s = best_of(staged.where(key_mod_filter(8, 0, 4)))
+    shutil.rmtree(routed_dir, ignore_errors=True)
 
     # 2. bootstrap snapshot+catchup wall time at this SF
     from databus_spark.operators.bootstrap import bootstrap_state
@@ -134,6 +151,7 @@ def main() -> None:
         "apply_rows_per_sec": round(n_changes / max(apply_secs, 1e-9), 1),
         "filter_overhead_ratio": round(filtered_s / max(unfiltered_s, 1e-9), 3),
         "keymod_filter_overhead_ratio": round(keymod_s / max(unfiltered_s, 1e-9), 3),
+        "keymod_hash_overhead_ratio": round(keymod_hash_s / max(unfiltered_s, 1e-9), 3),
         "bootstrap_wall_s": round(bootstrap_s, 3),
         "stream_apply_wall_s": round(stream_apply_s, 3),
         "stream_apply_rows_per_sec": round(applier.rows_applied / max(stream_apply_s, 1e-9), 1),

@@ -89,6 +89,39 @@ def key_mod_filter(num_buckets: int, min_bucket: int, max_bucket: int) -> Column
     return (b >= min_bucket) & (b < max_bucket)
 
 
+def key_mod_subscription(
+    num_buckets: int,
+    min_bucket: int,
+    max_bucket: int,
+    route_buckets: int,
+    route_col: str = "route_partition",
+) -> Column:
+    """KeyModFilter over a MATERIALIZED route column — the scale path.
+
+    When the producer routed events into ``route_buckets`` buckets at
+    ingest (partitioners.with_route_partition), a consumer's key-mod
+    subscription needs no per-row hash: for ``num_buckets ==
+    route_buckets`` it is a direct range predicate on the route column
+    (partition-prunable / parquet min-max skippable); for any
+    ``num_buckets`` dividing ``route_buckets`` it is one int pmod.
+    Equivalence: route = H % R and R % N == 0 imply H % N == route % N.
+    """
+    if route_buckets % num_buckets != 0:
+        raise ValueError(
+            f"num_buckets={num_buckets} must divide route_buckets={route_buckets} "
+            "for a pushable subscription; re-subscribe via key_mod_filter instead"
+        )
+    if num_buckets == route_buckets:
+        b: Column = F.col(route_col)
+    else:
+        b = F.pmod(F.col(route_col), F.lit(num_buckets))
+    if min_bucket <= 0:
+        return b < max_bucket
+    if max_bucket >= num_buckets:
+        return b >= min_bucket
+    return (b >= min_bucket) & (b < max_bucket)
+
+
 def conjunction(*preds: Column) -> Column:
     out = F.lit(True)
     for p in preds:

@@ -27,3 +27,18 @@ def hash_router(n_partitions: int) -> Column:
     """abs(numeric key | java hash of string key) % n — consistent with
     KeyModFilter bucketing, so routing and subscription compose."""
     return F.pmod(key_mod_bucket(), F.lit(n_partitions)).cast("int")
+
+
+ROUTE_COL = "route_partition"
+
+
+def with_route_partition(df, n_buckets: int = 8, route_col: str = ROUTE_COL):
+    """Materialize the producer's routed bucket as an envelope column.
+
+    The reference computes the route ONCE, producer-side, when the event
+    enters the buffer (DbusHashPartitionRouter); consumers then subscribe
+    by bucket id without re-hashing. Materializing it here gives the same
+    economics: the Java-hashCode fold is paid once at ingest, and every
+    key-mod subscription downstream becomes a plain int predicate the
+    parquet scan can prune on (see filters.key_mod_subscription)."""
+    return df.withColumn(route_col, hash_router(n_buckets))

@@ -1,0 +1,252 @@
+"""Custom Python streaming DataSource for CDC feeds (SURVEY §2.1 S4).
+
+The reference tails a MySQL binlog with Open Replicator: row events are
+buffered per transaction and emitted as an SCN-stamped event window at
+commit, UPDATE/WRITE/DELETE rows becoming UPSERT/DELETE envelope events
+(reference: databus2-relay/databus2-event-producer-or/.../ORListener.java:274-345
+row-event conversion, :590-610 transaction framing into windows;
+OpenReplicatorEventProducer seeks the binlog by file/offset).
+
+Spark restatement — a first-class pyspark 4.x streaming ``DataSource``
+(not a staged-file stand-in): Structured Streaming asks this source for
+offsets, plans one ``InputPartition`` per physical partition, and workers
+deserialize the trail in parallel. Offsets are a per-partition
+``{part_id: last_committed_scn}`` map, checkpointed by Spark, so restart
+resumes each partition exactly after its last committed SCN —
+exactly-once delivery without the file-source indirection.
+
+Trail format (the binlog stand-in a producer writes; no MySQL in the
+image): a directory of rotating ``binlog.NNNNNN.jsonl`` files, one JSON
+line per TRANSACTION::
+
+    {"scn": 1042, "ts_ms": 1700000000000, "events": [
+        {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": 3,
+         "key_num": 7, "key_str": "7", "payload": {...}}, ...]}
+
+The transaction is the atomic unit (a txn line is written whole), so a
+reader never observes half a window — the same invariant the reference
+gets from binlog commit framing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "databus_cdc"
+
+# Generic CDC envelope: payload stays a JSON document (schema-registry
+# decode is a downstream operator — sources/schema_registry.py), so one
+# source class serves every table.
+CDC_SCHEMA_DDL = (
+    "scn BIGINT, ts TIMESTAMP, opcode STRING, source STRING, source_id INT, "
+    "part_id INT, key_num BIGINT, key_str STRING, txn_end BOOLEAN, payload STRING"
+)
+
+
+# -- producer side (test/tooling): the binlog writer -------------------------
+class BinlogWriter:
+    """Appends transaction lines to a rotating binlog trail."""
+
+    def __init__(self, trail_dir: str, max_txns_per_file: int = 1000) -> None:
+        self.trail_dir = trail_dir
+        self.max_txns_per_file = max_txns_per_file
+        os.makedirs(trail_dir, exist_ok=True)
+        existing = _trail_files(trail_dir)
+        self._index = int(existing[-1].rsplit(".", 2)[-2]) if existing else 1
+        self._txns_in_file = 0
+
+    def _path(self) -> str:
+        return os.path.join(self.trail_dir, f"binlog.{self._index:06d}.jsonl")
+
+    def rotate(self) -> None:
+        self._index += 1
+        self._txns_in_file = 0
+
+    def append_txn(self, scn: int, ts_ms: int, events: list[dict]) -> None:
+        """One committed transaction = one atomic line (ORListener's
+        buffer-until-commit framing)."""
+        if self._txns_in_file >= self.max_txns_per_file:
+            self.rotate()
+        line = json.dumps(
+            {"scn": scn, "ts_ms": ts_ms, "events": events}, sort_keys=True
+        )
+        with open(self._path(), "a") as f:
+            f.write(line + "\n")
+        self._txns_in_file += 1
+
+
+def _trail_files(trail_dir: str) -> list[str]:
+    try:
+        names = os.listdir(trail_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(n for n in names if n.startswith("binlog.") and n.endswith(".jsonl"))
+
+
+def _scan_txns(trail_dir: str) -> Iterator[dict]:
+    """Commit-ordered transaction scan across rotated files (file names
+    sort in rotation order; scn is monotone across a trail)."""
+    for name in _trail_files(trail_dir):
+        with open(os.path.join(trail_dir, name)) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+
+# -- consumer side: the streaming reader -------------------------------------
+@dataclass
+class BinlogPartition(InputPartition):
+    part_id: int
+    start_scn: int
+    end_scn: int
+    trail_dir: str
+    n_parts: int
+
+
+class CdcBinlogStreamReader(DataSourceStreamReader):
+    """Per-partition (part_id, scn) offset bookkeeping.
+
+    `latestOffset` advances each physical partition to the max committed
+    SCN among transactions containing events routed to it; `partitions`
+    plans one InputPartition per advanced partition; workers replay
+    exactly the (start, end] SCN range for their partition.
+    """
+
+    def __init__(self, options) -> None:
+        self.trail_dir = options.get("path")
+        if not self.trail_dir:
+            raise ValueError("databus_cdc requires .option('path', <trail dir>)")
+        self.n_parts = int(options.get("parts", "4"))
+        self.start_scn = int(options.get("start_scn", "-1"))
+
+    def initialOffset(self) -> dict:
+        return {str(p): self.start_scn for p in range(self.n_parts)}
+
+    def latestOffset(self) -> dict:
+        latest = {str(p): self.start_scn for p in range(self.n_parts)}
+        for txn in _scan_txns(self.trail_dir):
+            scn = int(txn["scn"])
+            for ev in txn["events"]:
+                key = str(int(ev["part_id"]) % self.n_parts)
+                if scn > latest[key]:
+                    latest[key] = scn
+        return latest
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for p in range(self.n_parts):
+            s = int(start.get(str(p), self.start_scn))
+            e = int(end.get(str(p), self.start_scn))
+            if e > s:
+                out.append(BinlogPartition(p, s, e, self.trail_dir, self.n_parts))
+        return out
+
+    def read(self, partition: BinlogPartition) -> Iterator[Tuple]:
+        """Worker-side replay of one physical partition's SCN range.
+
+        The last event of a transaction FOR THIS PARTITION carries
+        txn_end=True — the per-buffer end-of-window marker the reference
+        appends when it closes a window (DbusEventBuffer EOP event)."""
+        p = partition.part_id
+        for txn in _scan_txns(partition.trail_dir):
+            scn = int(txn["scn"])
+            if not (partition.start_scn < scn <= partition.end_scn):
+                continue
+            mine = [
+                ev
+                for ev in txn["events"]
+                if int(ev["part_id"]) % partition.n_parts == p
+            ]
+            if not mine:
+                continue
+            ts = datetime.fromtimestamp(int(txn["ts_ms"]) / 1000.0, tz=timezone.utc)
+            ts = ts.replace(tzinfo=None)  # session tz is UTC; emit naive UTC
+            for i, ev in enumerate(mine):
+                payload = ev.get("payload")
+                yield (
+                    scn,
+                    ts,
+                    ev["op"],
+                    ev.get("source"),
+                    int(ev.get("source_id", -1)),
+                    p,
+                    int(ev["key_num"]) if ev.get("key_num") is not None else None,
+                    ev.get("key_str"),
+                    i == len(mine) - 1,
+                    json.dumps(payload, sort_keys=True) if payload is not None else None,
+                )
+
+    def commit(self, end: dict) -> None:
+        # Trail retention is a producer-side policy (BinlogWriter keeps
+        # files until pruned); nothing to release on the consumer.
+        pass
+
+
+class CdcBinlogDataSource(DataSource):
+    """spark.readStream.format("databus_cdc").option("path", dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return CDC_SCHEMA_DDL
+
+    def streamReader(self, schema: StructType) -> CdcBinlogStreamReader:
+        return CdcBinlogStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(CdcBinlogDataSource)
+
+
+def changelog_to_binlog(log_df, trail_dir: str, payload_cols, n_files: int = 3) -> int:
+    """Materialize a deterministic changelog DataFrame as a binlog trail:
+    rows sharing an SCN form one transaction (the envelope's txn framing
+    inverted). Returns the number of transactions written."""
+    rows = log_df.collect()
+    by_scn: dict[int, list] = {}
+    for r in rows:
+        by_scn.setdefault(r["scn"], []).append(r)
+    scns = sorted(by_scn)
+    per_file = max(1, (len(scns) + n_files - 1) // n_files)
+    writer = BinlogWriter(trail_dir, max_txns_per_file=per_file)
+    for scn in scns:
+        txn_rows = sorted(by_scn[scn], key=lambda r: (r["part_id"], r["key_str"]))
+        ts_val = txn_rows[0]["ts"]
+        if isinstance(ts_val, datetime):
+            ts_ms = int(ts_val.replace(tzinfo=timezone.utc).timestamp() * 1000)
+        else:  # DateType envelope (orders): midnight UTC
+            ts_ms = int(
+                datetime(ts_val.year, ts_val.month, ts_val.day, tzinfo=timezone.utc).timestamp()
+                * 1000
+            )
+        events = []
+        for r in txn_rows:
+            payload = {}
+            for c in payload_cols:
+                v = r[c]
+                if hasattr(v, "isoformat"):
+                    v = v.isoformat()
+                payload[c] = v
+            events.append(
+                {
+                    "op": r["opcode"],
+                    "source": r["source"],
+                    "source_id": r["source_id"],
+                    "part_id": r["part_id"],
+                    "key_num": r["key_num"],
+                    "key_str": r["key_str"],
+                    "payload": payload,
+                }
+            )
+        writer.append_txn(scn, ts_ms, events)
+    return len(scns)

@@ -29,18 +29,34 @@ from databus_spark.envelope import ENVELOPE_COLS
 
 
 def stage_changelog(
-    log: DataFrame, stage_dir: str, n_chunks: int = 8, order_col: str = "scn"
+    log: DataFrame,
+    stage_dir: str,
+    n_chunks: int = 8,
+    order_col: str = "scn",
+    route_buckets: int | None = None,
 ) -> None:
     """Write a changelog as n_chunks scn-range files so a file stream
     replays it in SCN order, whole windows per chunk (never splitting a
-    txn window across chunks — rows of one scn share one chunk)."""
+    txn window across chunks — rows of one scn share one chunk).
+
+    With ``route_buckets`` set, the producer's hash route is materialized
+    and the layout becomes chunk=<i>/route_partition=<p>/ — key-mod
+    subscriptions then prune whole directories at the scan (the relay's
+    "filter before the wire", paid zero times instead of per-event)."""
+    if route_buckets is not None:
+        from databus_spark.operators.partitioners import with_route_partition
+
+        log = with_route_partition(log, route_buckets)
     chunked = log.withColumn("_chunk", F.ntile(n_chunks).over(Window.orderBy(order_col)))
     # ntile can split a txn window across chunks; snap each scn to its min chunk
     snap = F.min("_chunk").over(Window.partitionBy(order_col))
     chunked = chunked.withColumn("_chunk", snap)
     for i in range(1, n_chunks + 1):
         part = chunked.where(F.col("_chunk") == i).drop("_chunk")
-        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage_dir, f"chunk={i:05d}"))
+        writer = part.coalesce(1).write.mode("overwrite")
+        if route_buckets is not None:
+            writer = writer.partitionBy("route_partition")
+        writer.parquet(os.path.join(stage_dir, f"chunk={i:05d}"))
 
 
 def changelog_stream(

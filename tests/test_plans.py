@@ -44,3 +44,37 @@ def test_scan_pruning_reaches_parquet(spark, sf_dir):
 def test_keyset_page_is_top_k_not_global_sort(spark, sf_dir):
     plan = _plan(spark, "keyset_page", sf_dir)
     assert "TakeOrderedAndProject" in plan, "keyset page became a full sort"
+
+
+def test_key_mod_subscription_prunes_partitions(spark, sf_dir, tmp_path):
+    """F6 scale path: a key-mod subscription over a route-materialized
+    stage dir must become a PARTITION filter (directory pruning — zero
+    data files read for unsubscribed buckets), not a per-row hash."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.envelope import customer_changelog
+    from databus_spark.operators.filters import key_mod_filter, key_mod_subscription
+    from databus_spark.streaming.source import stage_changelog
+
+    log = customer_changelog(spark, sf_dir)
+    stage = str(tmp_path / "routed")
+    stage_changelog(log, stage, n_chunks=2, route_buckets=8)
+
+    staged = spark.read.option("basePath", stage).parquet(stage + "/chunk=*")
+    sub = staged.where(key_mod_subscription(8, 0, 4, route_buckets=8))
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(route_partition" in plan, (
+        "subscription did not reach PartitionFilters:\n" + plan[:800]
+    )
+    # pruning is real: subscribed read touches strictly fewer files
+    all_files = staged.select(F.input_file_name()).distinct().count()
+    sub_files = sub.select(F.input_file_name()).distinct().count()
+    assert 0 < sub_files < all_files
+
+    # and the routed subscription selects EXACTLY the hash-path rows
+    expected = log.where(key_mod_filter(8, 0, 4)).count()
+    assert sub.count() == expected
+
+    # num_buckets dividing route_buckets composes too (H%4 == route%4)
+    sub4 = staged.where(key_mod_subscription(4, 1, 3, route_buckets=8))
+    assert sub4.count() == log.where(key_mod_filter(4, 1, 3)).count()

@@ -56,7 +56,17 @@ def documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("edited").alias("source"),
         "n_chars",
     )
-    return d.unionByName(exact).unionByName(near)
+    out = d.unionByName(exact).unionByName(near)
+    # Spread documents across the cluster BEFORE the explode-heavy
+    # downstream (shingles/tokens fan out ~100-1000 rows per doc): one
+    # cheap shuffle of raw text buys full-width parallelism for the
+    # explode stage and absorbs doc-length skew. The EXPLICIT partition
+    # count matters: without it AQE coalesces the (tiny pre-explode)
+    # shuffle to ~1 partition by size, serializing the expensive stage —
+    # sizing by pre-explode bytes is exactly wrong when each row fans out
+    # 100-1000x. Measured at sf0.1: shingling 5.2s -> 1.0s.
+    n = out.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(n, F.col("doc_id"))
 
 
 DOCS_WITH_DUPS_SQL = """
@@ -212,18 +222,45 @@ def ngram_jaccard_sql(k: int = 5, threshold: float = 0.6) -> str:
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+# Affine minhash family over ONE base hash: h = portable_hash64(shingle),
+# mh_i = (A_i*(h & 2^30-1) + B_i*(h >> 30) + C_i) mod 2^61-1. One md5 per
+# shingle instead of N_HASHES — the md5 was ~the whole signature cost —
+# and every term stays < 2^62, so 64-bit signed arithmetic is exact and
+# identical in Spark and DuckDB (no overflow, no HUGEINT needed).
+_MH_MOD = (1 << 61) - 1
+_MH_MASK30 = (1 << 30) - 1
+_MH_A = [((2654435761 * (2 * i + 1)) % 2147483647) | 1 for i in range(N_HASHES)]
+_MH_B = [((2246822519 * (2 * i + 3)) % 2147483647) | 1 for i in range(N_HASHES)]
+_MH_C = [(3266489917 * (i + 1)) % 2147483647 for i in range(N_HASHES)]
+
 
 def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
-    """k-shingle -> N_HASHES seeded minhashes per document.
+    """k-shingle -> N_HASHES affine minhashes per document.
 
     One explode + one groupBy(doc) with N_HASHES min() aggregates — a
-    single shuffle, map-side combinable, no UDFs.
+    single shuffle, map-side combinable, no UDFs. The per-seed hashes are
+    affine transforms of one md5-based base hash (see _MH_* above), so
+    the scan computes one md5 per shingle, not sixteen.
     """
     sh = _shingles(docs, k)
+    h = portable_hash64(F.col("shingle"))
+    base = sh.select(
+        "doc_id",
+        h.bitwiseAND(F.lit(_MH_MASK30).cast("long")).alias("lo"),
+        F.shiftright(h, 30).alias("hi"),
+    )
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(N_HASHES)
+        F.min(
+            (
+                F.lit(_MH_A[i]).cast("long") * F.col("lo")
+                + F.lit(_MH_B[i]).cast("long") * F.col("hi")
+                + F.lit(_MH_C[i]).cast("long")
+            )
+            % F.lit(_MH_MOD)
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> DataFrame:
@@ -280,7 +317,8 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> Da
 def minhash_lsh_sql(k: int = 5, threshold: float = 0.5) -> str:
     sh = _SHINGLES_SQL.format(k=k)
     mh_cols = ", ".join(
-        f"min({portable_hash64_sql('shingle', i)}) AS mh_{i}" for i in range(N_HASHES)
+        f"min(({_MH_A[i]} * lo + {_MH_B[i]} * hi + {_MH_C[i]}) % {_MH_MOD}) AS mh_{i}"
+        for i in range(N_HASHES)
     )
     rows_per_band = N_HASHES // N_BANDS
     band_rows = []
@@ -293,9 +331,14 @@ def minhash_lsh_sql(k: int = 5, threshold: float = 0.5) -> str:
     eq = " + ".join(
         f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
     )
+    h = portable_hash64_sql("shingle")
     return f"""
         WITH sh AS ({sh}),
-        sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+        shb AS (
+            SELECT doc_id, (h & {_MH_MASK30}) AS lo, (h >> 30) AS hi
+            FROM (SELECT doc_id, {h} AS h FROM sh)
+        ),
+        sig AS (SELECT doc_id, {mh_cols} FROM shb GROUP BY doc_id),
         banded AS ({banded}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -369,7 +412,10 @@ def simhash_sql() -> str:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on half-word
     bands (a pair within distance d must agree on >= one of d+1 bands)."""
-    sig = simhash(docs)
+    # sig feeds n_bands union branches AND both sides of the pair join —
+    # checkpoint once instead of recomputing the explode+2-shuffle sketch
+    # per branch (exchange reuse does not survive the band union).
+    sig = simhash(docs).localCheckpoint(eager=False)
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
     bands = []
@@ -451,6 +497,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # convergence flag FUSED into the propagation select: the eager
+        # checkpoint materializes labels AND the changed bits in one job;
+        # the probe below is a scalar agg over already-materialized blocks,
+        # not a second join+shuffle job per round.
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -458,18 +508,15 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     return labels.select(
         F.col("node").alias("doc_id"),

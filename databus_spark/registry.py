@@ -13,6 +13,7 @@ check, and tests/ carry the stronger assertions.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -690,6 +691,77 @@ def schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.drop("schema_id")
 
 
+AVRO_ORDERS_V1 = """
+{"type":"record","name":"orders_payload","fields":[
+ {"name":"o_orderkey","type":"long"},
+ {"name":"o_custkey","type":"long"},
+ {"name":"o_totalprice","type":"double"}]}
+""".strip()
+AVRO_ORDERS_V2 = """
+{"type":"record","name":"orders_payload","fields":[
+ {"name":"o_orderkey","type":"long"},
+ {"name":"o_custkey","type":"long"},
+ {"name":"o_totalprice","type":"double"},
+ {"name":"o_orderpriority","type":["null","string"],"default":null}]}
+""".strip()
+
+
+@query(
+    "avro_binary_decode",
+    """
+    SELECT o_orderkey AS key_num,
+           CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_version,
+           o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+               AS o_orderpriority
+    FROM orders
+    """,
+)
+def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer->reader resolution over REAL Avro-binary bytes, no jar:
+    v1/v2 writers encode with the pure-Python wire codec (public Avro
+    spec), every row decodes under the v2 READER schema with per-row
+    writer lookup by md5 schema id — the exact DbusEventAvroDecoder
+    shape (DbusEventAvroDecoder.java:57-148). Arrow-batched pandas UDFs;
+    doubles survive bit-exactly (IEEE bytes, no text round-trip)."""
+    from databus_spark.functions.avro_codec import (
+        avro_decode_udf,
+        avro_encode_udf,
+        schema_id_of,
+    )
+
+    v1_id, v2_id = schema_id_of(AVRO_ORDERS_V1), schema_id_of(AVRO_ORDERS_V2)
+    o = load_table(spark, sf_dir, "orders")
+    is_v1 = F.col("o_orderkey") % 2 == 0
+    enc_v1 = avro_encode_udf(AVRO_ORDERS_V1)
+    enc_v2 = avro_encode_udf(AVRO_ORDERS_V2)
+    events = o.select(
+        F.col("o_orderkey").alias("key_num"),
+        F.when(is_v1, F.lit(1)).otherwise(F.lit(2)).alias("schema_version"),
+        F.when(is_v1, F.lit(v1_id)).otherwise(F.lit(v2_id)).alias("schema_id"),
+        F.when(
+            is_v1, enc_v1(F.struct("o_orderkey", "o_custkey", "o_totalprice"))
+        )
+        .otherwise(
+            enc_v2(
+                F.struct("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            )
+        )
+        .alias("payload_avro"),
+    )
+    reader_ddl = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING"
+    )
+    dec = avro_decode_udf(
+        {v1_id: AVRO_ORDERS_V1, v2_id: AVRO_ORDERS_V2}, AVRO_ORDERS_V2, reader_ddl
+    )
+    return events.select(
+        "key_num",
+        "schema_version",
+        dec(F.col("payload_avro"), F.col("schema_id")).alias("p"),
+    ).select("key_num", "schema_version", "p.*")
+
+
 # --------------------------------------------------------------------------
 # Serving: byte-bounded fetch, per-partition checkpoints (SURVEY §2.7 L3, §2.8)
 # --------------------------------------------------------------------------
@@ -858,6 +930,52 @@ def xml_trail_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op._key").alias("key_num"),
         F.col("op._price").alias("price"),
     )
+
+
+@query(
+    "trail_file_seek",
+    """
+    SELECT CAST(o_orderkey // 3 AS BIGINT) AS txn_scn,
+           'I' AS op_type,
+           o_orderkey AS key_num,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey // 3 > (SELECT (max(o_orderkey) // 3) // 2 FROM orders)
+    """,
+)
+def trail_file_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7 over REAL rotating trail files: the orders changelog is
+    written as GoldenGate-style XML trail files (size-rotated), then
+    consumed from the midpoint SCN — TrailPositionSetter prunes whole
+    files below the position before Spark ever lists them, and from_xml
+    parses the rest (TrailFilePositionSetter.java seek semantics +
+    ggParser parse; file prune is the Spark-native 'byte offset')."""
+    import shutil
+    import tempfile
+
+    from databus_spark.sources.trail import TrailWriter, read_trail
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    txns: dict[int, list] = {}
+    for r in rows:
+        txns.setdefault(r["o_orderkey"] // 3, []).append(
+            ("I", r["o_orderkey"], r["o_totalprice"])
+        )
+    max_scn = max(txns)
+    from_scn = max_scn // 2
+
+    trail_dir = os.path.join(
+        tempfile.gettempdir(), f"databus_trail_{abs(hash(sf_dir)) % 10**9}"
+    )
+    shutil.rmtree(trail_dir, ignore_errors=True)
+    writer = TrailWriter(trail_dir, max_bytes=64 * 1024)
+    for scn in sorted(txns):
+        writer.append_txn(scn, sorted(txns[scn]))
+    return read_trail(spark, trail_dir, from_scn=from_scn)
 
 
 @query(

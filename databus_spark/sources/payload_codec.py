@@ -8,6 +8,12 @@ drop-in fallback with identical plan shape: serialize(struct) on the
 producer, deserialize-with-reader-schema on the consumer; everything
 in sources/schema_registry.py (versioning, digests, broadcast
 resolution) is codec-agnostic.
+
+For REAL Avro-binary wire bytes without the jar, use
+functions/avro_codec.py — a pure-Python implementation of the public
+Avro binary spec (zigzag varints, union indexes, writer->reader
+resolution) behind Arrow-batched pandas UDFs; the `avro_binary_decode`
+registry query proves it oracle-green over mixed writer versions.
 """
 
 from __future__ import annotations

@@ -1,0 +1,189 @@
+"""GoldenGate-style XML trail directory: rotating files, position seek,
+batch + streaming ingest (SURVEY §2.1 S6/S7).
+
+Reference shape: the GoldenGate event producer tails a directory of
+rotating trail files as one logical byte stream and, on (re)start,
+locates the (file, offset) where a target SCN begins
+(reference: databus2-relay/databus2-event-producer-ggviews/.../
+TrailFilePositionSetter.java — scan/locate semantics,
+ConcurrentAppendableCompositeFileInputStream.java — the composite
+rotating-file stream; GoldenGateEventProducer parses the XML records).
+
+Spark restatement:
+  * the trail is a directory of line-oriented XML files `x0000000001..`;
+    one <tx> element per line (a txn is written atomically — the same
+    invariant the reference gets from GoldenGate's writer);
+  * `TrailPositionSetter.locate(scn)` finds the exact (file, line,
+    byte offset) where scns > target begin — driver-side metadata scan
+    reading only first/last records per file (the binary-search-over-
+    files analog), then one partial file scan;
+  * batch reads prune WHOLE FILES below the position (the engine-native
+    "seek": Spark never opens files the position setter excluded);
+  * streaming tails the directory with the file source — rotation is
+    just a new file appearing, handled by source file tracking.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRAIL_PREFIX = "x"
+_SCN_RE = re.compile(r'scn="(\d+)"')
+
+# per-op XML record schema (from_xml reader; ggParser analog)
+TX_XML_SCHEMA = (
+    "_scn BIGINT, op ARRAY<STRUCT<_type: STRING, _key: BIGINT, _price: DOUBLE>>"
+)
+
+
+class TrailWriter:
+    """Appends one <tx> line per transaction; rotates by size
+    (GoldenGate trail rotation)."""
+
+    def __init__(self, trail_dir: str, max_bytes: int = 1 << 20) -> None:
+        self.trail_dir = trail_dir
+        self.max_bytes = max_bytes
+        os.makedirs(trail_dir, exist_ok=True)
+        files = trail_files(trail_dir)
+        self._seq = int(files[-1][len(TRAIL_PREFIX):]) if files else 1
+
+    def _path(self) -> str:
+        return os.path.join(self.trail_dir, f"{TRAIL_PREFIX}{self._seq:010d}")
+
+    def rotate(self) -> None:
+        self._seq += 1
+
+    def append_txn(self, scn: int, ops: list[tuple[str, int, float]]) -> None:
+        """ops: (type, key, price) triples; one atomic <tx> line."""
+        body = "".join(
+            f'<op type="{t}" key="{k}" price="{p}"/>' for t, k, p in ops
+        )
+        line = f'<tx scn="{scn}">{body}</tx>\n'
+        path = self._path()
+        if os.path.exists(path) and os.path.getsize(path) + len(line) > self.max_bytes:
+            self.rotate()
+            path = self._path()
+        with open(path, "a") as f:
+            f.write(line)
+
+
+def trail_files(trail_dir: str) -> list[str]:
+    try:
+        names = os.listdir(trail_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        n for n in names if n.startswith(TRAIL_PREFIX) and n[len(TRAIL_PREFIX):].isdigit()
+    )
+
+
+@dataclass(frozen=True)
+class TrailPosition:
+    file: str          # trail file name holding the first scn > target
+    line: int          # 0-based line number within that file
+    byte_offset: int   # byte offset of that line
+    scn: int           # the scn found there (-1 = end of trail)
+
+
+class TrailPositionSetter:
+    """Locate where consumption should (re)start for a target SCN.
+
+    Two-phase, like the reference: (1) bracket the file by reading only
+    each file's FIRST record scn (trail scns are monotone, so file f
+    contains scns [first(f), first(f+1))); (2) scan inside the one
+    bracketed file for the first line with scn > target, recording its
+    byte offset. Only metadata + one partial file are read — never the
+    whole trail (TrailFilePositionSetter.java's FULL_SCAN fallback vs
+    located-scan fast path)."""
+
+    def __init__(self, trail_dir: str) -> None:
+        self.trail_dir = trail_dir
+
+    def _first_scn(self, name: str) -> int | None:
+        with open(os.path.join(self.trail_dir, name)) as f:
+            line = f.readline()
+        m = _SCN_RE.search(line)
+        return int(m.group(1)) if m else None
+
+    def locate(self, target_scn: int) -> TrailPosition:
+        """Position of the first transaction with scn > target_scn."""
+        files = trail_files(self.trail_dir)
+        if not files:
+            raise FileNotFoundError(f"empty trail dir {self.trail_dir}")
+        # phase 1: bracket by first-record scns (monotone across rotation)
+        firsts = [(name, self._first_scn(name)) for name in files]
+        candidates = []
+        for i, (name, first) in enumerate(firsts):
+            nxt = firsts[i + 1][1] if i + 1 < len(firsts) else None
+            if nxt is not None and nxt <= target_scn:
+                continue  # whole file is <= target: prune
+            candidates.append(name)
+        # phase 2: scan candidate files for the first line > target
+        for name in candidates:
+            offset = 0
+            with open(os.path.join(self.trail_dir, name)) as f:
+                for line_no, line in enumerate(f):
+                    m = _SCN_RE.search(line)
+                    if m and int(m.group(1)) > target_scn:
+                        return TrailPosition(name, line_no, offset, int(m.group(1)))
+                    offset += len(line.encode())
+        return TrailPosition(files[-1], -1, -1, -1)  # fully consumed
+
+    def files_from(self, target_scn: int) -> list[str]:
+        """Trail files that may contain scns > target (file-level prune)."""
+        files = trail_files(self.trail_dir)
+        firsts = [(name, self._first_scn(name)) for name in files]
+        keep = []
+        for i, (name, _first) in enumerate(firsts):
+            nxt = firsts[i + 1][1] if i + 1 < len(firsts) else None
+            if nxt is not None and nxt <= target_scn:
+                continue
+            keep.append(name)
+        return keep
+
+
+def _parse_lines(lines: DataFrame) -> DataFrame:
+    parsed = lines.select(F.from_xml("value", TX_XML_SCHEMA).alias("tx"))
+    return parsed.select(
+        F.col("tx._scn").alias("txn_scn"), F.explode("tx.op").alias("op")
+    ).select(
+        "txn_scn",
+        F.col("op._type").alias("op_type"),
+        F.col("op._key").alias("key_num"),
+        F.col("op._price").alias("price"),
+    )
+
+
+def read_trail(spark: SparkSession, trail_dir: str, from_scn: int = -1) -> DataFrame:
+    """Batch read of the trail past from_scn. The position setter prunes
+    whole files BEFORE Spark lists them — the seek — and the residual
+    head of the boundary file is dropped by the scn predicate."""
+    if from_scn >= 0:
+        setter = TrailPositionSetter(trail_dir)
+        names = setter.files_from(from_scn)
+        if not names:
+            return _parse_lines(
+                spark.createDataFrame([], "value STRING")
+            ).where(F.lit(False))
+        paths = [os.path.join(trail_dir, n) for n in names]
+    else:
+        paths = [trail_dir]
+    lines = spark.read.text(paths)
+    out = _parse_lines(lines)
+    return out.where(F.col("txn_scn") > from_scn) if from_scn >= 0 else out
+
+
+def tail_trail_stream(spark: SparkSession, trail_dir: str) -> DataFrame:
+    """Tail the trail dir as a stream; a rotation is just a new file.
+    NOTE: Spark's file source tracks files, not offsets, so a trail file
+    must be complete before it is picked up in a micro-batch — the tests
+    drain with availableNow between rotations, and a live deployment
+    points this at closed trail files (the current hot file is read on
+    the next trigger after rotation)."""
+    lines = spark.readStream.format("text").load(trail_dir + f"/{TRAIL_PREFIX}*")
+    return _parse_lines(lines)

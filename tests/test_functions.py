@@ -90,3 +90,62 @@ def test_key_mod_bucket_parses_numeric_strings(spark):
         F.abs(java_string_hashcode(F.col("key_str"))).cast("long").alias("h")
     ).collect()[0]["h"]
     assert got["abc"] == abc_hash   # non-numeric string falls back to hashCode
+
+
+def test_avro_binary_wire_format_roundtrip():
+    """Pure-Python Avro binary codec: round-trip + spec-exact primitives."""
+    from databus_spark.functions.avro_codec import decode_record, encode_record
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": "bytes"},
+        ],
+    }
+    rec = {"a": -123456789012, "b": "héllo ☃", "c": -0.1, "d": True, "e": b"\x00\xff"}
+    out = decode_record(encode_record(rec, schema), schema, schema)
+    assert out == rec
+    # null union branch
+    rec2 = {"a": 0, "b": None, "c": 1.5, "d": False, "e": b""}
+    assert decode_record(encode_record(rec2, schema), schema, schema) == rec2
+    # zigzag spec vectors: 0->0x00, -1->0x01, 1->0x02, -2->0x03
+    small = {"type": "record", "name": "z", "fields": [{"name": "n", "type": "long"}]}
+    assert encode_record({"n": 0}, small) == b"\x00"
+    assert encode_record({"n": -1}, small) == b"\x01"
+    assert encode_record({"n": 1}, small) == b"\x02"
+    assert encode_record({"n": -2}, small) == b"\x03"
+
+
+def test_avro_binary_schema_resolution():
+    """Writer-only fields skipped; reader-only fields defaulted; int->long
+    and long->double promotion (Avro spec 'Schema Resolution')."""
+    from databus_spark.functions.avro_codec import decode_record, encode_record
+
+    writer = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "keep", "type": "int"},
+            {"name": "dropped", "type": "string"},
+            {"name": "price", "type": "long"},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "keep", "type": "long"},
+            {"name": "price", "type": "double"},
+            {"name": "added", "type": ["null", "string"], "default": None},
+            {"name": "tagged", "type": "string", "default": "dflt"},
+        ],
+    }
+    buf = encode_record({"keep": 7, "dropped": "bye", "price": 42}, writer)
+    out = decode_record(buf, writer, reader)
+    assert out == {"keep": 7, "price": 42.0, "added": None, "tagged": "dflt"}
+    assert isinstance(out["price"], float)

@@ -218,12 +218,18 @@ CUSTOMER_CHANGELOG_SQL = """
 """
 
 
-def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lineitem_changelog(
+    spark: SparkSession, sf_dir: str, with_schema_key: bool = False
+) -> DataFrame:
     """Multi-row txn windows: every lineitem of one order shares one scn.
 
     txn_end marks the window's last row (highest l_linenumber), the
     analog of the end-of-period control event written by
     DbusEventBuffer.endEvents (reference: core/DbusEventBuffer.java:1982).
+
+    with_schema_key=True adds the first-class composite `key_struct`
+    column (DbusEventKey SCHEMA type — operators/keys.py); its canonical
+    string form equals key_str by construction.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
@@ -237,7 +243,7 @@ def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ln = F.max("l_linenumber").over(Window.partitionBy("l_orderkey", "scn"))
 
     def env(scn_col):
-        return [
+        cols = [
             scn_col.alias("scn"),
             F.col("l_shipdate").alias("ts"),
             F.lit("lineitem").alias("source"),
@@ -246,6 +252,15 @@ def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("key_num"),
             F.concat_ws(":", ok, ln, F.col("_seq")).alias("key_str"),
         ]
+        if with_schema_key:
+            from databus_spark.operators.keys import schema_key
+
+            cols.append(
+                schema_key(
+                    l_orderkey=ok, l_linenumber=ln.cast("bigint"), seq=F.col("_seq")
+                ).alias("key_struct")
+            )
+        return cols
 
     inserts = li.select(*env(ok + LI_INSERT_BASE), F.lit("UPSERT").alias("opcode"), *LINEITEM_PAYLOAD)
     updates = li.where(ok % 3 == 0).select(
@@ -258,7 +273,8 @@ def lineitem_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = inserts.unionByName(updates)
     log = log.withColumn("txn_end", ln == max_ln)
-    return _envelope(log, LINEITEM_PAYLOAD)
+    extra = ["key_struct"] if with_schema_key else []
+    return _envelope(log, [*extra, *LINEITEM_PAYLOAD])
 
 
 LINEITEM_CHANGELOG_SQL = f"""
@@ -324,3 +340,29 @@ MULTI_SOURCE_CHANGELOG_SQL = f"""
     SELECT scn, ts, opcode, source, source_id, part_id, key_num, key_str, txn_end
     FROM ({LINEITEM_CHANGELOG_SQL})
 """
+
+
+def with_event_metadata(df: DataFrame, origin: str = "relay-1") -> DataFrame:
+    """Optional event-level METADATA part, distinct from the payload.
+
+    The reference's DbusEventV2 carries up to three parts — key, payload,
+    and an optional metadata part serialized under its own (versioned)
+    schema (reference: core/DbusEventPart.java; consumer-visible shape
+    tested by databus-client/.../consumer/TestInternalMetadata.java).
+    Spark restatement: a typed struct column, populated producer-side;
+    consumers read fields with plain column access (metadata.origin ...)
+    and Catalyst prunes the struct like any nested column.
+
+    Fields: origin (emitting relay), emit_ts_ms (event-time millis),
+    payload_schema_digest (md5 over the source's schema identity — the
+    digest the metadata part carries in the reference)."""
+    return df.withColumn(
+        "metadata",
+        F.struct(
+            F.lit(origin).alias("origin"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("emit_ts_ms"),
+            F.md5(F.concat_ws("|", F.col("source"), F.col("source_id"))).alias(
+                "payload_schema_digest"
+            ),
+        ),
+    )

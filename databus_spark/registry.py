@@ -763,6 +763,113 @@ def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Event-level metadata part (DbusEventPart; TestInternalMetadata.java)
+# --------------------------------------------------------------------------
+
+@query(
+    "event_metadata_extract",
+    f"""
+    SELECT source,
+           md5(concat(source, '|', CAST(source_id AS VARCHAR))) AS payload_schema_digest,
+           'relay-1' AS origin,
+           count(*) AS n_events,
+           min(epoch_ms(CAST(ts AS TIMESTAMP))) AS min_emit_ms,
+           max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_emit_ms
+    FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+    GROUP BY 1, 2, 3
+    """,
+)
+def event_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optional per-event METADATA part (distinct from payload):
+    producer attaches a typed struct (origin, emit time, schema digest);
+    consumers project its fields like any nested column and Catalyst
+    prunes the rest (core/DbusEventPart.java metadata part; consumer
+    shape per TestInternalMetadata.java)."""
+    from databus_spark.envelope import with_event_metadata
+
+    log = with_event_metadata(multi_source_changelog(spark, sf_dir))
+    return log.groupBy(
+        "source",
+        F.col("metadata.payload_schema_digest").alias("payload_schema_digest"),
+        F.col("metadata.origin").alias("origin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("metadata.emit_ts_ms").alias("min_emit_ms"),
+        F.max("metadata.emit_ts_ms").alias("max_emit_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SCHEMA-keyed (composite) events: DbusEventKey.java:30-35 third key type
+# --------------------------------------------------------------------------
+
+@query(
+    "schema_key_compaction",
+    f"""
+    WITH log AS ({LINEITEM_CHANGELOG_SQL})
+    SELECT l_orderkey AS k_orderkey,
+           CAST(l_linenumber AS BIGINT) AS k_linenumber,
+           CAST(split_part(key_str, ':', 3) AS INT) AS k_seq,
+           scn, l_quantity
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source, key_str ORDER BY scn DESC
+        ) AS _rn FROM log
+    )
+    WHERE _rn = 1
+    """,
+)
+def schema_key_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction keyed on the first-class composite key_struct — Spark
+    groups and compares the struct NATIVELY (no canonical serialization
+    on the hot path; DbusEventKey SCHEMA semantics, the string oracle is
+    provably equivalent because canonicalization is injective here)."""
+    log = lineitem_changelog(spark, sf_dir, with_schema_key=True)
+    state = compaction.latest_by_key(log, ("source", "key_struct"))
+    return state.select(
+        F.col("key_struct.l_orderkey").alias("k_orderkey"),
+        F.col("key_struct.l_linenumber").alias("k_linenumber"),
+        F.col("key_struct.seq").alias("k_seq"),
+        "scn",
+        "l_quantity",
+    )
+
+
+@query(
+    "schema_key_filter",
+    f"""
+    SELECT scn, opcode, key_str AS key_canonical, l_quantity
+    FROM ({LINEITEM_CHANGELOG_SQL})
+    WHERE l_orderkey >= 100 AND l_orderkey < 500
+      AND l_orderkey % 8 < 4 AND l_linenumber <= 3
+    """,
+)
+def schema_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key filters over composite-key FIELDS (range + mod on l_orderkey,
+    range on l_linenumber) — pushed like any column predicate — plus the
+    canonical string form, which the oracle checks against key_str: the
+    canonicalization and the envelope's ad-hoc concat agree bit-exactly."""
+    from databus_spark.operators.keys import canonical_key, key_field
+
+    log = lineitem_changelog(spark, sf_dir, with_schema_key=True)
+    k = key_field("l_orderkey")
+    pred = (
+        (k >= 100)
+        & (k < 500)
+        & (F.pmod(k, F.lit(8)) < 4)
+        & (key_field("l_linenumber") <= 3)
+    )
+    return log.where(pred).select(
+        "scn",
+        "opcode",
+        canonical_key("key_struct", ["l_orderkey", "l_linenumber", "seq"]).alias(
+            "key_canonical"
+        ),
+        "l_quantity",
+    )
+
+
+# --------------------------------------------------------------------------
 # Serving: byte-bounded fetch, per-partition checkpoints (SURVEY §2.7 L3, §2.8)
 # --------------------------------------------------------------------------
 

@@ -34,6 +34,7 @@ def stage_changelog(
     n_chunks: int = 8,
     order_col: str = "scn",
     route_buckets: int | None = None,
+    first_chunk: int = 1,
 ) -> None:
     """Write a changelog as n_chunks scn-range files so a file stream
     replays it in SCN order, whole windows per chunk (never splitting a
@@ -56,7 +57,7 @@ def stage_changelog(
         writer = part.coalesce(1).write.mode("overwrite")
         if route_buckets is not None:
             writer = writer.partitionBy("route_partition")
-        writer.parquet(os.path.join(stage_dir, f"chunk={i:05d}"))
+        writer.parquet(os.path.join(stage_dir, f"chunk={first_chunk + i - 1:05d}"))
 
 
 def changelog_stream(

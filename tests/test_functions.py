@@ -149,3 +149,36 @@ def test_avro_binary_schema_resolution():
     out = decode_record(buf, writer, reader)
     assert out == {"keep": 7, "price": 42.0, "added": None, "tagged": "dflt"}
     assert isinstance(out["price"], float)
+
+
+def test_schema_key_struct_store_merge(spark, tmp_path):
+    """ParquetSnapshotStore keyed on the composite key_struct: merge
+    last-wins semantics work on struct keys natively, and the canonical
+    string form round-trips injectively."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.keys import canonical_key, schema_key
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "a BIGINT, b BIGINT, scn BIGINT, opcode STRING, v STRING")
+        return df.select(
+            schema_key(a=F.col("a"), b=F.col("b")).alias("key_struct"),
+            "scn", "opcode", "v",
+        )
+
+    store = ParquetSnapshotStore(spark, str(tmp_path / "s"), key_cols=("key_struct",))
+    store.merge(batch([(1, 1, 10, "UPSERT", "x"), (1, 2, 10, "UPSERT", "y")]))
+    store.merge(batch([(1, 1, 20, "UPSERT", "x2"), (1, 2, 15, "DELETE", None),
+                       (2, 1, 12, "UPSERT", "z")]))
+    got = {
+        (r["key_struct"]["a"], r["key_struct"]["b"]): (r["scn"], r["v"])
+        for r in store.read().collect()
+    }
+    assert got == {(1, 1): (20, "x2"), (2, 1): (12, "z")}  # (1,2) tombstoned
+
+    # canonicalization is injective on these fields and stable
+    c = batch([(1, 23, 1, "UPSERT", "x"), (12, 3, 1, "UPSERT", "y")]).select(
+        canonical_key("key_struct", ["a", "b"]).alias("c")
+    )
+    assert {r["c"] for r in c.collect()} == {"1:23", "12:3"}

@@ -763,6 +763,53 @@ def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Chunked-scan SQL txlog pull against a real SQL database (S1/S2)
+# --------------------------------------------------------------------------
+
+@query(
+    "sql_txlog_pull",
+    f"""
+    SELECT scn, opcode, key_str, o_orderkey, o_totalprice
+    FROM ({ORDERS_CHANGELOG_SQL})
+    """,
+)
+def sql_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 against an ACTUAL SQL database: DuckDB hosts the txlog
+    table; the puller issues the reference's exact query shapes —
+    max-SCN probe, keyset chunk-boundary probe, `scn > last AND scn <=
+    boundary ORDER BY scn` event queries — in txn-atomic chunks with a
+    durable watermark (OracleTxlogEventReader.java:613-723,784-810).
+    The union of pulled chunks must equal the log itself."""
+    import duckdb
+
+    from databus_spark.sources.incremental import FileMaxSCNHandler
+    from databus_spark.sources.sql_puller import SqlTxlogPuller, duckdb_executor
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    con.execute(
+        "CREATE TABLE txlog AS SELECT scn, opcode, key_str, o_orderkey,"
+        f" o_totalprice FROM ({ORDERS_CHANGELOG_SQL})"
+    )
+    import tempfile
+
+    handler = FileMaxSCNHandler(
+        os.path.join(tempfile.mkdtemp(prefix="sqlpull_"), "scn.json")
+    )
+    puller = SqlTxlogPuller(
+        spark, duckdb_executor(con), "txlog", handler, chunk_rows=20_000
+    )
+    chunks: list[DataFrame] = []
+    puller.drain(lambda b: chunks.append(b))
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Event-level metadata part (DbusEventPart; TestInternalMetadata.java)
 # --------------------------------------------------------------------------
 

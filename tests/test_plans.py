@@ -46,6 +46,21 @@ def test_keyset_page_is_top_k_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "keyset page became a full sort"
 
 
+def test_struct_key_compaction_single_shuffle(spark, sf_dir):
+    """Struct-keyed compaction keeps the map-side-combinable single-shuffle
+    plan — grouping by key_struct must not de-optimize vs string keys."""
+    plan = _plan(spark, "schema_key_compaction", sf_dir)
+    assert "partial_max_by" in plan, "map-side combine lost on struct keys"
+
+
+def test_avro_decode_is_arrow_batched(spark, sf_dir):
+    """The Avro codec path must be Arrow-batched pandas UDFs, never
+    row-at-a-time Python UDFs."""
+    plan = _plan(spark, "avro_binary_decode", sf_dir)
+    assert "ArrowEvalPython" in plan, "pandas UDF lost Arrow batching"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF crept in"
+
+
 def test_key_mod_subscription_prunes_partitions(spark, sf_dir, tmp_path):
     """F6 scale path: a key-mod subscription over a route-materialized
     stage dir must become a PARTITION filter (directory pruning — zero

@@ -89,7 +89,9 @@ def main() -> None:
     _stage(log, routed_dir, n_chunks=4, route_buckets=8)
     staged = spark.read.option("basePath", routed_dir).parquet(routed_dir + "/chunk=*")
 
-    def best_of(df, n: int = 2) -> float:
+    def best_of(df, n: int = 3) -> float:
+        # These scans finish in ~0.1 s, so a single GC pause doubles a
+        # sample; best-of-3 keeps the RATIO metrics below out of the noise.
         best = float("inf")
         for _ in range(n):
             clear_caches()
@@ -98,7 +100,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
-    best_of(staged, 1)  # warm-up (JIT + file listing)
+    best_of(staged, 2)  # warm-up (JIT + file listing)
     unfiltered_s = best_of(staged)
     filtered_s = best_of(staged.where(physical_partition_filter([0, 1])))
     keymod_s = best_of(staged.where(key_mod_subscription(8, 0, 4, route_buckets=8)))
@@ -149,8 +151,11 @@ def main() -> None:
         "n_queries": len(headline),
         "changelog_rows": n_changes,
         "apply_rows_per_sec": round(n_changes / max(apply_secs, 1e-9), 1),
+        "unfiltered_scan_s": round(unfiltered_s, 3),
         "filter_overhead_ratio": round(filtered_s / max(unfiltered_s, 1e-9), 3),
         "keymod_filter_overhead_ratio": round(keymod_s / max(unfiltered_s, 1e-9), 3),
+        # diagnostic: per-row Java-hashCode filtering WITHOUT routed staging —
+        # the cost route_partition materialization removes (not a target metric)
         "keymod_hash_overhead_ratio": round(keymod_hash_s / max(unfiltered_s, 1e-9), 3),
         "bootstrap_wall_s": round(bootstrap_s, 3),
         "stream_apply_wall_s": round(stream_apply_s, 3),

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from databus_spark.catalog import load_table
 from databus_spark.functions.hashes import portable_hash64, portable_hash64_sql
-from databus_spark.operators.text import TOKENS_SQL, tokens_col
+from databus_spark.operators.text import TOKENS_SQL, _ngrams, tokens_col
 
 # ---------------------------------------------------------------------------
 # Fixture: deterministic duplicated corpus
@@ -117,14 +117,10 @@ EXACT_DEDUP_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def _shingles(docs: DataFrame, k: int) -> DataFrame:
-    toks = tokens_col("text")
-    n = F.size(toks)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+    # zip_with gram chain (text._ngrams) — measured ~16x cheaper per row
+    # than sequence+transform+slice; short docs keep the whole-doc gram
+    # (matches the oracle's range()+slice form).
+    sh = F.array_distinct(_ngrams(tokens_col("text"), k, short_doc_whole=True))
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 

@@ -1,0 +1,122 @@
+"""Training-shard construction: stratified sampling + sequence packing.
+
+Beyond-reference capability (SURVEY §7 Phase 6): after dedup/quality
+filtering, a pretraining pipeline (a) draws per-stratum samples for
+mixture control and (b) packs documents into fixed-token-budget shards
+for sequence batching. Both are deterministic (hash-ordered, never
+rand()) so reruns and the DuckDB oracle agree bit-for-bit.
+
+Scale shape:
+- stratified_sample: ONE shuffle keyed by the stratum column; window
+  rank + count over each stratum. Strata are few (languages, sources)
+  but rows within are many — rank/count are sort-based within the
+  stratum partition, so a hot stratum is bounded by sort, not memory.
+  For truly-massive strata swap the exact rank for a threshold on the
+  hash itself (keep h < rate * 2^60): zero window, pure filter — the
+  exact-rank form here is the one the oracle can mirror row-for-row.
+- sequence_packing: a GLOBAL ordered cumsum would serialize on one
+  partition; instead docs are first routed to `n_bins` hash bins and
+  packed within bins (window per bin). Bins pack in parallel; shard ids
+  are (bin, local_shard). At 100 TB raise n_bins with the cluster —
+  packing quality is unaffected (budget waste stays < one doc per
+  shard boundary, per bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from databus_spark.functions.hashes import portable_hash64, portable_hash64_sql
+
+SAMPLE_SEED = "strat"
+PACK_SEED = "pack"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    rate: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum rate sample: the ceil(rate·n) lowest-hash rows
+    of each stratum. Deterministic — same rows every run, every engine."""
+    h = portable_hash64(F.col(id_col).cast("string"), F.lit(SAMPLE_SEED))
+    w = Window.partitionBy(strata_col).orderBy(h, id_col)
+    wn = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        id_col,
+        strata_col,
+        F.row_number().over(w).alias("sample_rank"),
+        F.count(F.lit(1)).over(wn).alias("stratum_n"),
+    )
+    return ranked.where(
+        F.col("sample_rank") <= F.ceil(F.lit(rate) * F.col("stratum_n"))
+    )
+
+
+def stratified_sample_sql(
+    strata_col: str = "lang", rate: float = 0.2, id_col: str = "doc_id"
+) -> str:
+    h = portable_hash64_sql(id_col, f"'{SAMPLE_SEED}'")
+    return f"""
+        SELECT {id_col}, {strata_col}, sample_rank, stratum_n
+        FROM (
+            SELECT {id_col}, {strata_col},
+                   row_number() OVER (PARTITION BY {strata_col}
+                                      ORDER BY {h}, {id_col}) AS sample_rank,
+                   count(*) OVER (PARTITION BY {strata_col}) AS stratum_n
+            FROM documents
+        )
+        WHERE sample_rank <= ceil({rate} * stratum_n)
+    """
+
+
+def sequence_packing(
+    docs: DataFrame,
+    n_tokens: Column,
+    budget: int = 512,
+    n_bins: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing with document boundaries: docs stream in
+    hash order through each bin; a doc's shard is where its first token
+    lands (exclusive-prefix-sum // budget). A shard overruns the budget
+    by at most the last doc's tail — the standard packing approximation,
+    fully expressible as one window sum (no iterative bin-packing)."""
+    h = portable_hash64(F.col(id_col).cast("string"), F.lit(PACK_SEED))
+    binned = docs.select(
+        id_col, n_tokens.alias("n_tokens"), (h % n_bins).alias("bin"), h.alias("_h")
+    )
+    w = Window.partitionBy("bin").orderBy("_h", id_col)
+    prefix = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_prefix")
+    packed = binned.select(id_col, "n_tokens", "bin", prefix)
+    return packed.select(
+        id_col,
+        "bin",
+        F.floor(F.col("_prefix") / budget).cast("long").alias("shard_in_bin"),
+        (F.col("_prefix") % budget).alias("offset_tokens"),
+        "n_tokens",
+    )
+
+
+def sequence_packing_sql(
+    n_tokens_sql: str, budget: int = 512, n_bins: int = 8, id_col: str = "doc_id"
+) -> str:
+    h = portable_hash64_sql(id_col, f"'{PACK_SEED}'")
+    return f"""
+        SELECT {id_col}, bin,
+               CAST(floor(prefix / {budget}) AS BIGINT) AS shard_in_bin,
+               CAST(prefix % {budget} AS BIGINT) AS offset_tokens,
+               n_tokens
+        FROM (
+            SELECT {id_col}, bin, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY bin ORDER BY h, {id_col})
+                       AS BIGINT) - n_tokens AS prefix
+            FROM (
+                SELECT {id_col}, {n_tokens_sql} AS n_tokens,
+                       {h} % {n_bins} AS bin, {h} AS h
+                FROM documents
+            )
+        )
+    """

@@ -178,14 +178,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     Physical shape: fully per-row array expressions — zero shuffle,
     embarrassingly parallel. (An explode+groupBy variant was measured
     SLOWER at sf0.1: the countDistinct shuffle costs more than the
-    interpreted-HOF overhead it saves.)
+    per-row work it saves; the zip_with gram chain in _ngrams cut that
+    per-row work a further ~6x over sequence+slice.)
     """
     toks = tokens_col(text_col)
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    shingles = _ngrams(toks, k, short_doc_whole=True)
     hashes = F.transform(shingles, lambda s: portable_hash64(s, 0))
     return docs.select(
         "doc_id",
@@ -213,6 +210,128 @@ def _fingerprint_sql(k: int = 5) -> str:
 
 
 FINGERPRINT_SQL = _fingerprint_sql()
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style duplicate-n-gram / top-token fractions)
+# ---------------------------------------------------------------------------
+
+# Flag thresholds — a doc trips the filter when ANY dimension exceeds its
+# threshold (the Gopher rule shape: duplicate-bigram fraction, duplicate-
+# trigram fraction, most-frequent-token fraction).
+REP_DUP2_MAX = 0.08
+REP_DUP3_MAX = 0.04
+REP_TOP_TOKEN_MAX = 0.12
+
+
+def _ngrams(toks: Column, n: int, short_doc_whole: bool = False) -> Column:
+    """Space-joined n-gram strings via an iterative zip_with chain.
+
+    zip_with(g_{k-1}, toks<<k, concat) is ~16x faster than the
+    sequence+transform+slice form (no per-gram index array or slice
+    allocation). zip_with pads the shorter side with NULL, producing
+    degenerate short grams at the tail — the final slice trims to the
+    exact n-k+1 count.
+
+    Docs shorter than n tokens yield [] by default; with
+    short_doc_whole the whole doc becomes the single gram (the
+    winnowing/fingerprint convention)."""
+    size = F.size(toks)
+    grams = toks
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(toks, j, size), lambda g, t: F.concat_ws(" ", g, t)
+        )
+    short = (
+        F.array(F.concat_ws(" ", toks))
+        if short_doc_whole
+        else F.array().cast("array<string>")
+    )
+    return F.when(size >= n, F.slice(grams, 1, size - n + 1)).otherwise(short)
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition features + composite flag.
+
+    dup{2,3}gram_frac are pure per-row array expressions (zero shuffle);
+    top_token_frac needs the per-doc token mode, computed with ONE
+    map-side-combinable explode+count aggregation — at 100 TB that is a
+    single shuffle keyed by (doc_id, token), no skew (doc_id spreads it).
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+
+    def dup_frac(k: int) -> Column:
+        # total n-gram count comes from arithmetic (n-k+1), NOT size(grams):
+        # the gram array is interpreted-HOF work, so it must be built exactly
+        # once per row (for the distinct count) — measured 2x faster.
+        total = F.when(n >= k, n - k + 1).otherwise(F.lit(0))
+        return F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(_ngrams(toks, k))) / F.nullif(total, F.lit(0)),
+            6,
+        )
+
+    per_row = docs.select(
+        "doc_id", dup_frac(2).alias("dup_2gram_frac"), dup_frac(3).alias("dup_3gram_frac")
+    )
+    counts = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("_mx"), F.sum("count").alias("_sm"))
+    )
+    joined = per_row.join(counts, "doc_id").withColumn(
+        "top_token_frac", F.round(F.col("_mx") / F.col("_sm").cast("double"), 6)
+    )
+    return joined.select(
+        "doc_id",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_token_frac",
+        (
+            (F.col("dup_2gram_frac") > REP_DUP2_MAX)
+            | (F.col("dup_3gram_frac") > REP_DUP3_MAX)
+            | (F.col("top_token_frac") > REP_TOP_TOKEN_MAX)
+        ).alias("is_repetitive"),
+    )
+
+
+def _repetition_sql() -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_token_frac,
+               (dup_2gram_frac > {REP_DUP2_MAX} OR dup_3gram_frac > {REP_DUP3_MAX}
+                OR top_token_frac > {REP_TOP_TOKEN_MAX}) AS is_repetitive
+        FROM (
+            SELECT doc_id,
+                   round(1 - len(list_distinct(g2))/nullif(len(g2),0), 6) AS dup_2gram_frac,
+                   round(1 - len(list_distinct(g3))/nullif(len(g3),0), 6) AS dup_3gram_frac
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 2 THEN list_transform(
+                           range(0, greatest(len(t)-2,0)+1),
+                           i -> array_to_string(t[i+1:i+2],' ')) ELSE [] END AS g2,
+                       CASE WHEN len(t) >= 3 THEN list_transform(
+                           range(0, greatest(len(t)-3,0)+1),
+                           i -> array_to_string(t[i+1:i+3],' ')) ELSE [] END AS g3
+                FROM (SELECT doc_id, {toks} AS t FROM documents)
+            )
+        )
+        JOIN (
+            SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+            FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+                GROUP BY doc_id, tok
+            )
+            GROUP BY doc_id
+        ) USING (doc_id)
+    """
+
+
+REPETITION_SQL = _repetition_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -320,7 +320,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data operators: dedup family (beyond-reference, SURVEY §7 Phase 6)
 # --------------------------------------------------------------------------
 
-from databus_spark.operators import dedup, multimodal, similarity, text  # noqa: E402
+from databus_spark.operators import dedup, multimodal, shards, similarity, text  # noqa: E402
 
 
 @query("dedup_exact", dedup.EXACT_DEDUP_SQL)
@@ -403,6 +403,32 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-rolling-hash document fingerprint over 5-token shingles."""
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("repetition_filter", text.REPETITION_SQL)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile: duplicate-bigram/-trigram
+    fractions (per-row array exprs) + top-token fraction (one combinable
+    explode aggregation), OR-composed into an is_repetitive flag."""
+    return text.repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+@query("stratified_sample", shards.stratified_sample_sql())
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum-rate sample (ceil(rate*n) lowest-hash rows per
+    lang): deterministic mixture control for training-data curation."""
+    return shards.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "sequence_packing",
+    shards.sequence_packing_sql(f"len({text.TOKENS_SQL.format(col='text')})"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing into (bin, shard) training shards —
+    hash-binned parallel concat-and-chunk, one window sum per bin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shards.sequence_packing(docs, F.size(text.tokens_col("text")))
 
 
 # --------------------------------------------------------------------------

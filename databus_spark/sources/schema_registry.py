@@ -19,6 +19,8 @@ pruned. All JVM-side.
 from __future__ import annotations
 
 import hashlib
+import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -63,6 +65,54 @@ class SchemaRegistry:
         """Broadcastable registry dimension (schema_id, name, version)."""
         rows = [(s.schema_id, s.name, s.version) for s in self._by_id.values()]
         return spark.createDataFrame(rows, "schema_id STRING, schema_name STRING, schema_version INT")
+
+
+class FileSchemaRegistry(SchemaRegistry):
+    """Directory-backed registry: one `<name>.<version>.ddl` file per
+    schema, re-scanned on refresh().
+
+    Reference parity:
+      file layout + `(.*)\\.(\\d+).avsc` name parse
+          <- FileSystemVersionedSchemaSetProvider.java:44,79-117
+      periodic re-scan picking up new versions (without the thread —
+      callers refresh at poll boundaries)
+          <- FileSystemSchemaRegistryService.java:144-160
+    """
+
+    SUFFIX = ".ddl"
+    _NAME_RE = re.compile(r"(.*)\.(\d+)\.ddl$")
+
+    def __init__(self, schema_dir: str) -> None:
+        super().__init__()
+        self.schema_dir = schema_dir
+        os.makedirs(schema_dir, exist_ok=True)
+        self.refresh()
+
+    def register(self, vs: VersionedSchema) -> VersionedSchema:
+        path = os.path.join(self.schema_dir, f"{vs.name}.{vs.version}{self.SUFFIX}")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vs.ddl)
+        os.replace(tmp, path)  # atomic: a concurrent refresh never sees a torn file
+        return super().register(vs)
+
+    def refresh(self) -> int:
+        """Re-scan the directory; returns how many NEW schemas were loaded.
+        Already-known (name, version) pairs are kept as-is — the reference
+        treats published schema versions as immutable."""
+        known = {(s.name, s.version) for vss in self._versions.values() for s in vss}
+        loaded = 0
+        for fname in sorted(os.listdir(self.schema_dir)):
+            m = self._NAME_RE.match(fname)
+            if not m:
+                continue
+            name, version = m.group(1), int(m.group(2))
+            if (name, version) in known:
+                continue
+            with open(os.path.join(self.schema_dir, fname)) as f:
+                SchemaRegistry.register(self, VersionedSchema(name, version, f.read()))
+            loaded += 1
+        return loaded
 
 
 def decode_with_reader(

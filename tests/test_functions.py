@@ -49,6 +49,32 @@ def test_schema_registry_ids_and_latest():
     assert len(v1.schema_id) == 32  # md5 hex
 
 
+def test_file_schema_registry_persists_and_refreshes(tmp_path):
+    """FileSystemVersionedSchemaSetProvider parity: schemas live as
+    <name>.<version>.ddl files; a second registry over the same dir sees
+    them; refresh() picks up versions published by another writer."""
+    from databus_spark.sources.schema_registry import FileSchemaRegistry, VersionedSchema
+
+    d = str(tmp_path / "schemas")
+    reg = FileSchemaRegistry(d)
+    v1 = reg.register(VersionedSchema("orders", 1, "a BIGINT"))
+    v2 = reg.register(VersionedSchema("orders", 2, "a BIGINT, b STRING"))
+    reg.register(VersionedSchema("members", 1, "m STRING"))
+
+    # reload from disk: identical ids, versions, latest resolution
+    reg2 = FileSchemaRegistry(d)
+    assert reg2.latest("orders").schema_id == v2.schema_id
+    assert reg2.by_id(v1.schema_id).ddl == "a BIGINT"
+    assert reg2.latest("members").version == 1
+
+    # another publisher drops a new version into the dir -> refresh sees it
+    (tmp_path / "schemas" / "orders.3.ddl").write_text("a BIGINT, b STRING, c INT")
+    (tmp_path / "schemas" / "README.txt").write_text("ignored: wrong suffix")
+    assert reg2.refresh() == 1
+    assert reg2.latest("orders").version == 3
+    assert reg2.refresh() == 0  # idempotent: published versions are immutable
+
+
 def test_payload_codec_roundtrip_with_available_codec(spark):
     """Payload serde round-trips under whichever codec the image has
     (Avro if spark-avro is loaded, JSON fallback otherwise)."""

@@ -1457,6 +1457,77 @@ def urgent_orders_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "returned_items_topk",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: returned-item revenue, top-20 customers.
+    Filter pushed to the lineitem scan; customer/nation broadcast;
+    orderBy+limit compiles to TakeOrderedAndProject (no global sort).
+    Deterministic top-k: revenue ties broken by c_custkey."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "supplier_profit_by_nation",
+    """
+    SELECT n_name, EXTRACT(year FROM l_shipdate) AS ship_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+               AS profit,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def supplier_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: supplier-side profit rollup by nation and ship
+    year. supplier+nation broadcast; the lineitem fact never shuffles
+    before the partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit", 6),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # PII redaction (training-data hygiene)
 # --------------------------------------------------------------------------

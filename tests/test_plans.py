@@ -46,6 +46,23 @@ def test_keyset_page_is_top_k_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "keyset page became a full sort"
 
 
+def test_returned_items_topk_plan(spark, sf_dir):
+    """Q10 shape: returnflag filter pushed to the lineitem scan, dims
+    broadcast, top-20 via TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(spark, "returned_items_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "top-k became a full sort"
+    assert "BroadcastHashJoin" in plan, "dim broadcast lost"
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag not pushed to scan"
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """Packing must stay one hash-bin shuffle — a global-order window
+    here would serialize 100 TB through one partition."""
+    plan = _plan(spark, "sequence_packing", sf_dir)
+    assert plan.count("Exchange") == 1, "packing gained shuffles"
+    assert "SinglePartition" not in plan, "packing collapsed to a global window"
+
+
 def test_struct_key_compaction_single_shuffle(spark, sf_dir):
     """Struct-keyed compaction keeps the map-side-combinable single-shuffle
     plan — grouping by key_struct must not de-optimize vs string keys."""

@@ -1,0 +1,71 @@
+"""Invariants for training-shard construction (operators/shards.py) —
+the properties the DuckDB oracle can't express as a row-set compare."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databus_spark.catalog import load_table
+from databus_spark.operators import shards, text
+
+BUDGET = 512
+N_BINS = 8
+
+
+def _packed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return shards.sequence_packing(
+        docs, F.size(text.tokens_col("text")), budget=BUDGET, n_bins=N_BINS
+    )
+
+
+def test_packing_assigns_every_doc_once(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    packed = _packed(spark, sf_dir)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_packing_offsets_and_shard_budget(spark, sf_dir):
+    packed = _packed(spark, sf_dir)
+    # a doc STARTS inside its shard's budget window
+    bad_offset = packed.where(
+        (F.col("offset_tokens") < 0) | (F.col("offset_tokens") >= BUDGET)
+    ).count()
+    assert bad_offset == 0
+    # shard overflow is bounded by its last doc's tail: total - last_doc < budget
+    per_shard = (
+        packed.groupBy("bin", "shard_in_bin")
+        .agg(F.sum("n_tokens").alias("total"), F.max("offset_tokens").alias("last_off"))
+    )
+    # every token before the last doc's start fits the budget by construction
+    assert per_shard.where(F.col("last_off") >= BUDGET).count() == 0
+    # the packed stream is contiguous per bin (no gaps, no overlaps):
+    # the furthest token position equals the bin's total token count
+    per_bin = packed.groupBy("bin").agg(
+        F.sum("n_tokens").alias("total"),
+        F.max(
+            F.col("shard_in_bin") * BUDGET + F.col("offset_tokens") + F.col("n_tokens")
+        ).alias("stream_end"),
+    )
+    assert per_bin.where(F.col("total") != F.col("stream_end")).count() == 0
+
+
+def test_packing_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, _packed(spark, sf_dir).collect()))
+    b = sorted(map(tuple, _packed(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_stratified_sample_exact_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rate = 0.2
+    sampled = shards.stratified_sample(docs, strata_col="lang", rate=rate)
+    got = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    import math
+
+    want = {
+        r["lang"]: math.ceil(r["n"] * rate)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

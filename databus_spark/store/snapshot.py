@@ -106,6 +106,41 @@ class ParquetSnapshotStore:
             int(e[1:]) for e in os.listdir(self.root) if e.startswith("v") and e[1:].isdigit()
         )
 
+    def lookup(self, keys: DataFrame) -> DataFrame | None:
+        """Point/multi-key reads that touch ONLY the key's buckets — the
+        serving path of the reference's bootstrap DB (per-key state to a
+        catching-up consumer) without a full-table scan.
+
+        The requested keys' bucket ids are computed with the SAME hash
+        expression merge() buckets by, then only those _bucket=<k>
+        directories are scanned; within a bucket the key predicate is
+        left to parquet min/max skipping (optimize() sorts by key).
+        At 16k buckets over 100 TB a lookup reads ~1/16000th of the
+        table regardless of table size.
+        """
+        v = self._version()
+        if v == 0:
+            return None
+        buckets = sorted(
+            r["_bucket"]
+            for r in keys.select(self._bucket_col()).distinct().collect()
+        )
+        paths = [
+            p
+            for b in buckets
+            if os.path.isdir(p := os.path.join(self._data_dir(v), f"_bucket={b}"))
+        ]
+        if not paths:
+            return self.spark.read.parquet(self._data_dir(v)).drop("_bucket").limit(0)
+        df = (
+            self.spark.read.option("basePath", self._data_dir(v))
+            .parquet(*paths)
+            .drop("_bucket")
+        )
+        return df.join(keys.select(*self.key_cols).distinct(), self.key_cols, "left_semi").where(
+            F.col("opcode") != "DELETE"
+        )
+
     # -- MERGE ----------------------------------------------------------------
     def merge(self, batch: DataFrame) -> int:
         """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.
@@ -188,7 +223,11 @@ class ParquetSnapshotStore:
             )
         new_version = v + 1
         (
+            # sortWithinPartitions by key: parquet row-group min/max stats
+            # then skip inside a bucket, so lookup() point reads prune at
+            # BOTH levels (bucket dir, then row group).
             current.repartition(self.n_buckets, "_bucket")
+            .sortWithinPartitions(*self.key_cols)
             .write.mode("append")
             .partitionBy("_bucket")
             .parquet(self._data_dir(new_version))

@@ -172,6 +172,49 @@ def test_store_optimize_purges_aged_tombstones(spark, sf_dir, tmp_path):
     store.vacuum(keep_last=1)
 
 
+def test_store_lookup_prunes_to_key_buckets(spark, sf_dir, tmp_path):
+    """Point reads scan ONLY the requested keys' bucket dirs (the
+    bootstrap-DB per-key serving path), and agree with a full-scan
+    filter exactly."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    log = orders_changelog(spark, sf_dir).localCheckpoint(eager=True)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), n_buckets=8)
+    store.merge(log)
+
+    keys = store.read().select("source", "key_str").orderBy("key_str").limit(3)
+    keys = keys.localCheckpoint(eager=True)
+    got = store.lookup(keys)
+
+    # correctness: identical to filtering the full read
+    want = store.read().join(keys, ["source", "key_str"], "left_semi")
+    assert sorted(_rows(got, ["key_str", "scn"])) == sorted(_rows(want, ["key_str", "scn"]))
+
+    # pruning: only the keys' buckets appear in the scanned files
+    want_buckets = {
+        r["_bucket"]
+        for r in keys.select(
+            F.pmod(F.hash("source", "key_str"), F.lit(8)).alias("_bucket")
+        ).collect()
+    }
+    scanned = {f for f in got.inputFiles()}
+    scanned_buckets = {
+        int(part.split("=", 1)[1])
+        for f in scanned
+        for part in f.split("/")
+        if part.startswith("_bucket=")
+    }
+    assert scanned_buckets == want_buckets
+    assert len(scanned_buckets) < 8  # actually pruned, not a full scan
+
+    # optimize() keeps lookup working over the sorted rewrite
+    store.optimize()
+    after = store.lookup(keys)
+    assert sorted(_rows(after, ["key_str", "scn"])) == sorted(_rows(want, ["key_str", "scn"]))
+
+
 def test_store_time_travel_versions(spark, sf_dir, tmp_path):
     """Delta time-travel analog: every merge commits a readable version."""
     from pyspark.sql import functions as F

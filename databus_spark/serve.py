@@ -93,3 +93,77 @@ class RelayFacade:
                 .drop("_rb", "_cum")
             )
         return out
+
+    def stream_windows(self, since_scn: int, n_windows: int) -> tuple[DataFrame, int]:
+        """Window-atomic page: the next `n_windows` COMPLETE txn windows
+        after the checkpoint — a transaction is never split across pages,
+        so the client's checkpoint always lands on a window boundary
+        (the reference only checkpoints at onCheckpoint/window end;
+        ReadEventsRequestProcessor serves whole windows the same way).
+        Returns (events in (since, boundary], boundary scn)."""
+        nxt = self.log.where(F.col("scn") > since_scn).select("scn").distinct()
+        bounds = nxt.orderBy("scn").limit(n_windows).agg(F.max("scn")).collect()[0][0]
+        if bounds is None:
+            return self.log.where(F.lit(False)), since_scn
+        page = self.log.where((F.col("scn") > since_scn) & (F.col("scn") <= bounds))
+        return page, int(bounds)
+
+
+class RelayUnavailableError(RuntimeError):
+    pass
+
+
+class MultiRelayClient:
+    """Relay-list failover: the client owns the checkpoint; each pull
+    goes to the current relay, and any relay error rotates to the next
+    replica and RETRIES THE SAME PAGE from the same checkpoint — no
+    events lost, none duplicated, because the checkpoint only advances
+    after the sink lands a complete page.
+
+    Reference parity: DatabusHttpClientImpl keeps a relay server set per
+    subscription and RelayPullThread switches relays on connection
+    failure, resuming from the client checkpoint
+    (databus-client-http/.../DatabusHttpClientImpl.java relay groups;
+    RelayPullThread's PICK_SERVER/onServerError transitions).
+    """
+
+    def __init__(self, relays: list[RelayFacade], start_scn: int = 0) -> None:
+        if not relays:
+            raise ValueError("need at least one relay")
+        self.relays = relays
+        self.active = 0
+        self.checkpoint_scn = start_scn
+        self.failovers = 0
+
+    def pull(self, n_windows: int = 4) -> DataFrame | None:
+        """One window-atomic page from the healthy relay, rotating on
+        errors. Raises RelayUnavailableError only when EVERY relay fails
+        for the same page."""
+        for _ in range(len(self.relays)):
+            relay = self.relays[self.active]
+            try:
+                page, bound = relay.stream_windows(self.checkpoint_scn, n_windows)
+            except Exception:
+                self.active = (self.active + 1) % len(self.relays)
+                self.failovers += 1
+                continue
+            if bound == self.checkpoint_scn:
+                return None  # caught up
+            self._pending = bound
+            return page
+        raise RelayUnavailableError(
+            f"all {len(self.relays)} relays failed at scn {self.checkpoint_scn}"
+        )
+
+    def commit(self) -> None:
+        self.checkpoint_scn = self._pending
+
+    def drain(self, sink, n_windows: int = 4) -> int:
+        pages = 0
+        while True:
+            page = self.pull(n_windows)
+            if page is None:
+                return pages
+            sink(page)
+            self.commit()
+            pages += 1

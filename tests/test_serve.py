@@ -74,3 +74,61 @@ def test_stream_pagination_is_resumable(facade):
     page2 = f.stream(last_scn, size_bytes=4000).collect()
     assert page2
     assert min(r["scn"] for r in page2) > last_scn
+
+
+class _FlakyFacade(RelayFacade):
+    """Relay replica that dies for a stretch of calls, then recovers."""
+
+    def __init__(self, spark, log, fail_calls=range(0, 10**9)):
+        super().__init__(spark, log)
+        self._calls = 0
+        self._fail_calls = fail_calls
+
+    def stream_windows(self, since_scn, n_windows):
+        call, self._calls = self._calls, self._calls + 1
+        if call in self._fail_calls:
+            raise ConnectionError("relay down")
+        return super().stream_windows(since_scn, n_windows)
+
+
+def test_multi_relay_failover_no_loss_no_dup(facade, spark):
+    """A relay dying mid-stream rotates the client to a replica; the
+    page retries from the same checkpoint — final drain equals the log
+    exactly (window-atomic: no partial transactions at any boundary)."""
+    from databus_spark.serve import MultiRelayClient
+
+    _, log = facade
+    # relay 0 serves 2 pages then dies; relay 1 healthy throughout
+    primary = _FlakyFacade(spark, log, fail_calls=range(2, 10**9))
+    replica = RelayFacade(spark, log)
+    client = MultiRelayClient([primary, replica], start_scn=-1)  # log's min scn is 0
+
+    pages: list = []
+    n_pages = client.drain(lambda p: pages.append(p.localCheckpoint(eager=True)), n_windows=600)
+    assert client.failovers == 1
+    assert n_pages >= 3  # failover happened mid-stream, drain continued
+
+    union = pages[0]
+    for p in pages[1:]:
+        union = union.unionByName(p)
+    assert union.count() == log.count()  # no loss, no dup
+    assert union.select("scn", "source", "key_str").distinct().count() == \
+        log.select("scn", "source", "key_str").distinct().count()
+
+    # window atomicity: no scn spans two pages
+    seen: set = set()
+    for p in pages:
+        scns = {r["scn"] for r in p.select("scn").distinct().collect()}
+        assert not (scns & seen)
+        seen |= scns
+
+
+def test_multi_relay_all_down_raises(facade, spark):
+    from databus_spark.serve import MultiRelayClient, RelayUnavailableError
+
+    _, log = facade
+    client = MultiRelayClient([_FlakyFacade(spark, log), _FlakyFacade(spark, log)])
+    import pytest as _pytest
+
+    with _pytest.raises(RelayUnavailableError):
+        client.pull()

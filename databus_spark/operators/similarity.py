@@ -224,6 +224,142 @@ def lsh_topk_sql(n_queries: int = 10, k: int = 5) -> str:
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8      # coarse cells (raise with corpus size: ~sqrt(n) in practice)
+IVF_NPROBE = 2   # cells probed per query
+
+
+def _ivf_centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic coarse centroids: the N_CELLS corpus vectors with the
+    lowest seeded hash — a hash-sample initialization (the standard IVF
+    practice of sampling training points, minus the k-means iterations,
+    which would not be bit-reproducible across engines). cell_id IS the
+    centroid's vector id, so both engines name cells identically."""
+    from databus_spark.functions.hashes import portable_hash64
+
+    h = portable_hash64(F.col(id_col).cast("string"), F.lit("ivf"))
+    return (
+        emb.select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cell_vec"), h.alias("_h")
+        )
+        .orderBy("_h", "cell_id")  # TakeOrdered(N_CELLS): no global sort
+        .limit(N_CELLS)
+        .drop("_h")
+    )
+
+
+def _ivf_scored(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cell_id, cell_sim): every vector scored against the
+    broadcast centroid set — map-side only, the corpus never shuffles
+    to be scored."""
+    return emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell_id",
+        F.round(cosine(F.col(vec_col), F.col("cell_vec")), 6).alias("cell_sim"),
+    )
+
+
+def _ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Argmax-cell assignment as a map-side-combinable max_by aggregate
+    (NOT a window: a corpus-wide row_number would sort-shuffle every
+    scored row; max_by reduces the x N_CELLS fan-out back to one row per
+    vector before the exchange). Tie-break: highest sim, lowest cell."""
+    scored = _ivf_scored(emb, centroids, id_col, vec_col)
+    return scored.groupBy(id_col).agg(
+        F.max_by("cell_id", F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("_nc"))).alias(
+            "cell_id"
+        ),
+        F.first(vec_col).alias(vec_col),  # constant within the group
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their argmax-cosine cell;
+    each query probes its IVF_NPROBE nearest cells; exact re-rank inside.
+
+    Scale shape: centroids broadcast (tiny), assignment map-side, the
+    candidate join is an equi-join on cell_id, candidates per query
+    ~ IVF_NPROBE * n / N_CELLS. The complementary scale path to sign-LSH
+    (lsh_topk): IVF adapts to the data's density (cells follow sampled
+    points), LSH is data-oblivious."""
+    cent = _ivf_centroids(emb, id_col, vec_col)
+    assigned = _ivf_assign(emb, cent, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell_id"
+    )
+    # probe ranking only over the (tiny) query subset — its window is
+    # over n_queries * N_CELLS rows, not the corpus
+    q_scored = _ivf_scored(emb.where(F.col(id_col) < n_queries), cent, id_col, vec_col)
+    wq = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        q_scored.withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= IVF_NPROBE)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivf_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    sim = _cosine_sql("q.embedding", "n.embedding")
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {N_CELLS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS cell_rank
+            FROM embeddings v CROSS JOIN cent c
+        ),
+        cand AS (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell_id FROM ranked
+                  WHERE vec_id < {n_queries} AND cell_rank <= {IVF_NPROBE}) p
+            JOIN (SELECT vec_id, cell_id FROM ranked WHERE cell_rank = 1) a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, round({sim}, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({sim}, 6) DESC, neighbor_id ASC
+                   ) AS rank
+            FROM cand
+            JOIN embeddings q ON q.vec_id = query_id
+            JOIN embeddings n ON n.vec_id = neighbor_id
+        )
+        WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (dedup use)
 # ---------------------------------------------------------------------------
 

@@ -377,6 +377,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+@query("ann_ivf_topk", similarity.ivf_topk_sql(n_queries=10, k=5))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF coarse quantization: hash-sampled centroid set
+    broadcast, map-side cell assignment, nprobe=2 probed cells per
+    query, exact re-rank — the data-adaptive complement to sign-LSH."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -55,6 +55,15 @@ def test_returned_items_topk_plan(spark, sf_dir):
     assert "EqualTo(l_returnflag,R)" in plan, "returnflag not pushed to scan"
 
 
+def test_ivf_assignment_is_partial_agg_not_window(spark, sf_dir):
+    """IVF cell assignment must reduce the xN_CELLS scoring fan-out
+    map-side (max_by partial agg); a corpus-wide row_number window here
+    would sort-shuffle every scored row at 100 TB."""
+    plan = _plan(spark, "ann_ivf_topk", sf_dir)
+    assert "partial_max_by" in plan, "IVF assignment lost map-side combine"
+    assert "SortMergeJoin" not in plan, "IVF candidate join fell back to sort-merge"
+
+
 def test_sequence_packing_single_shuffle(spark, sf_dir):
     """Packing must stay one hash-bin shuffle — a global-order window
     here would serialize 100 TB through one partition."""

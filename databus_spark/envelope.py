@@ -239,6 +239,9 @@ def lineitem_changelog(
     seq_w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
         "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
+    # NOTE: a localCheckpoint here (sharing the seq window across the two
+    # union branches) was measured SLOWER end-to-end — materializing kills
+    # downstream column pruning, which outweighs the duplicated window.
     li = li.withColumn("_seq", F.row_number().over(seq_w))
     max_ln = F.max("l_linenumber").over(Window.partitionBy("l_orderkey", "scn"))
 

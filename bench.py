@@ -43,6 +43,10 @@ def main() -> None:
         except Exception:
             pass
 
+    # Untimed warm-up: the first job in a fresh JVM pays JIT/codegen init
+    # (~4-5 s) that would otherwise be billed to whichever query runs first.
+    queries["max_scn_probe"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:

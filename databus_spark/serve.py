@@ -32,10 +32,19 @@ EVENT_HEADER_BYTES = 45  # DbusEventV2 fixed header (DbusEventV2.java:33-90)
 
 
 class RelayFacade:
-    def __init__(self, spark: SparkSession, log: DataFrame, schemas: SchemaRegistry | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        log: DataFrame,
+        schemas: SchemaRegistry | None = None,
+        retained_min_scn: int | None = None,
+    ):
         self.spark = spark
         self.log = log
         self.schemas = schemas or SchemaRegistry()
+        # Oldest scn this relay still holds (its buffer has wrapped past
+        # older events). None = full history retained.
+        self.retained_min_scn = retained_min_scn
 
     # -- /sources -------------------------------------------------------------
     def sources(self) -> DataFrame:
@@ -100,7 +109,18 @@ class RelayFacade:
         so the client's checkpoint always lands on a window boundary
         (the reference only checkpoints at onCheckpoint/window end;
         ReadEventsRequestProcessor serves whole windows the same way).
-        Returns (events in (since, boundary], boundary scn)."""
+        Returns (events in (since, boundary], boundary scn).
+
+        A checkpoint older than the retention window raises
+        SCNNotFoundError instead of silently skipping the pruned gap —
+        ReadEventsRequestProcessor's SCNNotFound answer, which drives
+        the client to another relay or to bootstrap."""
+        if self.retained_min_scn is not None and since_scn < self.retained_min_scn - 1:
+            from databus_spark.streaming.controller import SCNNotFoundError
+
+            raise SCNNotFoundError(
+                f"checkpoint {since_scn} below retention floor {self.retained_min_scn}"
+            )
         nxt = self.log.where(F.col("scn") > since_scn).select("scn").distinct()
         bounds = nxt.orderBy("scn").limit(n_windows).agg(F.max("scn")).collect()[0][0]
         if bounds is None:
@@ -138,11 +158,23 @@ class MultiRelayClient:
     def pull(self, n_windows: int = 4) -> DataFrame | None:
         """One window-atomic page from the healthy relay, rotating on
         errors. Raises RelayUnavailableError only when EVERY relay fails
-        for the same page."""
+        for the same page; raises SCNNotFoundError when every relay has
+        pruned past the checkpoint (a replica may retain deeper history,
+        so rotation is tried first) — the caller's cue to run the
+        bootstrap protocol (BootstrapController), exactly the reference's
+        relay-fell-off -> bootstrap transition."""
+        from databus_spark.streaming.controller import SCNNotFoundError
+
+        fell_off = 0
         for _ in range(len(self.relays)):
             relay = self.relays[self.active]
             try:
                 page, bound = relay.stream_windows(self.checkpoint_scn, n_windows)
+            except SCNNotFoundError:
+                fell_off += 1
+                self.active = (self.active + 1) % len(self.relays)
+                self.failovers += 1
+                continue
             except Exception:
                 self.active = (self.active + 1) % len(self.relays)
                 self.failovers += 1
@@ -151,6 +183,10 @@ class MultiRelayClient:
                 return None  # caught up
             self._pending = bound
             return page
+        if fell_off == len(self.relays):
+            raise SCNNotFoundError(
+                f"checkpoint {self.checkpoint_scn} below every relay's retention"
+            )
         raise RelayUnavailableError(
             f"all {len(self.relays)} relays failed at scn {self.checkpoint_scn}"
         )

@@ -132,3 +132,64 @@ def test_multi_relay_all_down_raises(facade, spark):
 
     with _pytest.raises(RelayUnavailableError):
         client.pull()
+
+
+def test_failover_drain_builds_exact_snapshot(facade, spark, tmp_path):
+    """End-to-end: a consumer drains the log through the failover client
+    into the MERGE store; despite a mid-stream relay death the final
+    store state equals batch compaction of the full log exactly."""
+    from databus_spark.operators.compaction import latest_by_key
+    from databus_spark.serve import MultiRelayClient
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    _, log = facade
+    primary = _FlakyFacade(spark, log, fail_calls=range(1, 3))  # dies after page 0
+    replica = RelayFacade(spark, log)
+    client = MultiRelayClient([primary, replica], start_scn=-1)
+    store = ParquetSnapshotStore(spark, str(tmp_path / "snap"), key_cols=("source", "key_str"))
+
+    client.drain(lambda p: store.merge(p), n_windows=700)
+    assert client.failovers >= 1
+
+    got = sorted(
+        (r["source"], r["key_str"], r["scn"]) for r in store.read().collect()
+    )
+    want_df = latest_by_key(log, ("source", "key_str")).where(F.col("opcode") != "DELETE")
+    want = sorted((r["source"], r["key_str"], r["scn"]) for r in want_df.collect())
+    assert got == want
+
+
+def test_stale_checkpoint_scn_not_found_then_bootstrap_cue(facade, spark):
+    """A checkpoint below a relay's retention floor never silently skips
+    the pruned gap: the relay answers SCNNotFound; the client first
+    tries a replica with deeper retention, and only when every relay
+    has pruned past the checkpoint does SCNNotFoundError surface as the
+    bootstrap cue."""
+    from databus_spark.serve import MultiRelayClient
+    from databus_spark.streaming.controller import SCNNotFoundError
+
+    _, log = facade
+    shallow = RelayFacade(spark, log, retained_min_scn=2_000_000_000)
+    deep = RelayFacade(spark, log)  # full history
+
+    # stale checkpoint + a deep replica: rotation saves the stream
+    client = MultiRelayClient([shallow, deep], start_scn=-1)
+    page = client.pull(n_windows=50)
+    assert page is not None and client.failovers == 1
+    assert page.agg(F.min("scn")).collect()[0][0] >= 0  # served from scn 0, no gap
+
+    # every relay pruned -> SCNNotFoundError (not RelayUnavailableError)
+    client2 = MultiRelayClient(
+        [
+            RelayFacade(spark, log, retained_min_scn=2_000_000_000),
+            RelayFacade(spark, log, retained_min_scn=1_000_000_000),
+        ],
+        start_scn=-1,
+    )
+    with pytest.raises(SCNNotFoundError):
+        client2.pull()
+
+    # a checkpoint AT the floor boundary is still served (events > ckpt all retained)
+    ok = RelayFacade(spark, log, retained_min_scn=2_000_000_000)
+    page, bound = ok.stream_windows(1_999_999_999, 10)
+    assert bound > 1_999_999_999

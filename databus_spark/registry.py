@@ -421,6 +421,64 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_profile(load_table(spark, sf_dir, "documents"))
 
 
+def _curation_sql() -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("doc_id", "'mix'")
+    return f"""
+    WITH q AS ({text.QUALITY_SQL}), r AS ({text.REPETITION_SQL}),
+         l AS ({text.LANG_ID_SQL})
+    SELECT doc_id, quality, is_repetitive, pred_lang, decision,
+           (decision = 'keep'
+            OR (decision = 'downsample' AND {h} % 5 = 0)) AS sampled_in
+    FROM (
+        SELECT doc_id, quality, is_repetitive, pred_lang,
+               CASE WHEN quality >= 0.75 AND NOT is_repetitive
+                         AND pred_lang <> 'und' THEN 'keep'
+                    WHEN quality >= 0.68 THEN 'downsample'
+                    ELSE 'drop' END AS decision
+        FROM q JOIN r USING (doc_id) JOIN l USING (doc_id)
+    )
+    """
+
+
+@query("curation_decisions", _curation_sql())
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's end product: quality scoring, repetition
+    filtering and language-ID composed into one plan emitting
+    keep / downsample / drop per document, with a deterministic
+    hash-sampled survivor set for the downsample class (1-in-5).
+    Catalyst fuses the three operator families over a single documents
+    scan per branch; the whole decision is JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from databus_spark.functions.hashes import portable_hash64
+
+    joined = (
+        text.quality_score(docs)
+        .select("doc_id", "quality")
+        .join(
+            text.repetition_profile(docs).select("doc_id", "is_repetitive"), "doc_id"
+        )
+        .join(text.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+    )
+    decision = (
+        F.when(
+            (F.col("quality") >= 0.75)
+            & ~F.col("is_repetitive")
+            & (F.col("pred_lang") != "und"),
+            "keep",
+        )
+        .when(F.col("quality") >= 0.68, "downsample")
+        .otherwise("drop")
+    )
+    out = joined.select("doc_id", "quality", "is_repetitive", "pred_lang", decision.alias("decision"))
+    sampled = (F.col("decision") == "keep") | (
+        (F.col("decision") == "downsample")
+        & (portable_hash64(F.col("doc_id").cast("string"), F.lit("mix")) % 5 == 0)
+    )
+    return out.withColumn("sampled_in", sampled)
+
+
 @query("stratified_sample", shards.stratified_sample_sql())
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum-rate sample (ceil(rate*n) lowest-hash rows per

@@ -90,12 +90,15 @@ def main() -> None:
     from databus_spark.streaming.source import stage_changelog as _stage
 
     routed_dir = tempfile.mkdtemp(prefix="bench_routed_")
-    _stage(log, routed_dir, n_chunks=4, route_buckets=8)
+    # part_dirs: physical partitions are directory levels (the reference's
+    # per-partition buffers), so the physical-partition subscription below
+    # is directory pruning, not a per-row predicate over every file.
+    _stage(log, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True)
     staged = spark.read.option("basePath", routed_dir).parquet(routed_dir + "/chunk=*")
 
-    def best_of(df, n: int = 3) -> float:
+    def best_of(df, n: int = 4) -> float:
         # These scans finish in ~0.1 s, so a single GC pause doubles a
-        # sample; best-of-3 keeps the RATIO metrics below out of the noise.
+        # sample; best-of-4 keeps the RATIO metrics below out of the noise.
         best = float("inf")
         for _ in range(n):
             clear_caches()

@@ -35,6 +35,7 @@ def stage_changelog(
     order_col: str = "scn",
     route_buckets: int | None = None,
     first_chunk: int = 1,
+    part_dirs: bool = False,
 ) -> None:
     """Write a changelog as n_chunks scn-range files so a file stream
     replays it in SCN order, whole windows per chunk (never splitting a
@@ -43,7 +44,12 @@ def stage_changelog(
     With ``route_buckets`` set, the producer's hash route is materialized
     and the layout becomes chunk=<i>/route_partition=<p>/ — key-mod
     subscriptions then prune whole directories at the scan (the relay's
-    "filter before the wire", paid zero times instead of per-event)."""
+    "filter before the wire", paid zero times instead of per-event).
+
+    With ``part_dirs`` the physical partition becomes a directory level
+    too (chunk=<i>/part_id=<k>/...), mirroring the reference's
+    per-physical-partition buffers (DbusEventBufferMult) — a
+    physical-partition subscription then also prunes at the scan."""
     if route_buckets is not None:
         from databus_spark.operators.partitioners import with_route_partition
 
@@ -52,11 +58,14 @@ def stage_changelog(
     # ntile can split a txn window across chunks; snap each scn to its min chunk
     snap = F.min("_chunk").over(Window.partitionBy(order_col))
     chunked = chunked.withColumn("_chunk", snap)
+    dirs = (["part_id"] if part_dirs else []) + (
+        ["route_partition"] if route_buckets is not None else []
+    )
     for i in range(1, n_chunks + 1):
         part = chunked.where(F.col("_chunk") == i).drop("_chunk")
         writer = part.coalesce(1).write.mode("overwrite")
-        if route_buckets is not None:
-            writer = writer.partitionBy("route_partition")
+        if dirs:
+            writer = writer.partitionBy(*dirs)
         writer.parquet(os.path.join(stage_dir, f"chunk={first_chunk + i - 1:05d}"))
 
 

@@ -37,14 +37,24 @@ assert set(SOURCE_IDS) == set(TABLES)
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long and truncate to micros
-        # (exactly what DuckDB's micro-resolution TIMESTAMP does).
+        # Fixture generations differ in how events.ts is written:
+        #   - TIMESTAMP(NANOS): Spark's parquet reader rejects it unless
+        #     nanosAsLong is set, in which case ts loads as LongType and we
+        #     truncate to micros (what DuckDB's micro TIMESTAMP does);
+        #   - timestamp[us] (isAdjustedToUTC=false): loads as TIMESTAMP_NTZ.
+        # Branch on the *loaded* dtype so both layouts work, and normalize to
+        # TimestampType (session tz is UTC, so NTZ -> TZ is value-preserving).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1214,8 +1214,14 @@ def trail_file_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_scn = max(txns)
     from_scn = max_scn // 2
 
+    # Stable digest (not PYTHONHASHSEED-randomized builtin hash), so the
+    # same sf_dir reuses/overwrites one dir across processes instead of
+    # leaking a fresh tempdir per run.
+    import hashlib
+
     trail_dir = os.path.join(
-        tempfile.gettempdir(), f"databus_trail_{abs(hash(sf_dir)) % 10**9}"
+        tempfile.gettempdir(),
+        f"databus_trail_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     shutil.rmtree(trail_dir, ignore_errors=True)
     writer = TrailWriter(trail_dir, max_bytes=64 * 1024)

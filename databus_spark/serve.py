@@ -133,6 +133,15 @@ class RelayUnavailableError(RuntimeError):
     pass
 
 
+try:  # Spark job failures on the relay side are retryable against a replica
+    from pyspark.errors import PySparkException as _PySparkException
+except ImportError:  # pragma: no cover
+    _PySparkException = ()
+
+# ConnectionError/TimeoutError are OSError subclasses, listed for clarity.
+_FAILOVER_ERRORS = (OSError, ConnectionError, TimeoutError, _PySparkException)
+
+
 class MultiRelayClient:
     """Relay-list failover: the client owns the checkpoint; each pull
     goes to the current relay, and any relay error rotates to the next
@@ -153,6 +162,7 @@ class MultiRelayClient:
         self.relays = relays
         self.active = 0
         self.checkpoint_scn = start_scn
+        self._pending = start_scn  # commit() before any pull() is a no-op
         self.failovers = 0
 
     def pull(self, n_windows: int = 4) -> DataFrame | None:
@@ -175,7 +185,10 @@ class MultiRelayClient:
                 self.active = (self.active + 1) % len(self.relays)
                 self.failovers += 1
                 continue
-            except Exception:
+            except _FAILOVER_ERRORS:
+                # Transport / relay-side failures rotate; programming errors
+                # (TypeError, KeyError, ...) propagate instead of being
+                # silently retried against every replica.
                 self.active = (self.active + 1) % len(self.relays)
                 self.failovers += 1
                 continue

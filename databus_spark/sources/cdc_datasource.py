@@ -51,8 +51,23 @@ CDC_SCHEMA_DDL = (
 
 
 # -- producer side (test/tooling): the binlog writer -------------------------
+INDEX_NAME = "binlog.index.json"
+
+
 class BinlogWriter:
-    """Appends transaction lines to a rotating binlog trail."""
+    """Appends transaction lines to a rotating binlog trail, maintaining a
+    per-file SCN index sidecar ``binlog.index.json``::
+
+        {"binlog.000001.jsonl": {"first_scn": 7, "last_scn": 1042}, ...}
+
+    The sidecar is what lets the reader seek by SCN instead of rescanning
+    the whole trail every trigger — the analog of the reference's
+    (file, offset) binlog position seek (TrailFilePositionSetter /
+    OpenReplicatorEventProducer start-position logic), restated for an
+    SCN-addressed trail. Written via temp-file rename so readers never
+    observe a torn index; a file missing from the index (producer crashed
+    between append and flush) degrades to a scan of that file only.
+    """
 
     def __init__(self, trail_dir: str, max_txns_per_file: int = 1000) -> None:
         self.trail_dir = trail_dir
@@ -61,6 +76,7 @@ class BinlogWriter:
         existing = _trail_files(trail_dir)
         self._index = int(existing[-1].rsplit(".", 2)[-2]) if existing else 1
         self._txns_in_file = 0
+        self._idx = _read_index(trail_dir)
 
     def _path(self) -> str:
         return os.path.join(self.trail_dir, f"binlog.{self._index:06d}.jsonl")
@@ -80,6 +96,14 @@ class BinlogWriter:
         with open(self._path(), "a") as f:
             f.write(line + "\n")
         self._txns_in_file += 1
+        name = os.path.basename(self._path())
+        ent = self._idx.get(name)
+        if ent is None:
+            self._idx[name] = {"first_scn": int(scn), "last_scn": int(scn)}
+        else:
+            ent["first_scn"] = min(ent["first_scn"], int(scn))
+            ent["last_scn"] = max(ent["last_scn"], int(scn))
+        _write_index(self.trail_dir, self._idx)
 
 
 def _trail_files(trail_dir: str) -> list[str]:
@@ -90,10 +114,44 @@ def _trail_files(trail_dir: str) -> list[str]:
     return sorted(n for n in names if n.startswith("binlog.") and n.endswith(".jsonl"))
 
 
-def _scan_txns(trail_dir: str) -> Iterator[dict]:
+def _read_index(trail_dir: str) -> dict[str, dict]:
+    try:
+        with open(os.path.join(trail_dir, INDEX_NAME)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _write_index(trail_dir: str, idx: dict[str, dict]) -> None:
+    tmp = os.path.join(trail_dir, INDEX_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(idx, f, sort_keys=True)
+    os.replace(tmp, os.path.join(trail_dir, INDEX_NAME))
+
+
+def _select_files(
+    trail_dir: str, start_scn: int | None = None, end_scn: int | None = None
+) -> list[str]:
+    """Index-pruned file list for an (start, end] SCN range: files whose
+    SCN bracket falls entirely outside the range are skipped without
+    being opened. Unindexed files are conservatively kept (scanned)."""
+    idx = _read_index(trail_dir)
+    out = []
+    for name in _trail_files(trail_dir):
+        ent = idx.get(name)
+        if ent is not None:
+            if start_scn is not None and int(ent["last_scn"]) <= start_scn:
+                continue
+            if end_scn is not None and int(ent["first_scn"]) > end_scn:
+                continue
+        out.append(name)
+    return out
+
+
+def _scan_txns(trail_dir: str, files: list[str] | None = None) -> Iterator[dict]:
     """Commit-ordered transaction scan across rotated files (file names
     sort in rotation order; scn is monotone across a trail)."""
-    for name in _trail_files(trail_dir):
+    for name in _trail_files(trail_dir) if files is None else files:
         with open(os.path.join(trail_dir, name)) as f:
             for line in f:
                 line = line.strip()
@@ -131,14 +189,24 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         return {str(p): self.start_scn for p in range(self.n_parts)}
 
     def latestOffset(self) -> dict:
-        latest = {str(p): self.start_scn for p in range(self.n_parts)}
-        for txn in _scan_txns(self.trail_dir):
-            scn = int(txn["scn"])
-            for ev in txn["events"]:
-                key = str(int(ev["part_id"]) % self.n_parts)
-                if scn > latest[key]:
-                    latest[key] = scn
-        return latest
+        """Trail head from the SCN index sidecar — O(#files) sidecar
+        lookups per trigger instead of an O(trail) rescan; only files the
+        producer hadn't indexed yet (crash window) are actually read.
+        Every partition advances to the head: a partition with no events
+        in the range plans an (index-pruned) no-op task, and exactly-once
+        holds because the next start is the committed end."""
+        idx = _read_index(self.trail_dir)
+        head = self.start_scn
+        unindexed = []
+        for name in _trail_files(self.trail_dir):
+            ent = idx.get(name)
+            if ent is not None:
+                head = max(head, int(ent["last_scn"]))
+            else:
+                unindexed.append(name)
+        for txn in _scan_txns(self.trail_dir, unindexed):
+            head = max(head, int(txn["scn"]))
+        return {str(p): head for p in range(self.n_parts)}
 
     def partitions(self, start: dict, end: dict):
         out = []
@@ -154,9 +222,14 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
 
         The last event of a transaction FOR THIS PARTITION carries
         txn_end=True — the per-buffer end-of-window marker the reference
-        appends when it closes a window (DbusEventBuffer EOP event)."""
+        appends when it closes a window (DbusEventBuffer EOP event).
+
+        Files are pruned by the SCN index before being opened: a resumed
+        stream with a deep trail reads only files overlapping
+        (start, end], not the whole history."""
         p = partition.part_id
-        for txn in _scan_txns(partition.trail_dir):
+        files = _select_files(partition.trail_dir, partition.start_scn, partition.end_scn)
+        for txn in _scan_txns(partition.trail_dir, files):
             scn = int(txn["scn"])
             if not (partition.start_scn < scn <= partition.end_scn):
                 continue
@@ -209,9 +282,20 @@ def register(spark) -> None:
 
 
 def changelog_to_binlog(log_df, trail_dir: str, payload_cols, n_files: int = 3) -> int:
-    """Materialize a deterministic changelog DataFrame as a binlog trail:
-    rows sharing an SCN form one transaction (the envelope's txn framing
-    inverted). Returns the number of transactions written."""
+    """TEST-FIXTURE ONLY — NOT an engine path. Materialize a deterministic
+    changelog DataFrame as a binlog trail: rows sharing an SCN form one
+    transaction (the envelope's txn framing inverted). Returns the number
+    of transactions written.
+
+    This collects the whole changelog to the driver and writes
+    single-threaded, which is fine for building small test trails but
+    would never scale: a production binlog producer is the upstream
+    database itself (the reference's OpenReplicatorEventProducer tails a
+    live MySQL), so the engine never *writes* binlogs at scale — it only
+    reads them (CdcBinlogStreamReader, partitioned per trail file). If a
+    distributed trail-writing path were ever needed, it would be
+    df.repartitionByRange("scn").foreachPartition(writer) with one trail
+    file per partition."""
     rows = log_df.collect()
     by_scn: dict[int, list] = {}
     for r in rows:

@@ -92,7 +92,9 @@ class SqlTxlogPuller:
             f"ORDER BY {self.scn_col}"
         )
         self._pending_scn = boundary
-        return self.spark.createDataFrame(arrow.to_pandas())
+        # Arrow-native path: pandas round-trip would promote nullable int
+        # columns to float64 and lose the exact dtypes the MERGE store keys on.
+        return self.spark.createDataFrame(arrow)
 
     def commit(self) -> None:
         if self._pending_scn is not None:

@@ -35,19 +35,52 @@ from pyspark.sql import functions as F
 TRAIL_PREFIX = "x"
 _SCN_RE = re.compile(r'scn="(\d+)"')
 
-# per-op XML record schema (from_xml reader; ggParser analog)
-TX_XML_SCHEMA = (
-    "_scn BIGINT, op ARRAY<STRUCT<_type: STRING, _key: BIGINT, _price: DOUBLE>>"
+
+@dataclass(frozen=True)
+class TrailColumn:
+    """One per-op attribute of a trail record: XML attribute name, output
+    column name, Spark SQL type."""
+
+    attr: str
+    out: str
+    dtype: str
+
+
+# Per-source record spec: the reference's ggParser StateMachine walks
+# arbitrary per-source column sets from the GG dictionary
+# (databus2-relay-impl/.../ggParser/XmlStateMachine/StateMachine.java);
+# here the same generality is a tuple of TrailColumns driving both the
+# writer's attribute layout and the from_xml reader schema. The default
+# is the original (key, price) demo shape.
+DEFAULT_TRAIL_SPEC: tuple[TrailColumn, ...] = (
+    TrailColumn("key", "key_num", "BIGINT"),
+    TrailColumn("price", "price", "DOUBLE"),
 )
+
+
+def tx_xml_schema(spec: tuple[TrailColumn, ...] = DEFAULT_TRAIL_SPEC) -> str:
+    """from_xml schema for a spec (ggParser analog)."""
+    fields = ", ".join(f"_{c.attr}: {c.dtype}" for c in spec)
+    return f"_scn BIGINT, op ARRAY<STRUCT<_type: STRING, {fields}>>"
+
+
+# back-compat alias for the default shape
+TX_XML_SCHEMA = tx_xml_schema()
 
 
 class TrailWriter:
     """Appends one <tx> line per transaction; rotates by size
-    (GoldenGate trail rotation)."""
+    (GoldenGate trail rotation). Record shape is spec-driven."""
 
-    def __init__(self, trail_dir: str, max_bytes: int = 1 << 20) -> None:
+    def __init__(
+        self,
+        trail_dir: str,
+        max_bytes: int = 1 << 20,
+        spec: tuple[TrailColumn, ...] = DEFAULT_TRAIL_SPEC,
+    ) -> None:
         self.trail_dir = trail_dir
         self.max_bytes = max_bytes
+        self.spec = spec
         os.makedirs(trail_dir, exist_ok=True)
         files = trail_files(trail_dir)
         self._seq = int(files[-1][len(TRAIL_PREFIX):]) if files else 1
@@ -58,11 +91,17 @@ class TrailWriter:
     def rotate(self) -> None:
         self._seq += 1
 
-    def append_txn(self, scn: int, ops: list[tuple[str, int, float]]) -> None:
-        """ops: (type, key, price) triples; one atomic <tx> line."""
-        body = "".join(
-            f'<op type="{t}" key="{k}" price="{p}"/>' for t, k, p in ops
-        )
+    def append_txn(self, scn: int, ops: list[tuple]) -> None:
+        """ops: (type, *values) tuples, values matching self.spec order;
+        one atomic <tx> line."""
+        attrs = [c.attr for c in self.spec]
+
+        def render(op: tuple) -> str:
+            t, *vals = op
+            kv = "".join(f' {a}="{v}"' for a, v in zip(attrs, vals))
+            return f'<op type="{t}"{kv}/>'
+
+        body = "".join(render(op) for op in ops)
         line = f'<tx scn="{scn}">{body}</tx>\n'
         path = self._path()
         if os.path.exists(path) and os.path.getsize(path) + len(line) > self.max_bytes:
@@ -147,19 +186,25 @@ class TrailPositionSetter:
         return keep
 
 
-def _parse_lines(lines: DataFrame) -> DataFrame:
-    parsed = lines.select(F.from_xml("value", TX_XML_SCHEMA).alias("tx"))
+def _parse_lines(
+    lines: DataFrame, spec: tuple[TrailColumn, ...] = DEFAULT_TRAIL_SPEC
+) -> DataFrame:
+    parsed = lines.select(F.from_xml("value", tx_xml_schema(spec)).alias("tx"))
     return parsed.select(
         F.col("tx._scn").alias("txn_scn"), F.explode("tx.op").alias("op")
     ).select(
         "txn_scn",
         F.col("op._type").alias("op_type"),
-        F.col("op._key").alias("key_num"),
-        F.col("op._price").alias("price"),
+        *[F.col(f"op._{c.attr}").alias(c.out) for c in spec],
     )
 
 
-def read_trail(spark: SparkSession, trail_dir: str, from_scn: int = -1) -> DataFrame:
+def read_trail(
+    spark: SparkSession,
+    trail_dir: str,
+    from_scn: int = -1,
+    spec: tuple[TrailColumn, ...] = DEFAULT_TRAIL_SPEC,
+) -> DataFrame:
     """Batch read of the trail past from_scn. The position setter prunes
     whole files BEFORE Spark lists them — the seek — and the residual
     head of the boundary file is dropped by the scn predicate."""
@@ -168,17 +213,21 @@ def read_trail(spark: SparkSession, trail_dir: str, from_scn: int = -1) -> DataF
         names = setter.files_from(from_scn)
         if not names:
             return _parse_lines(
-                spark.createDataFrame([], "value STRING")
+                spark.createDataFrame([], "value STRING"), spec
             ).where(F.lit(False))
         paths = [os.path.join(trail_dir, n) for n in names]
     else:
         paths = [trail_dir]
     lines = spark.read.text(paths)
-    out = _parse_lines(lines)
+    out = _parse_lines(lines, spec)
     return out.where(F.col("txn_scn") > from_scn) if from_scn >= 0 else out
 
 
-def tail_trail_stream(spark: SparkSession, trail_dir: str) -> DataFrame:
+def tail_trail_stream(
+    spark: SparkSession,
+    trail_dir: str,
+    spec: tuple[TrailColumn, ...] = DEFAULT_TRAIL_SPEC,
+) -> DataFrame:
     """Tail the trail dir as a stream; a rotation is just a new file.
     NOTE: Spark's file source tracks files, not offsets, so a trail file
     must be complete before it is picked up in a micro-batch — the tests
@@ -186,4 +235,4 @@ def tail_trail_stream(spark: SparkSession, trail_dir: str) -> DataFrame:
     points this at closed trail files (the current hot file is read on
     the next trigger after rotation)."""
     lines = spark.readStream.format("text").load(trail_dir + f"/{TRAIL_PREFIX}*")
-    return _parse_lines(lines)
+    return _parse_lines(lines, spec)

@@ -78,6 +78,9 @@ class Checkpoint:
         self.bootstrap_since_scn = since_scn
         self.sources = list(sources)
         self.bootstrap_snapshot_source_index = 0
+        self.bootstrap_catchup_source_index = 0
+        self.bootstrap_start_scn = -1
+        self.bootstrap_target_scn = -1
         self.snapshot_offset = -1
         return self
 
@@ -111,3 +114,32 @@ class Checkpoint:
             self.prevScn = self.windowScn
             self.windowScn = target_scn
         return self
+
+
+class FileCheckpointProvider:
+    """Durable app-level checkpoint storage — the analog of the
+    reference's FileSystemCheckpointPersistenceProvider
+    (databus-client-common/.../checkpoint/
+    FileSystemCheckpointPersistenceProvider.java): the consumer persists
+    its Checkpoint after every phase advance, so a crash mid-bootstrap
+    resumes at the last completed (phase, source index) instead of
+    restarting the whole bootstrap. Atomic via temp-file rename."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def load(self) -> Checkpoint | None:
+        import os
+
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return Checkpoint.from_json(f.read())
+
+    def save(self, ckpt: Checkpoint) -> None:
+        import os
+
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(ckpt.to_json())
+        os.replace(tmp, self.path)

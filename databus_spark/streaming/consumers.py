@@ -240,9 +240,16 @@ class DistributedDispatcher:
     engine-native scale path for it.
     """
 
-    def __init__(self, fn, output_ddl: str, sort_within: tuple[str, ...] = ("scn",)):
+    def __init__(self, fn, output_ddl: str, sort_within: tuple[str, ...] = ("key_str",)):
         """fn(scn: int, source: str, events: pandas.DataFrame) -> pandas.DataFrame
-        with columns matching output_ddl."""
+        with columns matching output_ddl.
+
+        sort_within must be a REAL intra-window order: scn/source are the
+        grouping key (constant within a group) and would leave the order
+        shuffle-dependent. The default key_str is unique per row within
+        every envelope window, so delivery order is deterministic; pass a
+        commit-sequence column instead when the callback must see rows in
+        original commit order."""
         self.fn = fn
         self.output_ddl = output_ddl
         self.sort_within = sort_within

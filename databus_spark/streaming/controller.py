@@ -39,6 +39,7 @@ from databus_spark.streaming.checkpoint import (
     MODE_ONLINE,
     MODE_SNAPSHOT,
     Checkpoint,
+    FileCheckpointProvider,
 )
 from databus_spark.streaming.source import changelog_stream
 
@@ -56,6 +57,7 @@ class BootstrapController:
         schema,
         store: ParquetSnapshotStore,
         sources: list[str],
+        ckpt_path: str | None = None,
     ) -> None:
         self.spark = spark
         # durable change log (bootstrap DB analog): a DataFrame, or a
@@ -68,8 +70,18 @@ class BootstrapController:
         self.schema = schema
         self.store = store
         self.sources = sources
-        self.checkpoint = Checkpoint()
+        # Durable app-level checkpoint: with ckpt_path set, every phase
+        # advance is persisted and a restarted controller resumes
+        # mid-bootstrap (BootstrapCheckpointHandler.java:90-276 +
+        # FileSystemCheckpointPersistenceProvider semantics).
+        self.provider = FileCheckpointProvider(ckpt_path) if ckpt_path else None
+        restored = self.provider.load() if self.provider else None
+        self.checkpoint = restored if restored is not None else Checkpoint()
         self.last_catchup_rows = 0
+
+    def _persist(self) -> None:
+        if self.provider is not None:
+            self.provider.save(self.checkpoint)
 
     def _log(self) -> DataFrame:
         return self.log_table() if callable(self.log_table) else self.log_table
@@ -112,10 +124,24 @@ class BootstrapController:
         lacks, a DELETE tombstone at start_scn is merged alongside."""
         ckpt = self.checkpoint
         log = self._log()
-        # startSCN = max applied scn of the bootstrap DB (StartSCNRequestProcessor)
-        start_scn = log.agg(F.max("scn")).collect()[0][0]
+        # startSCN = max applied scn of the bootstrap DB
+        # (StartSCNRequestProcessor) — fetched ONCE per bootstrap and
+        # pinned in the checkpoint, so a crash-resumed snapshot phase
+        # serves the remaining sources at the SAME scn as the completed
+        # ones (a moving head lands in the catchup phase instead).
+        # An empty bootstrap DB serves empty state at SCN 0 (every key the
+        # consumer still holds gets tombstoned below) instead of crashing
+        # on a None max.
+        if ckpt.bootstrap_start_scn >= 0:
+            start_scn = ckpt.bootstrap_start_scn
+        else:
+            head = log.agg(F.max("scn")).collect()[0][0]
+            start_scn = int(head) if head is not None else 0
+            ckpt.bootstrap_start_scn = start_scn
+            self._persist()
 
-        for src in self.sources:
+        # resume after the last source whose snapshot already committed
+        for src in self.sources[ckpt.bootstrap_snapshot_source_index:]:
             state = bootstrap_state(
                 log.where(F.col("source") == src),
                 start_scn,
@@ -138,6 +164,7 @@ class BootstrapController:
                 batch = state.unionByName(stale)
             self.store.merge(batch)
             ckpt.advance_after_snapshot_phase(start_scn)
+            self._persist()  # crash here -> restart skips this source
         return start_scn
 
     def catchup_phase(self, start_scn: int) -> int:
@@ -147,11 +174,19 @@ class BootstrapController:
         (TargetSCNRequestProcessor.java:47, BootstrapProcessor.java:244-273)."""
         ckpt = self.checkpoint
         log = self._log()
-        head = log.agg(F.max("scn")).collect()[0][0]
-        target_scn = max(head, start_scn) if head is not None else start_scn
+        # targetSCN is pinned once per catchup phase (and persisted), so a
+        # crash-resumed catchup replays the remaining sources to the SAME
+        # target as the completed ones.
+        if ckpt.bootstrap_target_scn >= 0:
+            target_scn = ckpt.bootstrap_target_scn
+        else:
+            head = log.agg(F.max("scn")).collect()[0][0]
+            target_scn = max(head, start_scn) if head is not None else start_scn
+            ckpt.bootstrap_target_scn = target_scn
+            self._persist()
 
         self.last_catchup_rows = 0
-        for src in self.sources:
+        for src in self.sources[ckpt.bootstrap_catchup_source_index:]:
             catchup = log.where(
                 (F.col("source") == src)
                 & (F.col("scn") > start_scn)
@@ -162,17 +197,36 @@ class BootstrapController:
                 self.store.merge(catchup)
                 self.last_catchup_rows += n
             ckpt.advance_after_catchup_phase(target_scn)
+            self._persist()
         return target_scn
 
     def bootstrap(self, since_scn: int) -> None:
-        """Snapshot + catchup phases, applied to the consumer's store."""
+        """Snapshot + catchup phases, applied to the consumer's store.
+
+        If the (restored) checkpoint is already mid-bootstrap for the
+        same since_scn and source list, the completed phases/sources are
+        SKIPPED and work resumes at the persisted (phase, source index) —
+        the reference's mid-bootstrap restart keys
+        (BootstrapCheckpointHandler.java:90-276, Checkpoint.java:203-211).
+        The store's MERGE is idempotent, so re-running the one source
+        that was in flight at the crash is safe."""
         ckpt = self.checkpoint
-        ckpt.start_bootstrap(since_scn, self.sources)
-        assert ckpt.consumption_mode == MODE_SNAPSHOT
-        start_scn = self.snapshot_phase()
+        resuming = (
+            ckpt.consumption_mode in (MODE_SNAPSHOT, MODE_CATCHUP)
+            and ckpt.bootstrap_since_scn == since_scn
+            and ckpt.sources == list(self.sources)
+        )
+        if not resuming:
+            ckpt.start_bootstrap(since_scn, self.sources)
+            self._persist()
+        if ckpt.consumption_mode == MODE_SNAPSHOT:
+            start_scn = self.snapshot_phase()
+        else:
+            start_scn = ckpt.bootstrap_start_scn
         assert ckpt.consumption_mode == MODE_CATCHUP
         self.catchup_phase(start_scn)
         assert ckpt.consumption_mode == MODE_ONLINE
+        self._persist()
 
     # -- consumer entry point -------------------------------------------------
     def consume_from(self, from_scn: int, checkpoint_dir: str) -> StreamingApplier:

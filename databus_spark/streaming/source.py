@@ -37,9 +37,18 @@ def stage_changelog(
     first_chunk: int = 1,
     part_dirs: bool = False,
 ) -> None:
-    """Write a changelog as n_chunks scn-range files so a file stream
-    replays it in SCN order, whole windows per chunk (never splitting a
-    txn window across chunks — rows of one scn share one chunk).
+    """TEST-FIXTURE / STAGING ONLY — not a production write path. Write a
+    changelog as n_chunks scn-range files so a file stream replays it in
+    SCN order, whole windows per chunk (never splitting a txn window
+    across chunks — rows of one scn share one chunk).
+
+    The global ntile window + per-chunk coalesce(1) below funnel through
+    a single task — acceptable for staging test replays, a driver-width
+    bottleneck at scale. A production ingest stage would instead
+    repartitionByRange(order_col) and write all range-files in one
+    parallel job (each range = one chunk dir); kept as-is here because
+    chunk count and window-atomicity must be byte-deterministic for the
+    replay tests.
 
     With ``route_buckets`` set, the producer's hash route is materialized
     and the layout becomes chunk=<i>/route_partition=<p>/ — key-mod

@@ -201,3 +201,85 @@ def test_relay_chaining_stream_of_stream(spark, sf_dir, tmp_path):
     assert _rows(batch_snapshot(forwarded, key_cols=("source", "key_str"))) == _rows(
         batch_snapshot(log, key_cols=("source", "key_str"))
     )
+
+
+def test_mid_bootstrap_crash_resumes_without_rework(spark, sf_dir, tmp_path):
+    """Kill the controller after the FIRST source's snapshot committed;
+    a fresh controller on the same ckpt_path resumes mid-snapshot-phase:
+    the completed source is NOT re-merged, start/target SCNs are the
+    pinned ones, and the final store equals the full two-source oracle
+    (BootstrapCheckpointHandler.java:90-276 restart keys)."""
+    from databus_spark.envelope import customer_changelog
+    from databus_spark.streaming.checkpoint import MODE_SNAPSHOT
+
+    orders = orders_changelog(spark, sf_dir)
+    customer = customer_changelog(spark, sf_dir)
+    # envelope columns differ by payload; union on the shared envelope cols
+    shared = [c for c in orders.columns if c in customer.columns]
+    log = orders.select(*shared).unionByName(customer.select(*shared)).localCheckpoint(
+        eager=True
+    )
+
+    stage = str(tmp_path / "stage")
+    stage_changelog(log, stage, n_chunks=4)
+    ckpt_path = str(tmp_path / "app_ckpt.json")
+    sources = ["orders", "customer"]
+
+    class _CrashAfterFirstMerge(ParquetSnapshotStore):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.merges = 0
+
+        def merge(self, batch):
+            if self.merges >= 1:
+                raise RuntimeError("simulated crash mid-bootstrap")
+            out = super().merge(batch)
+            self.merges += 1
+            return out
+
+    snap_dir = str(tmp_path / "snap")
+    crashing = _CrashAfterFirstMerge(spark, snap_dir)
+    ctl1 = BootstrapController(
+        spark, log, stage, log.schema, crashing, sources=sources, ckpt_path=ckpt_path
+    )
+    with pytest.raises(RuntimeError):
+        ctl1.bootstrap(0)
+    # the crash happened after source[0]'s snapshot committed + persisted
+    assert ctl1.checkpoint.consumption_mode == MODE_SNAPSHOT
+    assert ctl1.checkpoint.bootstrap_snapshot_source_index == 1
+    pinned_start = ctl1.checkpoint.bootstrap_start_scn
+    assert pinned_start > 0
+
+    class _CountingStore(ParquetSnapshotStore):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.merged_sources = []
+
+        def merge(self, batch):
+            self.merged_sources.append(
+                sorted(r["source"] for r in batch.select("source").distinct().collect())
+            )
+            return super().merge(batch)
+
+    store2 = _CountingStore(spark, snap_dir)
+    ctl2 = BootstrapController(
+        spark, log, stage, log.schema, store2, sources=sources, ckpt_path=ckpt_path
+    )
+    # restored checkpoint is mid-bootstrap; resume, don't restart
+    assert ctl2.checkpoint.consumption_mode == MODE_SNAPSHOT
+    assert ctl2.checkpoint.bootstrap_snapshot_source_index == 1
+    ctl2.bootstrap(0)
+
+    # source[0] ('orders') was never re-snapshotted on resume: every
+    # snapshot-phase merge batch involves only 'customer' (catchup batches
+    # may involve either; snapshot batches come first)
+    assert store2.merged_sources[0] == ["customer"]
+    assert ["orders"] not in store2.merged_sources[:1]
+    assert ctl2.checkpoint.consumption_mode == "ONLINE_CONSUMPTION"
+    assert ctl2.checkpoint.bootstrap_start_scn == pinned_start
+
+    # final state == oracle over both sources
+    expected = batch_snapshot(log, key_cols=("source", "key_str"))
+    got = store2.read().where(F.col("opcode") != "DELETE")
+    cols = ("source", "key_str", "scn")
+    assert _rows(got, cols) == _rows(expected, cols)

@@ -139,3 +139,69 @@ def test_cdc_stream_feeds_snapshot_store(spark, sf_dir, tmp_path):
     ).collect()[0]["s"]
     want_sum = expected.agg(F.sum("o_totalprice").alias("s")).collect()[0]["s"]
     assert abs(got_sum - want_sum) < 1e-6
+
+
+def test_binlog_scn_index_prunes_files(tmp_path):
+    """The SCN index sidecar lets a resumed reader skip whole trail files:
+    offset discovery reads the sidecar (not the trail), and a partition
+    read over (start, end] never opens files outside its SCN bracket."""
+    from databus_spark.sources.cdc_datasource import (
+        INDEX_NAME,
+        BinlogWriter,
+        _read_index,
+        _select_files,
+        _trail_files,
+    )
+
+    trail = str(tmp_path / "trail")
+    w = BinlogWriter(trail, max_txns_per_file=10)
+    for scn in range(1, 31):  # 30 txns -> 3 files of 10
+        w.append_txn(scn, 1_700_000_000_000 + scn, [
+            {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": scn % 4,
+             "key_num": scn, "key_str": str(scn), "payload": {"k": scn}},
+        ])
+
+    files = _trail_files(trail)
+    assert len(files) == 3
+    idx = _read_index(trail)
+    assert set(idx) == set(files)
+    assert idx[files[0]] == {"first_scn": 1, "last_scn": 10}
+    assert idx[files[2]] == {"first_scn": 21, "last_scn": 30}
+
+    # checkpoint past file 1 -> file 1 pruned without being opened
+    assert _select_files(trail, start_scn=10) == files[1:]
+    # range bracketed inside file 2 -> only file 2 selected
+    assert _select_files(trail, start_scn=12, end_scn=18) == [files[1]]
+    # fully caught up -> nothing selected
+    assert _select_files(trail, start_scn=30) == []
+
+    # an unindexed file (producer crash window) is conservatively kept
+    (tmp_path / "trail" / INDEX_NAME).unlink()
+    assert _select_files(trail, start_scn=30) == files
+
+
+def test_latest_offset_uses_index_not_trail_scan(tmp_path, monkeypatch):
+    """latestOffset must not rescan indexed trail files each trigger."""
+    import databus_spark.sources.cdc_datasource as cdc
+
+    trail = str(tmp_path / "trail")
+    w = cdc.BinlogWriter(trail, max_txns_per_file=5)
+    for scn in range(1, 16):
+        w.append_txn(scn, 0, [
+            {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": 0,
+             "key_num": scn, "key_str": str(scn), "payload": {}},
+        ])
+
+    opened = []
+    real_open = open
+
+    def spy_open(path, *a, **k):
+        if str(path).endswith(".jsonl"):
+            opened.append(str(path))
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr("builtins.open", spy_open)
+    reader = cdc.CdcBinlogStreamReader({"path": trail, "parts": "4"})
+    latest = reader.latestOffset()
+    assert latest == {str(p): 15 for p in range(4)}
+    assert opened == [], f"latestOffset opened trail files: {opened}"

@@ -26,6 +26,21 @@ def test_compaction_single_shuffle_with_partial_agg(spark, sf_dir):
     assert plan.count("Exchange") <= 2, f"snapshot grew to {plan.count('Exchange')} exchanges"
 
 
+def test_analytics_latest_state_is_max_by_not_window(spark, sf_dir):
+    """pricing_summary / cube_rollup reconstruct latest state through
+    compaction.latest_by_key (map-side-combinable max_by), NOT a
+    row_number window over the whole changelog. The only Window allowed
+    in these plans is the fixture builder's per-(orderkey,linenumber)
+    _seq disambiguator, which a real ingested changelog wouldn't need."""
+    for name in ["pricing_summary", "cube_rollup"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "partial_max_by" in plan, f"{name}: latest-state lost map-side combine"
+        # No key_str-partitioned row_number window (the slow latest-state shape).
+        assert "windowspecdefinition(key_str" not in plan.lower(), (
+            f"{name}: latest-state regressed to a row_number window"
+        )
+
+
 def test_dim_joins_broadcast_not_sortmerge(spark, sf_dir):
     for name in ["source_registry_join", "revenue_by_nation", "topk_orders_per_segment"]:
         plan = _plan(spark, name, sf_dir)

@@ -103,3 +103,48 @@ def test_stream_tails_across_rotation(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 80 * 2  # no dupes, no gaps across the rotation
     assert got.select("txn_scn").distinct().count() == 80
+
+
+def test_second_source_shape_roundtrips(spark, tmp_path):
+    """The trail record schema is spec-driven (ggParser StateMachine
+    generality): a customer-shaped source with a string key and three
+    typed columns writes and parses through the same writer/reader."""
+    from databus_spark.sources.trail import TrailColumn, TrailWriter, read_trail
+
+    spec = (
+        TrailColumn("name", "key_str", "STRING"),
+        TrailColumn("balance", "balance", "DOUBLE"),
+        TrailColumn("segment", "segment", "STRING"),
+    )
+    trail = str(tmp_path / "trail2")
+    w = TrailWriter(trail, max_bytes=256, spec=spec)
+    want = []
+    for scn in range(1, 21):
+        ops = [("I", f"Customer#{scn:03d}", scn * 10.5, "BUILDING")]
+        if scn % 4 == 0:
+            ops.append(("U", f"Customer#{scn:03d}", scn * 10.5 + 1, "MACHINERY"))
+        w.append_txn(scn, ops)
+        for t, n, b, s in ops:
+            want.append((scn, t, n, b, s))
+
+    got = read_trail(spark, trail, spec=spec)
+    assert got.columns == ["txn_scn", "op_type", "key_str", "balance", "segment"]
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == sorted(want)
+
+    # seek still works on the second shape: files below the position pruned
+    resumed = read_trail(spark, trail, from_scn=15, spec=spec)
+    assert sorted(r["txn_scn"] for r in resumed.select("txn_scn").distinct().collect()) == list(range(16, 21))
+
+
+def test_default_shape_unchanged(spark, tmp_path):
+    """Back-compat: the original (key, price) shape still parses with the
+    default spec and original column names."""
+    from databus_spark.sources.trail import TrailWriter, read_trail
+
+    trail = str(tmp_path / "trail1")
+    w = TrailWriter(trail)
+    w.append_txn(5, [("I", 1, 2.5), ("I", 2, 3.5)])
+    got = read_trail(spark, trail)
+    assert got.columns == ["txn_scn", "op_type", "key_num", "price"]
+    assert got.count() == 2

@@ -22,6 +22,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    # Stage each synthetic changelog to parquet ONCE and let every query
+    # read the staged copy (envelope._staged) — queries then time the
+    # operator over its real input (the relay's persisted buffer), not 70
+    # repeated fixture derivations. Correctness runs (pytest, the driver)
+    # leave this off and derive from base tables every time.
+    os.environ.setdefault("DATABUS_CACHE_CHANGELOGS", "1")
+
     from databus_spark.session import build_session
 
     spark = build_session("databus_spark_bench", cpus=cpus)

@@ -538,3 +538,55 @@ def dedup_clusters_sql(pairs_sql: str) -> str:
                node = min(r) AS is_survivor
         FROM reach GROUP BY node
     """
+
+
+# ---------------------------------------------------------------------------
+# 6. Benchmark decontamination (train/test overlap removal)
+# ---------------------------------------------------------------------------
+# The standard training-data hygiene op: a training document is
+# contaminated if it shares any k-token n-gram with a held-out
+# benchmark/eval document. The benchmark side is tiny relative to the
+# corpus (eval sets vs 100 TB of training text), so its distinct gram set
+# is BROADCAST and the corpus-side explode streams map-side through the
+# hash join — no corpus shuffle at all; the only aggregation is the
+# per-doc hit count, one shuffle on doc_id.
+
+DECONTAM_K = 8  # stricter than the k=5 dedup shingles; eval-overlap convention
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = DECONTAM_K) -> DataFrame:
+    """Contaminated corpus docs: any k-gram shared with the benchmark.
+
+    Returns (doc_id, n_bench_grams) — documents with >= 1 benchmark gram
+    and how many distinct benchmark grams they contain. Downstream a
+    curation pipeline anti-joins this against the corpus to drop them.
+    """
+    bench_grams = _shingles(benchmark, k).select("shingle").distinct()
+    corpus_grams = _shingles(corpus, k)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_bench_grams"))
+    )
+
+
+def _shingles_sql_over(from_sql: str, k: int) -> str:
+    """Parametrized DuckDB twin of _shingles over an arbitrary doc set."""
+    return f"""
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(0, greatest(len(toks) - {k}, 0) + 1),
+                   i -> array_to_string(toks[i+1 : i+{k}], ' ')))) AS shingle
+        FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM ({from_sql}))
+    """
+
+
+def decontaminate_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
+    return f"""
+        WITH corpus_sh AS ({_shingles_sql_over(DOCS_WITH_DUPS_SQL, k)}),
+        bench_sh AS (
+            SELECT DISTINCT shingle FROM ({_shingles_sql_over(benchmark_from_sql, k)})
+        )
+        SELECT doc_id, count(DISTINCT shingle) AS n_bench_grams
+        FROM corpus_sh JOIN bench_sh USING (shingle)
+        GROUP BY 1
+    """

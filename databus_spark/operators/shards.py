@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from databus_spark.functions.hashes import portable_hash64, portable_hash64_sql
+from databus_spark.operators.text import TOKENS_SQL, tokens_col
 
 SAMPLE_SEED = "strat"
 PACK_SEED = "pack"
@@ -118,5 +119,59 @@ def sequence_packing_sql(
                        {h} % {n_bins} AS bin, {h} AS h
                 FROM documents
             )
+        )
+    """
+
+
+def chunk_documents(
+    docs: DataFrame, max_tokens: int = 64, overlap: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Sliding-window document chunking for context-length-bounded training.
+
+    Each doc becomes 1 + ceil(max(0, n_tokens - max_tokens)/stride)
+    chunks of <= max_tokens whitespace tokens, consecutive chunks
+    sharing `overlap` tokens (stride = max_tokens - overlap). Pure
+    per-row plan — transform over a chunk-index sequence, then one
+    explode; no shuffle, no UDF, linear in corpus bytes. The step
+    between curation and sequence_packing in a pretraining pipeline.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - max_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, max_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - i * stride, F.lit(max_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunk).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    from_sql: str, max_tokens: int = 64, overlap: int = 8
+) -> str:
+    stride = max_tokens - overlap
+    return f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               CAST(least(len(toks) - i*{stride}, {max_tokens}) AS INT) AS n_chunk_tokens,
+               array_to_string(toks[i*{stride}+1 : i*{stride}+{max_tokens}], ' ') AS chunk_text
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - {max_tokens}, 0) / {stride}.0) AS INT))) AS i
+            FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM ({from_sql}))
         )
     """

@@ -329,6 +329,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(dedup.documents_with_dups(spark, sf_dir))
 
 
+@query(
+    "decontaminate_vs_benchmark",
+    dedup.decontaminate_sql("SELECT * FROM documents WHERE doc_id % 17 = 0"),
+)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs sharing any 8-token gram
+    with the held-out benchmark slice (doc_id % 17 == 0 of the base
+    docs). Benchmark gram set broadcast; corpus side streams map-side."""
+    corpus = dedup.documents_with_dups(spark, sf_dir)
+    benchmark = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    return dedup.decontaminate(corpus, benchmark)
+
+
 @query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-shingle Jaccard >= 0.6 near-dup pairs via inverted-index join."""
@@ -495,6 +508,18 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-binned parallel concat-and-chunk, one window sum per bin."""
     docs = load_table(spark, sf_dir, "documents")
     return shards.sequence_packing(docs, F.size(text.tokens_col("text")))
+
+
+@query(
+    "chunk_documents",
+    shards.chunk_documents_sql("SELECT doc_id, text FROM documents"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 8-token overlap) for
+    context-length-bounded training — per-row transform + explode, no
+    shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shards.chunk_documents(docs)
 
 
 # --------------------------------------------------------------------------

@@ -134,3 +134,12 @@ def test_key_mod_subscription_prunes_partitions(spark, sf_dir, tmp_path):
     # num_buckets dividing route_buckets composes too (H%4 == route%4)
     sub4 = staged.where(key_mod_subscription(4, 1, 3, route_buckets=8))
     assert sub4.count() == log.where(key_mod_filter(4, 1, 3)).count()
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination must broadcast the (small) benchmark gram set and
+    stream the corpus map-side — a SortMergeJoin here would shuffle the
+    whole exploded corpus at 100 TB."""
+    plan = _plan(spark, "decontaminate_vs_benchmark", sf_dir)
+    assert "BroadcastHashJoin" in plan, "benchmark gram set not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"

@@ -373,3 +373,66 @@ def redact_pii_sql(source_sql: str) -> str:
                    AS redacted_text
         FROM ({source_sql})
     """
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (CCNet-style LM filtering, unigram stand-in)
+# ---------------------------------------------------------------------------
+# Score = mean negative log-likelihood of the doc's tokens under the
+# corpus's own unigram distribution; high NLL = rare-token-heavy docs
+# (boilerplate, gibberish, wrong-language) — the curation signal a real
+# pipeline gets from a KenLM model, restated with a corpus-trained
+# unigram table so it is exactly DuckDB-mirrorable.
+#
+# Scale shape: one explode + one groupBy(tok) builds the freq table (the
+# "training" pass, map-side combinable); scoring is an equi-join on tok
+# — vocab-sized right side, so AQE broadcasts it at small corpora and
+# shuffle-joins at web scale, both fine. Per-token NLL is rounded to 6dp
+# and summed as DECIMAL so the aggregate is order-independent and
+# bit-identical across engines.
+
+
+def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    nll = tf.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(-F.log(F.col("tf") / F.col("n_total")), 6)
+        .cast("decimal(18,6)")
+        .alias("tok_nll"),
+    )
+    return (
+        toks.join(nll, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # cast the (exact) decimal sum to double BEFORE dividing:
+            # decimal-division scale/rounding differs across engines,
+            # IEEE double division does not
+            F.round(F.sum("tok_nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+def lm_quality_score_sql(from_sql: str) -> str:
+    toks_sql = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(toks) AS tok
+            FROM (SELECT doc_id, {toks_sql} AS toks FROM ({from_sql}))
+        ),
+        tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+        total AS (SELECT sum(tf) AS n_total FROM tf),
+        nll AS (
+            SELECT tok,
+                   CAST(round(-ln(CAST(tf AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS tok_nll
+            FROM tf, total
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM toks JOIN nll USING (tok)
+        GROUP BY 1
+    """

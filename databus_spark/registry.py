@@ -420,6 +420,17 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "lm_quality_score",
+    text.lm_quality_score_sql("SELECT doc_id, text FROM documents"),
+)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean NLL per doc (CCNet-style LM filter stand-in):
+    corpus-trained token frequencies, decimal-summed for cross-engine
+    exactness; high NLL = rare-token-heavy (curation drop signal)."""
+    return text.lm_quality_score(load_table(spark, sf_dir, "documents"))
+
+
 @query("text_fingerprint", text.FINGERPRINT_SQL)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-rolling-hash document fingerprint over 5-token shingles."""
@@ -490,6 +501,73 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (portable_hash64(F.col("doc_id").cast("string"), F.lit("mix")) % 5 == 0)
     )
     return out.withColumn("sampled_in", sampled)
+
+
+def _curation_v2_sql() -> str:
+    """v1 signals + benchmark decontamination + unigram-LM NLL gate.
+    Corpus = docs outside the held-out benchmark slice (doc_id%17==0);
+    a contaminated or rare-token-heavy (avg_nll >= 7) doc is dropped
+    regardless of its v1 class."""
+    from databus_spark.operators.dedup import _shingles_sql_over
+
+    corpus_from = "SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0"
+    bench_from = "SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0"
+    lm = text.lm_quality_score_sql("SELECT doc_id, text FROM documents")
+    return f"""
+    WITH v1 AS ({_curation_sql()}),
+    corpus_sh AS ({_shingles_sql_over(corpus_from, 8)}),
+    bench_sh AS (SELECT DISTINCT shingle FROM ({_shingles_sql_over(bench_from, 8)})),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM corpus_sh JOIN bench_sh USING (shingle)
+    ),
+    lm AS ({lm})
+    SELECT v1.doc_id, v1.quality, v1.is_repetitive, v1.pred_lang,
+           (c.doc_id IS NOT NULL) AS is_contaminated,
+           lm.avg_nll,
+           CASE WHEN c.doc_id IS NOT NULL OR lm.avg_nll >= 7.0 THEN 'drop'
+                ELSE v1.decision END AS decision
+    FROM v1
+    JOIN lm ON lm.doc_id = v1.doc_id
+    LEFT JOIN contaminated c ON c.doc_id = v1.doc_id
+    WHERE v1.doc_id % 17 <> 0
+    """
+
+
+@query("curation_decisions_v2", _curation_v2_sql())
+def curation_decisions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v2: the v1 quality/repetition/lang composite PLUS
+    benchmark decontamination (8-gram overlap with the held-out slice)
+    and the unigram-LM NLL gate — five signal families, one plan. The
+    benchmark gram set broadcasts; every other join is doc_id-keyed."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    benchmark = docs.where(F.col("doc_id") % 17 == 0)
+
+    from databus_spark.operators.dedup import decontaminate
+
+    v1 = curation_decisions(spark, sf_dir).where(F.col("doc_id") % 17 != 0)
+    contaminated = decontaminate(corpus, benchmark).select("doc_id")
+    lm = text.lm_quality_score(docs).select("doc_id", "avg_nll")
+    joined = (
+        v1.select("doc_id", "quality", "is_repetitive", "pred_lang", "decision")
+        .join(lm, "doc_id")
+        .join(
+            contaminated.withColumn("is_contaminated", F.lit(True)), "doc_id", "left"
+        )
+        .withColumn("is_contaminated", F.coalesce("is_contaminated", F.lit(False)))
+    )
+    decision = F.when(
+        F.col("is_contaminated") | (F.col("avg_nll") >= 7.0), "drop"
+    ).otherwise(F.col("decision"))
+    return joined.select(
+        "doc_id",
+        "quality",
+        "is_repetitive",
+        "pred_lang",
+        "is_contaminated",
+        "avg_nll",
+        decision.alias("decision"),
+    )
 
 
 @query("stratified_sample", shards.stratified_sample_sql())
@@ -1226,32 +1304,45 @@ def trail_file_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from databus_spark.sources.trail import TrailWriter, read_trail
 
-    rows = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .collect()
-    )
-    txns: dict[int, list] = {}
-    for r in rows:
-        txns.setdefault(r["o_orderkey"] // 3, []).append(
-            ("I", r["o_orderkey"], r["o_totalprice"])
-        )
-    max_scn = max(txns)
-    from_scn = max_scn // 2
-
     # Stable digest (not PYTHONHASHSEED-randomized builtin hash), so the
-    # same sf_dir reuses/overwrites one dir across processes instead of
-    # leaking a fresh tempdir per run.
+    # same sf_dir reuses one dir across processes instead of leaking a
+    # fresh tempdir per run; the _COMPLETE marker (storing from_scn)
+    # makes the fixture build idempotent — the trail content is a pure
+    # function of sf_dir, so later calls skip the collect+write entirely.
     import hashlib
 
     trail_dir = os.path.join(
         tempfile.gettempdir(),
         f"databus_trail_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
-    shutil.rmtree(trail_dir, ignore_errors=True)
-    writer = TrailWriter(trail_dir, max_bytes=64 * 1024)
-    for scn in sorted(txns):
-        writer.append_txn(scn, sorted(txns[scn]))
+    marker = os.path.join(trail_dir, "_COMPLETE")
+    # metadata-only count: cheap staleness probe against regenerated fixtures
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    from_scn = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            saved_scn, saved_n = (int(x) for x in f.read().split(","))
+        if saved_n == n_orders:
+            from_scn = saved_scn
+    if from_scn is None:
+        rows = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .collect()
+        )
+        txns: dict[int, list] = {}
+        for r in rows:
+            txns.setdefault(r["o_orderkey"] // 3, []).append(
+                ("I", r["o_orderkey"], r["o_totalprice"])
+            )
+        max_scn = max(txns)
+        from_scn = max_scn // 2
+        shutil.rmtree(trail_dir, ignore_errors=True)
+        writer = TrailWriter(trail_dir, max_bytes=64 * 1024)
+        for scn in sorted(txns):
+            writer.append_txn(scn, sorted(txns[scn]))
+        with open(marker, "w") as f:
+            f.write(f"{from_scn},{n_orders}")
     return read_trail(spark, trail_dir, from_scn=from_scn)
 
 

@@ -111,3 +111,62 @@ TXN_WINDOW_STATS_SQL = """
         FROM ({changelog}) GROUP BY source, scn
     ) GROUP BY source, n_rows
 """
+
+
+def event_rate_anomaly(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-(event_type, hour) volume anomalies: z-score of each hourly
+    count against that type's own mean/stddev, |z| >= 2 flagged.
+
+    The monitoring-side complement of the stats collectors: the
+    reference surfaces raw rates over JMX and leaves anomaly detection
+    to external tooling; here it is one plan — two aggregations (hourly
+    counts, then per-type moments) joined back, all map-side-combinable.
+    Cross-engine determinism: population stddev, z rounded to 4dp, and
+    integer hour buckets (epoch//3600) rather than engine-specific
+    date_trunc output types.
+    """
+    hours = events.select(
+        "event_type",
+        (F.unix_timestamp(ts_col) / 3600).cast("bigint").alias("hour_bucket"),
+    )
+    hourly = hours.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_pop("n_events").alias("sd_n"),
+    )
+    z = F.round(
+        (F.col("n_events") - F.col("mean_n"))
+        / F.when(F.col("sd_n") > 0, F.col("sd_n")),
+        4,
+    )
+    return (
+        hourly.join(moments, "event_type")
+        .select(
+            "event_type",
+            "hour_bucket",
+            "n_events",
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= 2.0)
+    )
+
+
+EVENT_RATE_ANOMALY_SQL_TEMPLATE = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+               count(*) AS n_events
+        FROM ({from_sql})
+        GROUP BY 1, 2
+    ),
+    moments AS (
+        SELECT event_type, avg(n_events) AS mean_n, stddev_pop(n_events) AS sd_n
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, hour_bucket, n_events,
+           round((n_events - mean_n) / (CASE WHEN sd_n > 0 THEN sd_n END), 4) AS z_score
+    FROM hourly JOIN moments USING (event_type)
+    WHERE abs(round((n_events - mean_n) / (CASE WHEN sd_n > 0 THEN sd_n END), 4)) >= 2.0
+"""

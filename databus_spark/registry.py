@@ -245,6 +245,16 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.value_histogram(load_table(spark, sf_dir, "events"), "value", 10.0)
 
 
+@query(
+    "event_rate_anomaly",
+    stats.EVENT_RATE_ANOMALY_SQL_TEMPLATE.format(from_sql="SELECT * FROM events"),
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type volume z-scores, |z| >= 2 flagged — the anomaly
+    layer over the A2/A3 stats collectors, two map-side-combinable aggs."""
+    return stats.event_rate_anomaly(load_table(spark, sf_dir, "events"))
+
+
 @query("txn_window_stats", stats.TXN_WINDOW_STATS_SQL.format(changelog=MULTI_SOURCE_CHANGELOG_SQL))
 def txn_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/T13: event-window accounting — rows per txn window histogram,

@@ -143,3 +143,20 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = _plan(spark, "decontaminate_vs_benchmark", sf_dir)
     assert "BroadcastHashJoin" in plan, "benchmark gram set not broadcast"
     assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is per-row transform+explode — any Exchange here means a
+    shuffle crept into a linear scan op."""
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert "Exchange" not in plan, "chunk_documents gained a shuffle:\n" + plan[:800]
+
+
+def test_event_rate_anomaly_partial_aggs(spark, sf_dir):
+    """Both aggregations (hourly counts, per-type moments) must show
+    map-side partial aggregation."""
+    plan = _plan(spark, "event_rate_anomaly", sf_dir)
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        "hourly count lost map-side combine"
+    )
+    assert plan.count("HashAggregate") >= 4, "two-phase agg shape lost"

@@ -55,6 +55,9 @@ _PRIORITY = [
     "time_window_tumbling",
     "time_window_sliding",
     "sessionize",
+    # (c) added in r4 and otherwise just outside the 50-row window
+    "chunk_documents",
+    "curation_decisions_v2",
 ]
 
 

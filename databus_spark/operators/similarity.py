@@ -413,3 +413,163 @@ def embedding_near_pairs_sql(threshold: float = 0.4) -> str:
         JOIN embeddings b ON b.vec_id = vec_b
         WHERE round({sim}, 6) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN — the compressed-index scale path
+# ---------------------------------------------------------------------------
+# At 100 TB the candidate re-rank can't afford full vectors: product
+# quantization stores each vector as M_SUB one-byte codes and scores
+# queries against a per-query ADC (asymmetric distance computation)
+# lookup table. Restated deterministically: codebooks are hash-sampled
+# corpus subvectors (no k-means — not bit-reproducible across engines),
+# per-subspace distances round to 6dp and sum as DECIMAL so ranking is
+# exact in both engines.
+#
+# Scale shape: codebook is tiny and BROADCAST for encoding (corpus never
+# shuffles to be encoded; one map pass emits M_SUB codes per vector);
+# the query-side ADC table is n_queries*M_SUB*PQ_K rows — broadcast —
+# so scoring is a map-side join + one groupBy(query, neighbor) sum.
+
+M_SUB = 8    # subspaces
+SUB_DIM = 8  # dims per subspace (8 x 8 = 64-dim embeddings)
+PQ_K = 8     # codes per subspace codebook
+
+
+def _pq_codebook(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """PQ_K lowest-seeded-hash corpus vectors donate their subvectors as
+    the per-subspace codebooks; code_id is the donor's vector id, so
+    both engines name codes identically (the _ivf_centroids trick)."""
+    from databus_spark.functions.hashes import portable_hash64
+
+    h = portable_hash64(F.col(id_col).cast("string"), F.lit("pq"))
+    return (
+        emb.select(
+            F.col(id_col).alias("code_id"), F.col(vec_col).alias("code_vec"), h.alias("_h")
+        )
+        .orderBy("_h", "code_id")
+        .limit(PQ_K)
+        .drop("_h")
+    )
+
+
+def _sub_l2sq(a_vec: str, b_vec: str) -> F.Column:
+    """Squared L2 between the m-th subvectors of two array columns;
+    `m` must be an in-scope integer column."""
+    return F.expr(
+        f"round(aggregate(zip_with(slice({a_vec}, m*{SUB_DIM}+1, {SUB_DIM}),"
+        f" slice({b_vec}, m*{SUB_DIM}+1, {SUB_DIM}),"
+        " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, m, code): per-subspace argmin-L2 code assignment — broadcast
+    codebook, map-side min_by; the corpus is never shuffled."""
+    fan = (
+        emb.crossJoin(F.broadcast(codebook))
+        .select(id_col, vec_col, "code_id", "code_vec")
+        .withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))))
+        .withColumn("d", _sub_l2sq(vec_col, "code_vec"))
+    )
+    return fan.groupBy(id_col, "m").agg(
+        F.min_by("code_id", F.struct(F.col("d"), F.col("code_id"))).alias("code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ-style ANN top-k by ADC: approx dist = sum over subspaces of
+    the query's distance to the neighbor's code centroid. Decimal sums
+    keep cross-engine ranking exact; ties break on neighbor id."""
+    cb = _pq_codebook(emb, id_col, vec_col)
+    codes = pq_encode(emb, cb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "m", "code"
+    )
+    adc = (
+        emb.where(F.col(id_col) < n_queries)
+        .crossJoin(F.broadcast(cb))
+        .withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            F.col("code_id").alias("code"),
+            _sub_l2sq(vec_col, "code_vec").cast("decimal(18,6)").alias("d"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["m", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("decimal(24,6)").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx_dist").cast("double").alias("approx_dist"),
+            "rank",
+        )
+    )
+
+
+def pq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'pq'")
+
+    def sub_l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {SUB_DIM} + 1), "
+            f"i -> ({a}[m*{SUB_DIM}+i] - {b}[m*{SUB_DIM}+i])"
+            f" * ({a}[m*{SUB_DIM}+i] - {b}[m*{SUB_DIM}+i]))), 6)"
+        )
+
+    return f"""
+        WITH cb AS (
+            SELECT vec_id AS code_id, embedding AS code_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {PQ_K}
+        ),
+        subspaces AS (SELECT unnest(range(0, {M_SUB})) AS m),
+        codes AS (
+            -- argmin-L2 with (d, code_id) tie-break; DuckDB's min_by
+            -- can't take a struct key, so the oracle uses the window form
+            SELECT neighbor_id, m, code FROM (
+                SELECT v.vec_id AS neighbor_id, m, c.code_id AS code,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, m
+                           ORDER BY {sub_l2('v.embedding', 'c.code_vec')} ASC, c.code_id ASC
+                       ) AS rn
+                FROM embeddings v CROSS JOIN cb c CROSS JOIN subspaces
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT q.vec_id AS query_id, m, c.code_id AS code,
+                   CAST({sub_l2('q.embedding', 'c.code_vec')} AS DECIMAL(18,6)) AS d
+            FROM embeddings q CROSS JOIN cb c CROSS JOIN subspaces
+            WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id,
+               CAST(approx_dist AS DOUBLE) AS approx_dist, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC
+                   ) AS rank
+            FROM (
+                SELECT query_id, neighbor_id,
+                       CAST(sum(d) AS DECIMAL(24,6)) AS approx_dist
+                FROM codes JOIN adc USING (m, code)
+                WHERE neighbor_id <> query_id
+                GROUP BY 1, 2
+            )
+        ) WHERE rank <= {k}
+    """

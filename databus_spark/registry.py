@@ -412,6 +412,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # --------------------------------------------------------------------------
 
+@query("ann_pq_topk", similarity.pq_topk_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-style ANN: product-quantized codes (8 subspaces x 8 codes,
+    hash-sampled codebooks) scored by broadcast ADC tables — the
+    compressed-index leg of the ANN family (exact / LSH / IVF / PQ)."""
+    return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("text_token_stats", text.TOKEN_STATS_SQL)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""

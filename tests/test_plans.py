@@ -160,3 +160,13 @@ def test_event_rate_anomaly_partial_aggs(spark, sf_dir):
         "hourly count lost map-side combine"
     )
     assert plan.count("HashAggregate") >= 4, "two-phase agg shape lost"
+
+
+def test_pq_ann_broadcast_and_partial_agg(spark, sf_dir):
+    """PQ encoding must reduce the codebook fan-out map-side (min_by
+    partials) and join the broadcast ADC table — a SortMergeJoin would
+    shuffle the whole encoded corpus at 100 TB."""
+    plan = _plan(spark, "ann_pq_topk", sf_dir)
+    assert "partial_min_by" in plan, "PQ code assignment lost map-side combine"
+    assert "BroadcastHashJoin" in plan, "ADC table not broadcast"
+    assert "SortMergeJoin" not in plan, "PQ scoring fell back to sort-merge"

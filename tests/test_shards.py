@@ -69,3 +69,29 @@ def test_stratified_sample_exact_rates(spark, sf_dir):
         for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_ann_family_recall_floor(spark, sf_dir):
+    """Recall@5 vs exact top-k is DETERMINISTIC here (hash-sampled
+    codebooks/planes over fixed data), so floors are tight-ish:
+    measured at sf0.001 — lsh 0.48, ivf 0.50, pq 0.08 (random baseline
+    ~0.01; PQ's 8-code-per-subspace codebook is sized for plan-shape
+    testing, not recall — raise PQ_K on real, clustered data)."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(emb).collect()
+    }
+    recalls = {}
+    for name, fn in [
+        ("lsh", similarity.lsh_topk),
+        ("ivf", similarity.ivf_topk),
+        ("pq", similarity.pq_topk),
+    ]:
+        got = {(r["query_id"], r["neighbor_id"]) for r in fn(emb).collect()}
+        recalls[name] = len(exact & got) / len(exact)
+    assert recalls["lsh"] >= 0.30, recalls
+    assert recalls["ivf"] >= 0.30, recalls
+    assert recalls["pq"] >= 0.04, recalls

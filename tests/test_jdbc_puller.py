@@ -1,0 +1,77 @@
+"""S1/S2 over REAL JDBC: embedded Derby (shipped with Spark) seeded via
+df.write.jdbc, drained via partitioned spark.read.jdbc chunk scans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databus_spark.envelope import orders_changelog
+from databus_spark.sources.incremental import FileMaxSCNHandler
+from databus_spark.sources.jdbc_puller import JdbcTxlogPuller, seed_jdbc_table
+
+
+@pytest.fixture(scope="module")
+def derby(spark, sf_dir, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "txlogdb"
+    url = f"jdbc:derby:{db};create=true"
+    log = orders_changelog(spark, sf_dir).select(
+        "scn", "opcode", "source_id", "part_id", "key_num", "key_str",
+        "o_orderkey", "o_totalprice",
+    ).localCheckpoint(eager=True)
+    seed_jdbc_table(log, url, "TXLOG")
+    return url, log
+
+
+def test_jdbc_roundtrip_and_max_scn(spark, derby, tmp_path):
+    url, log = derby
+    puller = JdbcTxlogPuller(
+        spark, url, "TXLOG", FileMaxSCNHandler(str(tmp_path / "scn.json"))
+    )
+    assert puller.probe_max_scn() == log.agg(F.max("scn")).collect()[0][0]
+
+
+def test_jdbc_chunked_drain_exact_and_atomic(spark, derby, tmp_path):
+    url, log = derby
+    chunk_rows = 500
+    puller = JdbcTxlogPuller(
+        spark,
+        url,
+        "TXLOG",
+        FileMaxSCNHandler(str(tmp_path / "scn.json")),
+        chunk_rows=chunk_rows,
+        n_partitions=4,
+    )
+    chunks: list = []
+    cycles = puller.drain(lambda df: chunks.append(df.collect()))
+    assert cycles >= 2  # actually chunked
+
+    got = sorted((r["scn"], r["key_str"]) for c in chunks for r in c)
+    want = sorted(tuple(r) for r in log.select("scn", "key_str").collect())
+    assert got == want  # nothing lost, nothing duplicated
+
+    # txn atomicity: one scn never spans two chunks
+    seen: dict[int, int] = {}
+    for i, c in enumerate(chunks):
+        for r in c:
+            assert seen.setdefault(r["scn"], i) == i
+    # keyset bound honored (boundary stretches only to finish a txn)
+    sizes = [len(c) for c in chunks]
+    assert all(s <= chunk_rows + 50 for s in sizes[:-1])
+
+
+def test_jdbc_crash_replays_chunk(spark, derby, tmp_path):
+    """Watermark advances only on commit: a crash after poll() replays
+    the SAME chunk — at-least-once, idempotent-MERGE-compatible."""
+    url, log = derby
+    handler = FileMaxSCNHandler(str(tmp_path / "scn.json"))
+    puller = JdbcTxlogPuller(spark, url, "TXLOG", handler, chunk_rows=5000)
+
+    first = puller.poll()
+    assert first is not None
+    rows_before = sorted(tuple(r) for r in first.select("scn", "key_str").collect())
+    # crash: no commit; a fresh puller re-polls the identical chunk
+    puller2 = JdbcTxlogPuller(spark, url, "TXLOG", handler, chunk_rows=5000)
+    again = puller2.poll()
+    rows_after = sorted(tuple(r) for r in again.select("scn", "key_str").collect())
+    assert rows_before == rows_after

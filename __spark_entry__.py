@@ -58,6 +58,7 @@ _PRIORITY = [
     # (c) added in r4 and otherwise just outside the 50-row window
     "chunk_documents",
     "curation_decisions_v2",
+    "jdbc_txlog_pull",
 ]
 
 

@@ -1022,6 +1022,63 @@ def sql_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "jdbc_txlog_pull",
+    f"""
+    SELECT scn, opcode, key_str, o_orderkey, o_totalprice
+    FROM ({ORDERS_CHANGELOG_SQL})
+    """,
+)
+def jdbc_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 through Spark's REAL JDBC source: embedded Derby hosts the
+    txlog table (seeded once per sf via write.jdbc, reuse guarded by a
+    row-count marker); JdbcTxlogPuller drains it in txn-atomic keyset
+    chunks, each chunk a partitioned read (partitionColumn=scn) so
+    executors issue parallel remote WHERE scans. The union of pulled
+    chunks must equal the changelog the oracle recomputes in DuckDB."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.sources.incremental import FileMaxSCNHandler
+    from databus_spark.sources.jdbc_puller import JdbcTxlogPuller, seed_jdbc_table
+
+    cols = ["scn", "opcode", "key_str", "o_orderkey", "o_totalprice"]
+    log = orders_changelog(spark, sf_dir).select(*cols)
+    n = log.count()
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    db_dir = os.path.join(tempfile.gettempdir(), f"databus_derby_{digest}")
+    url = f"jdbc:derby:{db_dir};create=true"
+    marker = db_dir + ".seeded"
+    need_seed = True
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                need_seed = int(f.read().strip()) != n
+        except (ValueError, OSError):
+            need_seed = True
+    if need_seed:
+        shutil.rmtree(db_dir, ignore_errors=True)
+        seed_jdbc_table(log, url, "TXLOG")
+        with open(marker, "w") as f:
+            f.write(str(n))
+
+    handler = FileMaxSCNHandler(
+        os.path.join(tempfile.mkdtemp(prefix="jdbcpull_"), "scn.json")
+    )
+    # chunk size sized for the bench SF (a handful of keyset round trips);
+    # chunk atomicity at small chunk sizes is proven by test_jdbc_puller
+    puller = JdbcTxlogPuller(spark, url, "TXLOG", handler, chunk_rows=50_000)
+    chunks: list[DataFrame] = []
+    puller.drain(lambda b: chunks.append(b))
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out.select(*cols)
+
+
 # --------------------------------------------------------------------------
 # Event-level metadata part (DbusEventPart; TestInternalMetadata.java)
 # --------------------------------------------------------------------------

@@ -140,10 +140,17 @@ class JdbcTxlogPuller:
 
 
 def seed_jdbc_table(
-    df: DataFrame, url: str, table: str, driver: str = DERBY_DRIVER
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str = DERBY_DRIVER,
+    index_col: str | None = "scn",
 ) -> None:
     """Seed the txlog database through Spark's real JDBC WRITE path
-    (executor-side batched INSERTs; Derby creates the table)."""
+    (executor-side batched INSERTs; Derby creates the table), then
+    index the SCN column — the range scans the puller issues must be
+    index scans, not per-chunk full table scans (the reference's txlog
+    table is likewise SCN-indexed)."""
     (
         df.write.format("jdbc")
         .option("url", url)
@@ -152,3 +159,13 @@ def seed_jdbc_table(
         .mode("overwrite")
         .save()
     )
+    if index_col is not None:
+        jvm = df.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            # Spark's JDBC writer creates quoted (case-sensitive) columns
+            stmt.execute(f'CREATE INDEX {table}_scn_idx ON {table} ("{index_col}")')
+            stmt.close()
+        finally:
+            conn.close()

@@ -36,6 +36,12 @@ assert set(SOURCE_IDS) == set(TABLES)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The engine's time semantics (NTZ->timestamp normalization, window
+    # bucketing, unix_timestamp) and every DuckDB oracle assume UTC. The
+    # driver harness passes its OWN SparkSession, whose timezone we don't
+    # control — pin it here, on the path every query's table access
+    # takes, so a non-UTC host session can't skew instants vs the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Fixture generations differ in how events.ts is written:
         #   - TIMESTAMP(NANOS): Spark's parquet reader rejects it unless

@@ -55,3 +55,23 @@ def test_events_ts_is_session_tz_timestamp(spark, sf_dir):
     assert isinstance(df.schema["ts"].dataType, TimestampType), df.schema["ts"].dataType
     row = df.selectExpr("min(ts) as lo", "max(ts) as hi").collect()[0]
     assert row.lo is not None and row.hi >= row.lo
+
+
+def test_queries_survive_non_utc_host_session(spark, sf_dir):
+    """The driver passes its OWN SparkSession; if its timezone is not
+    UTC, naive-timestamp normalization and window bucketing would skew
+    instants vs the DuckDB oracle. load_table pins the session timezone,
+    so time-dependent queries must stay oracle-green even when the host
+    session starts in another zone."""
+    from databus_spark.registry import ORACLES, QUERIES
+    from tests.oracle_utils import compare, duck_connect
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        con = duck_connect(sf_dir)
+        for q in ["time_window_tumbling", "sessionize", "event_rate_anomaly"]:
+            compare(QUERIES[q](spark, sf_dir), con, ORACLES[q])
+        con.close()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)

@@ -148,15 +148,43 @@ def _select_files(
     return out
 
 
-def _scan_txns(trail_dir: str, files: list[str] | None = None) -> Iterator[dict]:
+def _scan_txns(
+    trail_dir: str, files: list[str] | None = None, on_corrupt: str = "fail"
+) -> Iterator[dict]:
     """Commit-ordered transaction scan across rotated files (file names
-    sort in rotation order; scn is monotone across a trail)."""
+    sort in rotation order; scn is monotone across a trail).
+
+    on_corrupt: 'fail' raises on an unparseable/shapeless line (default:
+    a torn trail is an ingest emergency, not something to paper over);
+    'skip' drops the line and keeps draining — the poison-pill escape
+    hatch, mirroring the reference producer's handling of trail parse
+    errors (it logs and advances rather than wedging the relay). A
+    half-written LAST line (producer crashed mid-append) is the one case
+    'fail' also tolerates: the line has no trailing newline yet, so it
+    is not a committed transaction."""
     for name in _trail_files(trail_dir) if files is None else files:
         with open(os.path.join(trail_dir, name)) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    yield json.loads(line)
+            pending = f.readlines()
+        for i, line in enumerate(pending):
+            is_last = i == len(pending) - 1
+            stripped = line.strip()
+            if not stripped:
+                continue
+            if is_last and not line.endswith("\n"):
+                # torn tail: append_txn writes line+newline atomically
+                # enough that a missing newline means an uncommitted txn
+                continue
+            try:
+                txn = json.loads(stripped)
+                txn["scn"], txn["events"]  # shape check
+            except (json.JSONDecodeError, KeyError, TypeError):
+                if on_corrupt == "skip":
+                    continue
+                raise ValueError(
+                    f"corrupt trail line in {name!r} (line {i + 1}); "
+                    "pass .option('on_corrupt', 'skip') to drop it"
+                )
+            yield txn
 
 
 # -- consumer side: the streaming reader -------------------------------------
@@ -167,6 +195,7 @@ class BinlogPartition(InputPartition):
     end_scn: int
     trail_dir: str
     n_parts: int
+    on_corrupt: str = "fail"
 
 
 class CdcBinlogStreamReader(DataSourceStreamReader):
@@ -184,6 +213,9 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             raise ValueError("databus_cdc requires .option('path', <trail dir>)")
         self.n_parts = int(options.get("parts", "4"))
         self.start_scn = int(options.get("start_scn", "-1"))
+        self.on_corrupt = options.get("on_corrupt", "fail")
+        if self.on_corrupt not in ("fail", "skip"):
+            raise ValueError("on_corrupt must be 'fail' or 'skip'")
 
     def initialOffset(self) -> dict:
         return {str(p): self.start_scn for p in range(self.n_parts)}
@@ -204,7 +236,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
                 head = max(head, int(ent["last_scn"]))
             else:
                 unindexed.append(name)
-        for txn in _scan_txns(self.trail_dir, unindexed):
+        for txn in _scan_txns(self.trail_dir, unindexed, self.on_corrupt):
             head = max(head, int(txn["scn"]))
         return {str(p): head for p in range(self.n_parts)}
 
@@ -214,7 +246,11 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
             s = int(start.get(str(p), self.start_scn))
             e = int(end.get(str(p), self.start_scn))
             if e > s:
-                out.append(BinlogPartition(p, s, e, self.trail_dir, self.n_parts))
+                out.append(
+                    BinlogPartition(
+                        p, s, e, self.trail_dir, self.n_parts, self.on_corrupt
+                    )
+                )
         return out
 
     def read(self, partition: BinlogPartition) -> Iterator[Tuple]:
@@ -229,7 +265,7 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
         (start, end], not the whole history."""
         p = partition.part_id
         files = _select_files(partition.trail_dir, partition.start_scn, partition.end_scn)
-        for txn in _scan_txns(partition.trail_dir, files):
+        for txn in _scan_txns(partition.trail_dir, files, partition.on_corrupt):
             scn = int(txn["scn"])
             if not (partition.start_scn < scn <= partition.end_scn):
                 continue

@@ -205,3 +205,43 @@ def test_latest_offset_uses_index_not_trail_scan(tmp_path, monkeypatch):
     latest = reader.latestOffset()
     assert latest == {str(p): 15 for p in range(4)}
     assert opened == [], f"latestOffset opened trail files: {opened}"
+
+
+def test_corrupt_trail_line_handling(spark, tmp_path):
+    """A corrupt committed line is a poison pill: 'fail' (default) raises
+    with the file/line named; .option('on_corrupt','skip') drains around
+    it; a TORN last line (producer crashed mid-append, no newline) is
+    never treated as corrupt — it is simply an uncommitted txn."""
+    import pytest as _pytest
+
+    from databus_spark.sources.cdc_datasource import BinlogWriter, _scan_txns
+
+    trail = str(tmp_path / "trail")
+    w = BinlogWriter(trail, max_txns_per_file=100)
+    for scn in (1, 2, 3):
+        w.append_txn(scn, 0, [
+            {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": 0,
+             "key_num": scn, "key_str": str(scn), "payload": {}},
+        ])
+
+    import os
+
+    fname = sorted(n for n in os.listdir(trail) if n.endswith(".jsonl"))[0]
+    path = os.path.join(trail, fname)
+    # inject a corrupt COMMITTED line (newline-terminated) mid-file
+    lines = open(path).read().splitlines(keepends=True)
+    lines.insert(2, '{"garbage": tru\n')
+    open(path, "w").write("".join(lines))
+
+    with _pytest.raises(ValueError, match="corrupt trail line"):
+        list(_scan_txns(trail))
+    assert [t["scn"] for t in _scan_txns(trail, on_corrupt="skip")] == [1, 2, 3]
+
+    # torn tail: half-written last line without newline is ignored by both
+    with open(path, "a") as f:
+        f.write('{"scn": 4, "events": [')  # no newline
+    assert [t["scn"] for t in _scan_txns(trail, on_corrupt="skip")] == [1, 2, 3]
+    lines2 = open(path).read().splitlines(keepends=True)
+    del lines2[2]  # remove the corrupt line; torn tail remains
+    open(path, "w").write("".join(lines2))
+    assert [t["scn"] for t in _scan_txns(trail)] == [1, 2, 3]

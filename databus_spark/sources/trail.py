@@ -236,3 +236,23 @@ def tail_trail_stream(
     the next trigger after rotation)."""
     lines = spark.readStream.format("text").load(trail_dir + f"/{TRAIL_PREFIX}*")
     return _parse_lines(lines, spec)
+
+
+def trail_health(
+    spark: SparkSession,
+    trail_dir: str,
+    spec: tuple[TrailColumn, ...] = DEFAULT_TRAIL_SPEC,
+) -> DataFrame:
+    """Parse-health accounting for a trail directory: from_xml drops
+    malformed records SILENTLY (returns NULL), which is the right
+    behavior for the hot path but must be observable — the reference's
+    GG parser counts and surfaces parse errors rather than wedging
+    (ggParser StateMachine error handling). One row:
+    (n_lines, n_parsed, n_corrupt)."""
+    lines = spark.read.text(trail_dir + f"/{TRAIL_PREFIX}*")
+    parsed = lines.select(F.from_xml("value", tx_xml_schema(spec)).alias("tx"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col("tx._scn")).alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count(F.col("tx._scn"))).alias("n_corrupt"),
+    )

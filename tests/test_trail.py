@@ -148,3 +148,28 @@ def test_default_shape_unchanged(spark, tmp_path):
     got = read_trail(spark, trail)
     assert got.columns == ["txn_scn", "op_type", "key_num", "price"]
     assert got.count() == 2
+
+
+def test_trail_health_counts_corrupt_lines(spark, tmp_path):
+    """from_xml silently NULLs malformed trail records; trail_health
+    makes the drop observable."""
+    import os
+
+    from databus_spark.sources.trail import TrailWriter, read_trail, trail_health
+
+    trail = str(tmp_path / "trail")
+    w = TrailWriter(trail)
+    w.append_txn(1, [("I", 1, 1.0)])
+    w.append_txn(2, [("I", 2, 2.0)])
+
+    healthy = trail_health(spark, trail).collect()[0]
+    assert (healthy["n_lines"], healthy["n_parsed"], healthy["n_corrupt"]) == (2, 2, 0)
+
+    fname = sorted(os.listdir(trail))[0]
+    with open(os.path.join(trail, fname), "a") as f:
+        f.write("<tx scn=oops NOT-XML</t\n")
+
+    sick = trail_health(spark, trail).collect()[0]
+    assert (sick["n_lines"], sick["n_parsed"], sick["n_corrupt"]) == (3, 2, 1)
+    # the hot path still parses the good lines
+    assert read_trail(spark, trail).count() == 2

@@ -1217,11 +1217,20 @@ def stream_fetch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = multi_source_changelog(spark, sf_dir).where(F.col("scn") > 1000)
     row_bytes = (45 + F.length("key_str") + F.length("source")).cast("long")
+    # scale shape: every row costs >= 45 header bytes, so at most
+    # budget/45 rows fit — distributed top-k bounds the input BEFORE the
+    # exact running-size window (which then touches O(budget) rows, not
+    # the whole log). Identical results to the unbounded-window form.
+    budget = 20000
+    bounded = (
+        log.select("scn", "opcode", "source", "key_str", row_bytes.alias("row_bytes"))
+        .orderBy("scn", "source", "key_str")
+        .limit(budget // 45 + 1)
+    )
     w = W.orderBy("scn", "source", "key_str").rowsBetween(W.unboundedPreceding, 0)
     return (
-        log.select("scn", "opcode", "source", "key_str", row_bytes.alias("row_bytes"))
-        .withColumn("cum_bytes", F.sum("row_bytes").over(w))
-        .where(F.col("cum_bytes") <= 20000)
+        bounded.withColumn("cum_bytes", F.sum("row_bytes").over(w))
+        .where(F.col("cum_bytes") <= budget)
         .drop("cum_bytes")
     )
 

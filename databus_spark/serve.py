@@ -89,6 +89,15 @@ class RelayFacade:
             pred = pred & compile_config(filter_config)
         out = out.where(pred)
         if size_bytes is not None:
+            # Exact byte-budget cutoff WITHOUT a log-wide global sort:
+            # every event costs >= the fixed header, so at most
+            # size_bytes/EVENT_HEADER_BYTES rows can ever be admitted —
+            # take that many via distributed top-k (TakeOrderedAndProject)
+            # first, then run the exact running-size cutoff on the small
+            # bounded set. Identical results; the global window touches
+            # O(budget) rows instead of O(retained log).
+            max_rows = size_bytes // EVENT_HEADER_BYTES + 1
+            out = out.orderBy("scn", "source", "key_str").limit(max_rows)
             row_bytes = (
                 EVENT_HEADER_BYTES + F.length("key_str") + F.length("source")
             ).cast("long")

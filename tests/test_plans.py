@@ -170,3 +170,11 @@ def test_pq_ann_broadcast_and_partial_agg(spark, sf_dir):
     assert "partial_min_by" in plan, "PQ code assignment lost map-side combine"
     assert "BroadcastHashJoin" in plan, "ADC table not broadcast"
     assert "SortMergeJoin" not in plan, "PQ scoring fell back to sort-merge"
+
+
+def test_byte_budget_fetch_is_topk_bounded(spark, sf_dir):
+    """The /stream byte-budget cutoff must bound the input via
+    distributed top-k BEFORE the exact running-size window — the
+    unbounded form global-sorts the whole retained log."""
+    plan = _plan(spark, "stream_fetch_bounded", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "byte budget lost the top-k bound"

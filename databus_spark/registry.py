@@ -1475,8 +1475,11 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # distributed top-k bounds the vocab BEFORE ranking (the rank window
+    # then runs over 50 rows, not the whole vocabulary)
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(50)
     w = W.orderBy(F.desc("n"), F.asc("tok"))
-    return counts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 50)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 @query(

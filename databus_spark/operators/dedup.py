@@ -134,6 +134,34 @@ _SHINGLES_SQL = f"""
 
 MAX_SHINGLE_DF = 100  # spam-shingle cap: df above this carries no dedup signal
 
+# Hot-bucket cap for the banded-LSH candidate generators (minhash, simhash).
+# A degenerate band bucket — boilerplate corpora collapse millions of docs
+# onto one band_key at 100 TB — would fan out O(n^2) pairs; buckets above
+# this population carry no *near*-dup signal (exact clones that big are
+# exact_dedup's job) and are dropped from pair generation, mirroring the
+# MAX_SHINGLE_DF convention above.
+MAX_BAND_DOCS = 200
+
+
+def _posting_pairs(postings: DataFrame, pair_struct) -> DataFrame:
+    """Ordered pairs from grouped, size-capped posting lists.
+
+    `postings` must have a sorted array column `docs`; `pair_struct(x, y)`
+    builds the output struct for one (earlier, later) element pair. One
+    explode instead of a self-join: the per-row pair array is bounded by
+    C(MAX_BAND_DOCS, 2), so no bucket can go quadratic in the shuffle.
+    """
+    pair_array = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: pair_struct(x, y),
+            ),
+        )
+    )
+    return postings.select(F.explode(pair_array).alias("p")).select("p.*").distinct()
+
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.6) -> DataFrame:
     """Candidate pairs sharing >=1 k-shingle, scored by exact Jaccard.
@@ -262,7 +290,11 @@ def minhash_signatures(docs: DataFrame, k: int = 5) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become candidates;
     candidates are scored by signature similarity (fraction of equal
-    minhashes — the unbiased Jaccard estimate) and thresholded."""
+    minhashes — the unbiased Jaccard estimate) and thresholded.
+
+    Candidate generation is pair-gen from grouped band posting lists with
+    a MAX_BAND_DOCS population cap — never a band self-join, so a
+    degenerate hot bucket cannot fan out quadratically."""
     # signatures feed the band union (xN_BANDS) and both sides of the
     # scoring join — checkpoint once instead of recomputing the explode+agg
     sig = minhash_signatures(docs, k).localCheckpoint(eager=False)
@@ -280,16 +312,13 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> Da
     banded = bands[0]
     for extra in bands[1:]:
         banded = banded.unionByName(extra)
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    postings = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= MAX_BAND_DOCS))
+    )
+    cand = _posting_pairs(
+        postings, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
@@ -336,9 +365,16 @@ def minhash_lsh_sql(k: int = 5, threshold: float = 0.5) -> str:
         ),
         sig AS (SELECT doc_id, {mh_cols} FROM shb GROUP BY doc_id),
         banded AS ({banded}),
+        ok_buckets AS (
+            SELECT band, band_key FROM banded
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_BAND_DOCS}
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
+            FROM banded a
+            JOIN ok_buckets ok
+              ON ok.band = a.band AND ok.band_key = a.band_key
+            JOIN banded b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, round(({eq}) / {N_HASHES}.0, 6) AS est_jaccard
@@ -407,10 +443,14 @@ def simhash_sql() -> str:
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on half-word
-    bands (a pair within distance d must agree on >= one of d+1 bands)."""
-    # sig feeds n_bands union branches AND both sides of the pair join —
-    # checkpoint once instead of recomputing the explode+2-shuffle sketch
-    # per branch (exchange reuse does not survive the band union).
+    bands (a pair within distance d must agree on >= one of d+1 bands).
+
+    Pair-gen from grouped band posting lists (MAX_BAND_DOCS cap), with
+    hamming computed inline from the carried sketches — zero joins in
+    the whole plan, and no quadratic fan-out on a degenerate bucket."""
+    # sig feeds n_bands union branches — checkpoint once instead of
+    # recomputing the explode+2-shuffle sketch per branch (exchange
+    # reuse does not survive the band union).
     sig = simhash(docs).localCheckpoint(eager=False)
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
@@ -421,25 +461,26 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded = bands[0]
     for extra in bands[1:]:
         banded = banded.unionByName(extra)
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # posting list carries (doc_id, simhash); sort_array orders by doc_id
+    # (first struct field, unique), so pair-gen emits doc_a < doc_b.
+    postings = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("docs")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+        .where((F.size("docs") >= 2) & (F.size("docs") <= MAX_BAND_DOCS))
     )
-    return pairs
+    pairs = _posting_pairs(
+        postings,
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+        ),
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
@@ -452,10 +493,16 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
     )
     return f"""
         WITH sig AS ({base}),
-        banded AS ({band_rows})
+        banded AS ({band_rows}),
+        ok_buckets AS (
+            SELECT band, band_key FROM banded
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_BAND_DOCS}
+        )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM banded a JOIN banded b
+        FROM banded a
+        JOIN ok_buckets ok ON ok.band = a.band AND ok.band_key = a.band_key
+        JOIN banded b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """

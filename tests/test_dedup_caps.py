@@ -1,0 +1,54 @@
+"""Hot-bucket cap behavior for the banded-LSH pair generators.
+
+A degenerate corpus (many near-identical boilerplate docs) collapses
+entire document sets onto one band bucket; the MAX_BAND_DOCS cap must
+drop such buckets from candidate generation (exact clones that big are
+exact_dedup's job) while leaving normal-sized buckets fully paired.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databus_spark.operators import dedup
+
+
+def _clone_corpus(spark, n, text="the same boilerplate text repeated across the corpus forever and ever"):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(text).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("clone").alias("source"),
+        F.length(F.lit(text)).alias("n_chars"),
+    )
+
+
+def test_minhash_hot_bucket_capped(spark):
+    over = _clone_corpus(spark, dedup.MAX_BAND_DOCS + 50)
+    # every clone lands in the same band buckets -> population > cap -> dropped
+    assert dedup.minhash_lsh_pairs(over, k=3).count() == 0
+
+    under = _clone_corpus(spark, 12)
+    # 12 identical docs = C(12,2) pairs at est_jaccard 1.0
+    assert dedup.minhash_lsh_pairs(under, k=3).count() == 12 * 11 // 2
+
+
+def test_simhash_hot_bucket_capped(spark):
+    over = _clone_corpus(spark, dedup.MAX_BAND_DOCS + 50)
+    assert dedup.simhash_near_pairs(over).count() == 0
+
+    under = _clone_corpus(spark, 12)
+    pairs = dedup.simhash_near_pairs(under)
+    assert pairs.count() == 12 * 11 // 2
+    assert pairs.agg(F.max("hamming")).collect()[0][0] == 0
+
+
+def test_pair_gen_emits_ordered_unique_pairs(spark):
+    under = _clone_corpus(spark, 8)
+    rows = dedup.minhash_lsh_pairs(under, k=3).collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))

@@ -172,6 +172,21 @@ def test_pq_ann_broadcast_and_partial_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "PQ scoring fell back to sort-merge"
 
 
+def test_lsh_band_pairs_have_no_self_join(spark, sf_dir):
+    """Banded-LSH candidate generation must be pair-gen from capped
+    posting lists, never a banded-vs-banded self-join — a degenerate
+    band bucket would fan out O(n^2) at 100 TB. The simhash plan has
+    zero joins total; the minhash plan's only joins are the two
+    signature-scoring joins of the (already bounded) candidate set."""
+    plan = _plan(spark, "dedup_simhash_pairs", sf_dir)
+    assert "Join" not in plan, "simhash pair-gen regressed to a join:\n" + plan[:800]
+    plan = _plan(spark, "dedup_minhash_lsh", sf_dir)
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_joins <= 2, f"minhash gained joins beyond the scoring pair ({n_joins}):\n" + plan[:800]
+
+
 def test_byte_budget_fetch_is_topk_bounded(spark, sf_dir):
     """The /stream byte-budget cutoff must bound the input via
     distributed top-k BEFORE the exact running-size window — the

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import zlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -116,6 +118,61 @@ def test_key_mod_bucket_parses_numeric_strings(spark):
         F.abs(java_string_hashcode(F.col("key_str"))).cast("long").alias("h")
     ).collect()[0]["h"]
     assert got["abc"] == abc_hash   # non-numeric string falls back to hashCode
+
+
+def test_java_hashcode_matches_jvm_reference(spark):
+    """Bit-exact Java String.hashCode parity of the AND-fold form,
+    including wrap-around past 2^31 and the empty string."""
+    cases = ["", "a", "abc", "hello world", "evt_0001234", "x" * 40, "Üñî-çødé"]
+
+    def jhash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - 4294967296 if h >= 2147483648 else h
+
+    from databus_spark.functions.hashes import java_string_hashcode
+
+    df = spark.createDataFrame([(s,) for s in cases], "s STRING")
+    got = {r["s"]: r["h"] for r in df.select("s", java_string_hashcode(F.col("s")).alias("h")).collect()}
+    for s in cases:
+        assert got[s] == jhash(s), s
+
+
+def test_subscribe_key_mod_warns_on_unrouted_fallback(spark, sf_dir, tmp_path):
+    """The enforced subscription API: routed logs take the pruned path
+    silently; unrouted logs still work but raise UnroutedKeyModWarning."""
+    import warnings
+
+    from databus_spark.envelope import customer_changelog
+    from databus_spark.operators.filters import (
+        UnroutedKeyModWarning,
+        key_mod_filter,
+        subscribe_key_mod,
+    )
+    from databus_spark.streaming.source import stage_changelog
+
+    log = customer_changelog(spark, sf_dir)
+    expected = log.where(key_mod_filter(8, 0, 4)).count()
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        stage = str(tmp_path / "routed")
+        stage_changelog(log, stage, n_chunks=2, route_buckets=8)
+        staged = spark.read.option("basePath", stage).parquet(stage + "/chunk=*")
+        sub = subscribe_key_mod(staged, 8, 0, 4, route_buckets=8)
+        assert "PartitionFilters: [isnotnull(route_partition" in (
+            sub._jdf.queryExecution().executedPlan().toString()
+        )
+        assert sub.count() == expected
+
+    with pytest.warns(UnroutedKeyModWarning):
+        fallback = subscribe_key_mod(log, 8, 0, 4)
+    assert fallback.count() == expected
+
+    with pytest.warns(UnroutedKeyModWarning):
+        incompatible = subscribe_key_mod(staged, 3, 0, 1, route_buckets=8)
+    assert incompatible.count() == log.where(key_mod_filter(3, 0, 1)).count()
 
 
 def test_avro_binary_wire_format_roundtrip():

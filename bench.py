@@ -54,6 +54,20 @@ def main() -> None:
     # (~4-5 s) that would otherwise be billed to whichever query runs first.
     queries["max_scn_probe"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Pre-stage EVERY changelog variant (untimed). _staged writes the
+    # parquet stage on a variant's first use, so without this the one-time
+    # staging of a ~1.8M-row changelog lands inside whichever query touches
+    # that variant first (r4: schema_key_compaction billed 2.6 s of
+    # lineitem:True staging). Calling each builder is enough — the staging
+    # write is an eager action inside _staged.
+    from databus_spark import envelope as _env
+
+    _env.orders_changelog(spark, sf_dir)
+    _env.customer_changelog(spark, sf_dir)
+    _env.lineitem_changelog(spark, sf_dir, with_schema_key=False)
+    _env.lineitem_changelog(spark, sf_dir, with_schema_key=True)
+    _env.multi_source_changelog(spark, sf_dir)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:
@@ -177,7 +191,19 @@ def main() -> None:
         "microbatch_p50_ms": p50_batch_ms,
         "n_microbatches": applier.batches_applied,
     }
+    # Full result (all per-query timings) goes to a file AND one full JSON
+    # line; the LAST stdout line is a compact (<1 KB) headline so the
+    # driver's tail-window always parses structured numbers (r1-r4 the
+    # ~4 KB single line was tail-truncated and parsed as null).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_queries.json"), "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
     print(json.dumps(out))
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["queries"] = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
+    compact["queries_truncated_to_slowest"] = 8
+    compact["all_queries_file"] = "bench_queries.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

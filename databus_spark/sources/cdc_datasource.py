@@ -65,8 +65,16 @@ class BinlogWriter:
     (file, offset) binlog position seek (TrailFilePositionSetter /
     OpenReplicatorEventProducer start-position logic), restated for an
     SCN-addressed trail. Written via temp-file rename so readers never
-    observe a torn index; a file missing from the index (producer crashed
-    between append and flush) degrades to a scan of that file only.
+    observe a torn index.
+
+    Crash-window contract: append_txn writes the data line BEFORE the
+    index update, so a producer crash in between leaves the newest
+    file's entry PRESENT but one txn stale (and a file missing from the
+    index entirely when the crash precedes its first index write).
+    Readers therefore treat the newest trail file as unindexed — always
+    scanned, never pruned, its entry never trusted for the head — which
+    covers both cases; older files can no longer be appended to, so
+    their entries are exact.
     """
 
     def __init__(self, trail_dir: str, max_txns_per_file: int = 1000) -> None:
@@ -115,11 +123,28 @@ def _trail_files(trail_dir: str) -> list[str]:
 
 
 def _read_index(trail_dir: str) -> dict[str, dict]:
+    """Load the SCN index sidecar, degrading PER ENTRY: a truncated /
+    non-JSON file yields {} (full scan), and an individually malformed
+    entry (missing/non-numeric scn fields) is dropped so only ITS file
+    degrades to a scan — the index is an optimization, never a
+    correctness dependency, so corruption can only cost I/O."""
     try:
         with open(os.path.join(trail_dir, INDEX_NAME)) as f:
-            return json.load(f)
+            raw = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         return {}
+    if not isinstance(raw, dict):
+        return {}
+    out: dict[str, dict] = {}
+    for name, ent in raw.items():
+        try:
+            out[name] = {
+                "first_scn": int(ent["first_scn"]),
+                "last_scn": int(ent["last_scn"]),
+            }
+        except (KeyError, TypeError, ValueError):
+            continue
+    return out
 
 
 def _write_index(trail_dir: str, idx: dict[str, dict]) -> None:
@@ -134,12 +159,16 @@ def _select_files(
 ) -> list[str]:
     """Index-pruned file list for an (start, end] SCN range: files whose
     SCN bracket falls entirely outside the range are skipped without
-    being opened. Unindexed files are conservatively kept (scanned)."""
+    being opened. Unindexed files are conservatively kept (scanned), and
+    so is the NEWEST file regardless of its entry — its last_scn may be
+    one txn stale (producer crashed between the data append and the
+    index write), so pruning it could hide a committed transaction."""
     idx = _read_index(trail_dir)
+    files = _trail_files(trail_dir)
     out = []
-    for name in _trail_files(trail_dir):
+    for i, name in enumerate(files):
         ent = idx.get(name)
-        if ent is not None:
+        if ent is not None and i < len(files) - 1:
             if start_scn is not None and int(ent["last_scn"]) <= start_scn:
                 continue
             if end_scn is not None and int(ent["first_scn"]) > end_scn:
@@ -222,21 +251,27 @@ class CdcBinlogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         """Trail head from the SCN index sidecar — O(#files) sidecar
-        lookups per trigger instead of an O(trail) rescan; only files the
-        producer hadn't indexed yet (crash window) are actually read.
-        Every partition advances to the head: a partition with no events
-        in the range plans an (index-pruned) no-op task, and exactly-once
-        holds because the next start is the committed end."""
+        lookups per trigger instead of an O(trail) rescan. The NEWEST
+        file is always scanned (never trusted from the index): its entry
+        can be one committed txn stale when the producer crashed between
+        the data append and the index write, and trusting it would make
+        that txn invisible until the next append. Unindexed files (crash
+        before the first index write) are scanned too. Every partition
+        advances to the head: a partition with no events in the range
+        plans an (index-pruned) no-op task, and exactly-once holds
+        because the next start is the committed end."""
         idx = _read_index(self.trail_dir)
         head = self.start_scn
-        unindexed = []
-        for name in _trail_files(self.trail_dir):
+        files = _trail_files(self.trail_dir)
+        scan = []
+        for i, name in enumerate(files):
             ent = idx.get(name)
-            if ent is not None:
+            newest = i == len(files) - 1
+            if ent is not None and not newest:
                 head = max(head, int(ent["last_scn"]))
             else:
-                unindexed.append(name)
-        for txn in _scan_txns(self.trail_dir, unindexed, self.on_corrupt):
+                scan.append(name)
+        for txn in _scan_txns(self.trail_dir, scan, self.on_corrupt):
             head = max(head, int(txn["scn"]))
         return {str(p): head for p in range(self.n_parts)}
 

@@ -170,10 +170,11 @@ def test_binlog_scn_index_prunes_files(tmp_path):
 
     # checkpoint past file 1 -> file 1 pruned without being opened
     assert _select_files(trail, start_scn=10) == files[1:]
-    # range bracketed inside file 2 -> only file 2 selected
-    assert _select_files(trail, start_scn=12, end_scn=18) == [files[1]]
-    # fully caught up -> nothing selected
-    assert _select_files(trail, start_scn=30) == []
+    # range bracketed inside file 2 -> file 2 selected; the NEWEST file is
+    # always kept (its index entry may be one committed txn stale)
+    assert _select_files(trail, start_scn=12, end_scn=18) == [files[1], files[2]]
+    # fully caught up -> only the never-pruned newest file remains
+    assert _select_files(trail, start_scn=30) == [files[2]]
 
     # an unindexed file (producer crash window) is conservatively kept
     (tmp_path / "trail" / INDEX_NAME).unlink()
@@ -181,7 +182,9 @@ def test_binlog_scn_index_prunes_files(tmp_path):
 
 
 def test_latest_offset_uses_index_not_trail_scan(tmp_path, monkeypatch):
-    """latestOffset must not rescan indexed trail files each trigger."""
+    """latestOffset must not rescan SEALED (non-newest) trail files each
+    trigger; the newest file is scanned by contract (its index entry may
+    be one committed txn stale)."""
     import databus_spark.sources.cdc_datasource as cdc
 
     trail = str(tmp_path / "trail")
@@ -204,7 +207,49 @@ def test_latest_offset_uses_index_not_trail_scan(tmp_path, monkeypatch):
     reader = cdc.CdcBinlogStreamReader({"path": trail, "parts": "4"})
     latest = reader.latestOffset()
     assert latest == {str(p): 15 for p in range(4)}
-    assert opened == [], f"latestOffset opened trail files: {opened}"
+    newest = sorted(cdc._trail_files(trail))[-1]
+    assert [p.rsplit("/", 1)[-1] for p in opened] == [newest], (
+        f"latestOffset must open exactly the newest file: {opened}"
+    )
+
+
+def test_latest_offset_sees_txn_behind_stale_index(tmp_path):
+    """Producer-crash window: append_txn writes the data line before the
+    index update, so the newest file's entry can lag one committed txn.
+    Offset discovery and partition reads must still surface that txn."""
+    import json
+
+    import databus_spark.sources.cdc_datasource as cdc
+
+    trail = str(tmp_path / "trail")
+    w = cdc.BinlogWriter(trail, max_txns_per_file=100)
+    for scn in (1, 2, 3):
+        w.append_txn(scn, 0, [
+            {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": 0,
+             "key_num": scn, "key_str": str(scn), "payload": {}},
+        ])
+
+    # simulate the crash: a committed (newline-terminated) txn line lands
+    # in the newest file but the index never gets updated
+    import os
+
+    newest = os.path.join(trail, cdc._trail_files(trail)[-1])
+    with open(newest, "a") as f:
+        f.write(json.dumps({"scn": 4, "ts_ms": 0, "events": [
+            {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": 0,
+             "key_num": 4, "key_str": "4", "payload": {}},
+        ]}) + "\n")
+    assert cdc._read_index(trail)[cdc._trail_files(trail)[-1]]["last_scn"] == 3
+
+    reader = cdc.CdcBinlogStreamReader({"path": trail, "parts": "2"})
+    latest = reader.latestOffset()
+    assert latest == {"0": 4, "1": 4}, "stale index entry hid the committed txn"
+
+    parts = reader.partitions(reader.initialOffset(), latest)
+    scns = sorted(
+        row[0] for p in parts for row in reader.read(p)
+    )
+    assert scns == [1, 2, 3, 4], "partition read pruned the stale-indexed txn"
 
 
 def test_corrupt_trail_line_handling(spark, tmp_path):
@@ -245,3 +290,60 @@ def test_corrupt_trail_line_handling(spark, tmp_path):
     del lines2[2]  # remove the corrupt line; torn tail remains
     open(path, "w").write("".join(lines2))
     assert [t["scn"] for t in _scan_txns(trail)] == [1, 2, 3]
+
+
+def test_scn_index_corruption_never_loses_data(tmp_path):
+    """Property: NO corruption of the index sidecar (truncation at any
+    byte, entry-level mangling, junk content) can hide committed
+    transactions — the index only prunes, never gates. Mirrors the trail
+    corruption tests for the sidecar (hypothesis-driven truncation)."""
+    import json as _json
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import databus_spark.sources.cdc_datasource as cdc
+
+    trail = str(tmp_path / "trail")
+    w = cdc.BinlogWriter(trail, max_txns_per_file=4)
+    for scn in range(1, 13):  # 12 txns -> 3 files
+        w.append_txn(scn, 0, [
+            {"op": "UPSERT", "source": "orders", "source_id": 1, "part_id": scn % 2,
+             "key_num": scn, "key_str": str(scn), "payload": {}},
+        ])
+    idx_path = os.path.join(trail, cdc.INDEX_NAME)
+    pristine = open(idx_path, "rb").read()
+
+    def full_drain():
+        reader = cdc.CdcBinlogStreamReader({"path": trail, "parts": "2"})
+        latest = reader.latestOffset()
+        parts = reader.partitions(reader.initialOffset(), latest)
+        return sorted(row[0] for p in parts for row in reader.read(p))
+
+    expected = full_drain()
+    assert expected == list(range(1, 13))
+
+    @settings(max_examples=30, deadline=None)
+    @given(cut=st.integers(min_value=0, max_value=len(pristine)))
+    def truncated_index_still_complete(cut):
+        with open(idx_path, "wb") as f:
+            f.write(pristine[:cut])
+        assert full_drain() == expected
+
+    truncated_index_still_complete()
+
+    # entry-level mangling: valid JSON, malformed entries
+    files = cdc._trail_files(trail)
+    for bad in (
+        {files[0]: {}},                                # missing fields
+        {files[0]: {"first_scn": "x", "last_scn": 4}}, # non-numeric
+        {files[0]: None, files[1]: {"first_scn": 5, "last_scn": 8}},
+        [1, 2, 3],                                     # not a dict at all
+    ):
+        with open(idx_path, "w") as f:
+            _json.dump(bad, f)
+        assert full_drain() == expected, f"corrupt index {bad!r} hid data"
+
+    with open(idx_path, "wb") as f:
+        f.write(pristine)

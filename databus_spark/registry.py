@@ -65,6 +65,20 @@ def _dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
 
 
+def _content_fingerprint(df: DataFrame, *num_cols: str) -> str:
+    """Cheap content digest for fixture-reuse markers: row count plus
+    exact decimal sum and max of the named numeric columns. A regenerated
+    sf fixture with equal cardinality but different content changes the
+    sums, so markers keyed on this never serve stale staged data (the
+    row-count-only probe could)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in num_cols:
+        aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"s_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"m_{c}"))
+    r = df.agg(*aggs).collect()[0]
+    return "|".join(str(v) for v in r)
+
+
 # --------------------------------------------------------------------------
 # Snapshot compaction (bootstrap applier semantics, SURVEY §2.2 K4 / §2.6 A6)
 # --------------------------------------------------------------------------
@@ -1046,7 +1060,9 @@ def jdbc_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["scn", "opcode", "key_str", "o_orderkey", "o_totalprice"]
     log = orders_changelog(spark, sf_dir).select(*cols)
-    n = log.count()
+    # content digest, not just row count: a regenerated fixture with equal
+    # cardinality must not silently reuse the previously-seeded Derby db
+    fingerprint = _content_fingerprint(log, "scn", "o_totalprice")
 
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     db_dir = os.path.join(tempfile.gettempdir(), f"databus_derby_{digest}")
@@ -1056,14 +1072,14 @@ def jdbc_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                need_seed = int(f.read().strip()) != n
-        except (ValueError, OSError):
+                need_seed = f.read().strip() != fingerprint
+        except OSError:
             need_seed = True
     if need_seed:
         shutil.rmtree(db_dir, ignore_errors=True)
         seed_jdbc_table(log, url, "TXLOG")
         with open(marker, "w") as f:
-            f.write(str(n))
+            f.write(fingerprint)
 
     handler = FileMaxSCNHandler(
         os.path.join(tempfile.mkdtemp(prefix="jdbcpull_"), "scn.json")
@@ -1196,7 +1212,7 @@ def schema_key_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT scn, opcode, source, key_str, row_bytes
     FROM (
         SELECT scn, opcode, source, key_str, row_bytes,
-               sum(row_bytes) OVER (ORDER BY scn, source, key_str
+               sum(row_bytes) OVER (ORDER BY scn, source, key_str, opcode
                                     ROWS UNBOUNDED PRECEDING) AS cum_bytes
         FROM (
             SELECT scn, opcode, source, key_str,
@@ -1221,13 +1237,16 @@ def stream_fetch_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # budget/45 rows fit — distributed top-k bounds the input BEFORE the
     # exact running-size window (which then touches O(budget) rows, not
     # the whole log). Identical results to the unbounded-window form.
+    # (scn, source, key_str) is unique by changelog construction; opcode is
+    # a defensive tiebreaker keeping limit and window orders identical even
+    # if that invariant were violated (see serve.RelayFacade.stream).
     budget = 20000
     bounded = (
         log.select("scn", "opcode", "source", "key_str", row_bytes.alias("row_bytes"))
-        .orderBy("scn", "source", "key_str")
+        .orderBy("scn", "source", "key_str", "opcode")
         .limit(budget // 45 + 1)
     )
-    w = W.orderBy("scn", "source", "key_str").rowsBetween(W.unboundedPreceding, 0)
+    w = W.orderBy("scn", "source", "key_str", "opcode").rowsBetween(W.unboundedPreceding, 0)
     return (
         bounded.withColumn("cum_bytes", F.sum("row_bytes").over(w))
         .where(F.col("cum_bytes") <= budget)
@@ -1400,14 +1419,18 @@ def trail_file_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"databus_trail_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
     )
     marker = os.path.join(trail_dir, "_COMPLETE")
-    # metadata-only count: cheap staleness probe against regenerated fixtures
-    n_orders = load_table(spark, sf_dir, "orders").count()
+    # content digest (count + sum/max of key and price), not row count
+    # alone: a regenerated fixture with equal cardinality but different
+    # content must rebuild the trail, not serve the stale one
+    fingerprint = _content_fingerprint(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", "o_totalprice"
+    )
     from_scn = None
     if os.path.exists(marker):
         with open(marker) as f:
-            saved_scn, saved_n = (int(x) for x in f.read().split(","))
-        if saved_n == n_orders:
-            from_scn = saved_scn
+            saved_scn, saved_fp = f.read().split(",", 1)
+        if saved_fp == fingerprint:
+            from_scn = int(saved_scn)
     if from_scn is None:
         rows = (
             load_table(spark, sf_dir, "orders")
@@ -1426,7 +1449,7 @@ def trail_file_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
         for scn in sorted(txns):
             writer.append_txn(scn, sorted(txns[scn]))
         with open(marker, "w") as f:
-            f.write(f"{from_scn},{n_orders}")
+            f.write(f"{from_scn},{fingerprint}")
     return read_trail(spark, trail_dir, from_scn=from_scn)
 
 

@@ -96,12 +96,21 @@ class RelayFacade:
             # first, then run the exact running-size cutoff on the small
             # bounded set. Identical results; the global window touches
             # O(budget) rows instead of O(retained log).
+            #
+            # The top-k pre-bound equals the unbounded-window form only if
+            # the sort key is a unique total order — a duplicate key at
+            # the limit boundary could let the limit keep a different tied
+            # row than the running sum admits. The changelog builders
+            # guarantee (scn, source, key_str) unique; opcode is appended
+            # as a defensive tiebreaker so any violation still yields one
+            # deterministic order in both the limit and the window.
+            order_cols = ["scn", "source", "key_str", "opcode"]
             max_rows = size_bytes // EVENT_HEADER_BYTES + 1
-            out = out.orderBy("scn", "source", "key_str").limit(max_rows)
+            out = out.orderBy(*order_cols).limit(max_rows)
             row_bytes = (
                 EVENT_HEADER_BYTES + F.length("key_str") + F.length("source")
             ).cast("long")
-            w = Window.orderBy("scn", "source", "key_str").rowsBetween(
+            w = Window.orderBy(*order_cols).rowsBetween(
                 Window.unboundedPreceding, 0
             )
             out = (

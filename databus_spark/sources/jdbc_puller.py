@@ -23,11 +23,68 @@ transaction always travel in one chunk.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 
 from databus_spark.sources.incremental import FileMaxSCNHandler
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@dataclass(frozen=True)
+class JdbcDialect:
+    """SQL-surface differences between txlog host databases.
+
+    The poll/commit protocol (keyset boundary probe + txn-atomic range
+    pull) is dialect-independent; what varies is identifier quoting, the
+    row-limit syntax of the boundary probe, and the optimizer hint the
+    reference injects on Oracle (OracleTxlogEventReader.java:683-723
+    builds `/*+ ... */` hinted queries). Derby stays the executable test
+    dialect — Oracle/MySQL differ only in the strings produced here, so
+    their shims are unit-testable without driver jars.
+    """
+
+    name: str
+    quote_char: str = '"'
+    hint: str = ""  # injected right after SELECT in the boundary probe
+
+    def quote(self, ident: str) -> str:
+        return f"{self.quote_char}{ident}{self.quote_char}"
+
+    def select_head(self) -> str:
+        return f"SELECT {self.hint} ".replace("  ", " ") if self.hint else "SELECT "
+
+    def limited(self, body: str, n: int) -> str:
+        """Wrap/suffix an ORDER BY'd SELECT body to return at most n rows
+        (ANSI FETCH FIRST; subclass-by-instance overrides below)."""
+        return f"{body} FETCH FIRST {int(n)} ROWS ONLY"
+
+
+@dataclass(frozen=True)
+class MySqlDialect(JdbcDialect):
+    name: str = "mysql"
+    quote_char: str = "`"
+
+    def limited(self, body: str, n: int) -> str:
+        return f"{body} LIMIT {int(n)}"
+
+
+@dataclass(frozen=True)
+class OracleDialect(JdbcDialect):
+    """Oracle pre-12c has no FETCH FIRST: the bounded probe is a ROWNUM
+    wrap, and the event query carries the reference's FIRST_ROWS hint."""
+
+    name: str = "oracle"
+    hint: str = "/*+ FIRST_ROWS */"
+
+    def limited(self, body: str, n: int) -> str:
+        return f"SELECT * FROM ({body}) WHERE ROWNUM <= {int(n)}"
+
+
+DERBY_DIALECT = JdbcDialect(name="derby")
+MYSQL_DIALECT = MySqlDialect()
+ORACLE_DIALECT = OracleDialect()
 
 
 class JdbcTxlogPuller:
@@ -42,6 +99,7 @@ class JdbcTxlogPuller:
         columns: str = "*",
         driver: str = DERBY_DRIVER,
         n_partitions: int = 4,
+        dialect: JdbcDialect = DERBY_DIALECT,
     ) -> None:
         self.spark = spark
         self.url = url
@@ -52,6 +110,7 @@ class JdbcTxlogPuller:
         self.columns = columns
         self.driver = driver
         self.n_partitions = n_partitions
+        self.dialect = dialect
         self._pending_scn: int | None = None
 
     # -- plumbing -------------------------------------------------------------
@@ -71,25 +130,38 @@ class JdbcTxlogPuller:
     def _qscn(self) -> str:
         # Spark's JDBC writer creates columns QUOTED (case-sensitive in
         # Derby), so hand-written SQL must quote them the same way.
-        return f'"{self.scn_col}"'
+        return self.dialect.quote(self.scn_col)
+
+    def max_scn_sql(self) -> str:
+        return (
+            f"{self.dialect.select_head()}max({self._qscn}) AS m FROM {self.table}"
+        )
+
+    def chunk_boundary_sql(self, last: int) -> str:
+        inner = self.dialect.limited(
+            f"{self.dialect.select_head()}{self._qscn} AS s FROM {self.table} "
+            f"WHERE {self._qscn} > {int(last)} "
+            f"ORDER BY {self._qscn}",
+            self.chunk_rows,
+        )
+        return f"SELECT max(s) AS b FROM ({inner}) cand"
+
+    def chunk_pull_sql(self, last: int, boundary: int) -> str:
+        return (
+            f"{self.dialect.select_head()}{self.columns} FROM {self.table} "
+            f"WHERE {self._qscn} > {int(last)} "
+            f"AND {self._qscn} <= {int(boundary)}"
+        )
 
     def probe_max_scn(self) -> int:
-        df = self._read_query(
-            f"SELECT max({self._qscn}) AS m FROM {self.table}"
-        )
+        df = self._read_query(self.max_scn_sql())
         v = df.collect()[0][0]
         return -1 if v is None else int(v)
 
     def _chunk_boundary(self, last: int) -> int | None:
         """scn of the chunk_rows-th candidate row — txn-atomic upper
-        bound (keyset probe; FETCH FIRST is Derby/ANSI LIMIT)."""
-        df = self._read_query(
-            f"SELECT max(s) AS b FROM ("
-            f"SELECT {self._qscn} AS s FROM {self.table} "
-            f"WHERE {self._qscn} > {int(last)} "
-            f"ORDER BY {self._qscn} "
-            f"FETCH FIRST {int(self.chunk_rows)} ROWS ONLY) cand"
-        )
+        bound (keyset probe; row-limit syntax is dialect-specific)."""
+        df = self._read_query(self.chunk_boundary_sql(last))
         v = df.collect()[0][0]
         return None if v is None else int(v)
 
@@ -107,12 +179,7 @@ class JdbcTxlogPuller:
             self.spark.read.format("jdbc")
             .option("url", self.url)
             .option("driver", self.driver)
-            .option(
-                "dbtable",
-                f"(SELECT {self.columns} FROM {self.table} "
-                f"WHERE {self._qscn} > {int(last)} "
-                f"AND {self._qscn} <= {int(boundary)}) chunk",
-            )
+            .option("dbtable", f"({self.chunk_pull_sql(last, boundary)}) chunk")
             .option("partitionColumn", self.scn_col)
             .option("lowerBound", int(last) + 1)
             .option("upperBound", int(boundary) + 1)

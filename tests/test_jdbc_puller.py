@@ -75,3 +75,47 @@ def test_jdbc_crash_replays_chunk(spark, derby, tmp_path):
     again = puller2.poll()
     rows_after = sorted(tuple(r) for r in again.select("scn", "key_str").collect())
     assert rows_before == rows_after
+
+
+def test_dialect_sql_shims(spark, tmp_path):
+    """Oracle/MySQL dialect SQL surfaces (quoting, row-limit syntax,
+    optimizer hint — OracleTxlogEventReader.java:683-723 hinted queries)
+    without needing their driver jars; Derby remains the executable
+    dialect covered by the tests above."""
+    from databus_spark.sources.jdbc_puller import (
+        DERBY_DIALECT,
+        MYSQL_DIALECT,
+        ORACLE_DIALECT,
+        JdbcTxlogPuller,
+    )
+
+    def puller(dialect):
+        return JdbcTxlogPuller(
+            spark, "jdbc:x", "TXLOG",
+            FileMaxSCNHandler(str(tmp_path / f"{dialect.name}.json")),
+            chunk_rows=500, dialect=dialect,
+        )
+
+    derby = puller(DERBY_DIALECT)
+    assert derby.chunk_boundary_sql(7) == (
+        'SELECT max(s) AS b FROM (SELECT "scn" AS s FROM TXLOG '
+        'WHERE "scn" > 7 ORDER BY "scn" FETCH FIRST 500 ROWS ONLY) cand'
+    )
+    assert derby.chunk_pull_sql(7, 99) == (
+        'SELECT * FROM TXLOG WHERE "scn" > 7 AND "scn" <= 99'
+    )
+
+    mysql = puller(MYSQL_DIALECT)
+    assert mysql.chunk_boundary_sql(7) == (
+        "SELECT max(s) AS b FROM (SELECT `scn` AS s FROM TXLOG "
+        "WHERE `scn` > 7 ORDER BY `scn` LIMIT 500) cand"
+    )
+    assert "`scn`" in mysql.max_scn_sql()
+
+    oracle = puller(ORACLE_DIALECT)
+    assert oracle.chunk_boundary_sql(7) == (
+        "SELECT max(s) AS b FROM (SELECT * FROM ("
+        'SELECT /*+ FIRST_ROWS */ "scn" AS s FROM TXLOG '
+        'WHERE "scn" > 7 ORDER BY "scn") WHERE ROWNUM <= 500) cand'
+    )
+    assert oracle.chunk_pull_sql(7, 99).startswith("SELECT /*+ FIRST_ROWS */ ")

@@ -30,35 +30,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict order.
-# Round 4 rotation: front-load (a) the 12 queries never driver-checked in
-# r1-r3 and (b) the 6 queries red in r3 (events-ts fixture drift, fixed in
-# catalog.py), so every registered query has at least one green driver row
-# across rounds. Everything rotated out of slot 50 was green in r3.
+# Round 5 rotation: front-load the 29 queries whose last green driver row
+# is r3 (everything in CORRECTNESS_r04 was green in r4), so no query's
+# external check goes stale by more than two rounds. The merge gate is
+# still a FULL local run over all registered queries (the round-5 session
+# drove every query against its oracle at sf0.01 — zero failures), so
+# rotation never leaves a query locally unchecked.
 _PRIORITY = [
-    # (a) never driver-checked r1-r3
-    "trail_file_seek",
-    "revenue_by_nation",
-    "urgent_orders_shipped",
-    "returned_items_topk",
-    "supplier_profit_by_nation",
-    "pii_redact",
-    "events_as_changelog_state",
-    "running_account_balance",
-    "opcode_transitions",
-    "partition_spread_per_source",
-    "null_rate_profile",
-    "buffer_info",
-    # (b) red in r3, re-greened this round
-    "lag_percentiles",
-    "value_histogram",
-    "json_props_extract",
-    "time_window_tumbling",
-    "time_window_sliding",
-    "sessionize",
-    # (c) added in r4 and otherwise just outside the 50-row window
-    "chunk_documents",
-    "curation_decisions_v2",
+    # last green row r3 or earlier
+    "text_fingerprint",
+    "repetition_filter",
+    "curation_decisions",
+    "stratified_sample",
+    "sequence_packing",
+    "media_features",
+    "scalar_functions",
+    "filter_payload_fields",
+    "cube_rollup",
+    "dtail_json",
+    "schema_evolution_decode",
+    "avro_binary_decode",
+    "sql_txlog_pull",
+    "event_metadata_extract",
+    "schema_key_compaction",
+    "schema_key_filter",
+    "stream_fetch_bounded",
+    "checkpoint_mult_fetch",
+    "skew_salted_agg",
+    "approx_stats",
+    "xml_trail_parse",
+    "hash_sample",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "partition_router",
+    "as_of_join_events",
+    "dedup_cluster_survivors",
+    "topk_orders_per_segment",
+    "pivot_events_daily",
+    # changed this round (LSH bucket caps, byte-budget tiebreaker,
+    # hashCode AND-fold, Derby fingerprint markers) — keep in-window
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "simhash_sketch",
+    "dedup_ngram_jaccard",
+    "filter_keymod_strkey",
+    "filter_keymod_longkey",
     "jdbc_txlog_pull",
+    "trail_file_seek",
 ]
 
 

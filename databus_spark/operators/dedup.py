@@ -150,7 +150,15 @@ def _posting_pairs(postings: DataFrame, pair_struct) -> DataFrame:
     builds the output struct for one (earlier, later) element pair. One
     explode instead of a self-join: the per-row pair array is bounded by
     C(MAX_BAND_DOCS, 2), so no bucket can go quadratic in the shuffle.
+
+    The explicit repartition matters (same AQE trap as
+    documents_with_dups): the posting lists are tiny pre-explode, so AQE
+    coalesces the groupBy shuffle to ~1 partition by size — and then the
+    C(df,2) pair fan-out and the downstream distinct run serialized. One
+    cheap round-robin shuffle of the grouped lists buys full-width
+    parallelism for the expensive explode stage.
     """
+    n = postings.sparkSession.sparkContext.defaultParallelism
     pair_array = F.flatten(
         F.transform(
             F.col("docs"),
@@ -160,7 +168,12 @@ def _posting_pairs(postings: DataFrame, pair_struct) -> DataFrame:
             ),
         )
     )
-    return postings.select(F.explode(pair_array).alias("p")).select("p.*").distinct()
+    return (
+        postings.repartition(n)
+        .select(F.explode(pair_array).alias("p"))
+        .select("p.*")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.6) -> DataFrame:

@@ -67,6 +67,8 @@ _PRIORITY = [
     "dedup_cluster_survivors",
     "topk_orders_per_segment",
     "pivot_events_daily",
+    # new this round
+    "mixture_temperature_sample",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

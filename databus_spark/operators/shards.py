@@ -123,6 +123,75 @@ def sequence_packing_sql(
     """
 
 
+MIX_SEED = "mix"
+MIX_PPM = 1_000_000
+
+
+def mixture_temperature_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    base_rate: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the standard LLM data-mixing
+    op: small groups (languages/sources) are UPsampled relative to their
+    share so the mixture flattens toward uniform. Group g with count c_g
+    keeps rate min(1, base_rate * sqrt(c_max / c_g)) — the alpha=0.5
+    temperature rebalancing (multilingual-pretraining convention), with
+    no cross-group normalization sum so every arithmetic step (integer
+    ratio, IEEE sqrt, one multiply, floor to ppm) is correctly rounded
+    and bit-identical in DuckDB.
+
+    Scale shape: one map-side-combinable count per group (groups are
+    few), group rates broadcast back, membership is a pure hash-threshold
+    filter (h % 1e6 < rate_ppm) — no window, no per-row state; the big
+    side never shuffles.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    w_all = Window.partitionBy()  # counts is tiny (one row per group)
+    rates = counts.select(
+        group_col,
+        "n_group",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(base_rate)
+                * F.sqrt(F.max("n_group").over(w_all) / F.col("n_group")),
+            )
+            * MIX_PPM
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    h = F.pmod(portable_hash64(F.col(id_col).cast("string"), F.lit(MIX_SEED)), F.lit(MIX_PPM))
+    return (
+        docs.select(id_col, group_col)
+        .join(F.broadcast(rates), group_col)
+        .where(h < F.col("rate_ppm"))
+        .select(id_col, group_col, "n_group", "rate_ppm")
+    )
+
+
+def mixture_temperature_sample_sql(
+    group_col: str = "lang", base_rate: float = 0.1, id_col: str = "doc_id"
+) -> str:
+    h = portable_hash64_sql(id_col, f"'{MIX_SEED}'")
+    return f"""
+        SELECT {id_col}, {group_col}, n_group, rate_ppm
+        FROM documents
+        JOIN (
+            SELECT {group_col}, n_group,
+                   CAST(floor(least(1.0,
+                       {base_rate} * sqrt(CAST(max(n_group) OVER () AS DOUBLE)
+                                          / n_group)) * {MIX_PPM}) AS BIGINT)
+                       AS rate_ppm
+            FROM (SELECT {group_col}, count(*) AS n_group
+                  FROM documents GROUP BY 1)
+        ) USING ({group_col})
+        WHERE {h} % {MIX_PPM} < rate_ppm
+    """
+
+
 def chunk_documents(
     docs: DataFrame, max_tokens: int = 64, overlap: int = 8, text_col: str = "text"
 ) -> DataFrame:

@@ -609,6 +609,15 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
+@query("mixture_temperature_sample", shards.mixture_temperature_sample_sql())
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) mixture sampling by lang — the
+    standard LLM data-mixing rebalance: small languages upsample toward
+    uniform; membership is a deterministic hash threshold, group rates
+    broadcast, corpus side never shuffles."""
+    return shards.mixture_temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "sequence_packing",
     shards.sequence_packing_sql(f"len({text.TOKENS_SQL.format(col='text')})"),

@@ -187,6 +187,15 @@ def test_lsh_band_pairs_have_no_self_join(spark, sf_dir):
     assert n_joins <= 2, f"minhash gained joins beyond the scoring pair ({n_joins}):\n" + plan[:800]
 
 
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    """Mixture sampling must broadcast the (few-row) group-rate table and
+    filter the corpus map-side — a SortMergeJoin or corpus-wide window
+    here would shuffle the whole corpus at 100 TB."""
+    plan = _plan(spark, "mixture_temperature_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan, "group rates not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
+
+
 def test_byte_budget_fetch_is_topk_bounded(spark, sf_dir):
     """The /stream byte-budget cutoff must bound the input via
     distributed top-k BEFORE the exact running-size window — the

@@ -363,9 +363,28 @@ def ivf_topk_sql(n_queries: int = 10, k: int = 5) -> str:
 # Embedding-cosine near-duplicate pairs (dedup use)
 # ---------------------------------------------------------------------------
 
+# Hot-bucket safety valve for the near-pair generator: 2^N_PLANES buckets
+# per table is a RECALL choice (the low cosine thresholds of near-dup
+# detection need coarse buckets), so bucket population grows with the
+# corpus — fine while the within-bucket join is the point, degenerate
+# when a corpus of near-identical embeddings collapses onto one bucket.
+# Buckets beyond this population are dropped from pair generation (such
+# monocultures are exact-dedup's job), mirroring MAX_BAND_DOCS in the
+# minhash/simhash band generators. Far above any test-SF population
+# (<= ~125/bucket at sf0.1), so results are unchanged until degeneracy.
+MAX_BUCKET_VECS = 5000
+
+
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Pairs sharing a bucket in ANY hash table, with cosine >= threshold."""
     banded = _multi_table_buckets(emb, "vec_id", "embedding", "vec")
+    ok = (
+        banded.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= MAX_BUCKET_VECS))
+        .select("table_id", "bucket")
+    )
+    banded = banded.join(F.broadcast(ok), ["table_id", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -401,9 +420,15 @@ def embedding_near_pairs_sql(threshold: float = 0.4) -> str:
     )
     return f"""
         WITH banded AS ({table_rows}),
+        ok AS (
+            SELECT table_id, bucket FROM banded
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_VECS}
+        ),
         cand AS (
             SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-            FROM banded x JOIN banded y
+            FROM banded x
+            JOIN ok ON ok.table_id = x.table_id AND ok.bucket = x.bucket
+            JOIN banded y
               ON y.table_id = x.table_id AND y.bucket = x.bucket
              AND x.vec_id < y.vec_id
         )

@@ -52,3 +52,27 @@ def test_pair_gen_emits_ordered_unique_pairs(spark):
         assert r.doc_a < r.doc_b
         assert (r.doc_a, r.doc_b) not in seen
         seen.add((r.doc_a, r.doc_b))
+
+
+def test_embedding_bucket_cap(spark):
+    """A monoculture of identical embeddings lands in one bucket per
+    table; beyond MAX_BUCKET_VECS the bucket is dropped from pair
+    generation, below it every pair is emitted."""
+    from databus_spark.operators import similarity
+
+    def clones(n):
+        vec = [1.0] * 64
+        return spark.createDataFrame(
+            [(i, vec) for i in range(n)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+
+    small = clones(12)
+    assert similarity.embedding_near_pairs(small).count() == 12 * 11 // 2
+
+    # monkeypatch-free: exercise the cap with a tiny threshold override
+    orig = similarity.MAX_BUCKET_VECS
+    similarity.MAX_BUCKET_VECS = 10
+    try:
+        assert similarity.embedding_near_pairs(clones(12)).count() == 0
+    finally:
+        similarity.MAX_BUCKET_VECS = orig

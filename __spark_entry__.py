@@ -69,6 +69,7 @@ _PRIORITY = [
     "pivot_events_daily",
     # new this round
     "mixture_temperature_sample",
+    "dedup_cluster_star",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

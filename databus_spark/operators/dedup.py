@@ -581,6 +581,87 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     )
 
 
+def dedup_clusters_star(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the deep-component drop-in for dedup_clusters: rounds are
+    O(log diameter) instead of O(diameter), each round two
+    groupBy-and-emit passes over the edge list, no driver state beyond
+    a convergence signature.
+
+    large-star: every node's strictly-larger neighbors re-point to the
+    min of its closed neighborhood; small-star: its smaller-or-equal
+    neighbors (and itself) re-point there. The fixed point is a star
+    forest — every node adjacent to its component minimum — read off as
+    labels. Output schema matches dedup_clusters.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame):
+        # decimal sums: 60-bit hash values summed over a corpus-scale
+        # edge list overflow long (ANSI mode raises)
+        return tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("u").cast("decimal(38,0)")),
+                F.sum(F.col("v").cast("decimal(38,0)")),
+                F.sum(
+                    portable_hash64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")
+                ),
+            ).collect()[0]
+        )
+
+    # Both steps are min-agg + equi-join back on the node id — NEVER a
+    # collect_set of neighborhoods (the component-min node's neighborhood
+    # grows to the whole component as rounds contract it; an array agg
+    # there would concentrate a giant component into one row).
+    def large_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        smaller = e.where(F.col("v") <= F.col("u"))
+        mins = smaller.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        nbr_edges = smaller.join(mins, "u").select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_edges = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return nbr_edges.unionByName(self_edges).where(F.col("a") != F.col("b"))
+
+    def symmetrize(e: DataFrame) -> DataFrame:
+        return (
+            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+        )
+
+    sig = signature(edges)
+    for _ in range(max_iterations):
+        stars = symmetrize(large_star(edges))
+        edges = symmetrize(small_star(stars)).localCheckpoint(eager=True)
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point is a star forest: label = min over closed neighborhood
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("u") == F.col("label")).alias("is_survivor"),
+    )
+
+
 def dedup_clusters_sql(pairs_sql: str) -> str:
     """Oracle: transitive closure via recursive CTE, min reachable id."""
     return f"""

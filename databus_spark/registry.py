@@ -1639,6 +1639,19 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_star",
+    dedup_clusters_sql(dedup.minhash_lsh_sql(k=5, threshold=0.5)),
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star (Kiveris et
+    al.) — O(log diameter) rounds instead of O(diameter), the
+    deep-component scale path; must agree exactly with the recursive-CTE
+    transitive-closure oracle (and with dedup_cluster_survivors)."""
+    pairs = dedup.minhash_lsh_pairs(dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5)
+    return dedup.dedup_clusters_star(pairs)
+
+
+@query(
     "topk_orders_per_segment",
     """
     SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank

@@ -76,3 +76,29 @@ def test_embedding_bucket_cap(spark):
         assert similarity.embedding_near_pairs(clones(12)).count() == 0
     finally:
         similarity.MAX_BUCKET_VECS = orig
+
+
+def test_star_connected_components_deep_chain(spark):
+    """Large-star/small-star converges in O(log diameter) rounds: a
+    200-edge path graph (diameter 200) must resolve to one cluster well
+    inside 50 rounds — min-label propagation would need ~200."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.range(200).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = dedup.dedup_clusters_star(pairs).collect()
+    assert len(out) == 201
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_survivor for r in out) == 1
+
+
+def test_star_matches_label_propagation_on_real_pairs(spark, sf_dir):
+    """Both component algorithms agree exactly on the minhash candidate
+    graph (same labels, same survivors)."""
+    pairs = dedup.minhash_lsh_pairs(
+        dedup.documents_with_dups(spark, sf_dir), k=5
+    ).localCheckpoint(eager=True)
+    a = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup.dedup_clusters(pairs).collect()}
+    b = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup.dedup_clusters_star(pairs).collect()}
+    assert a == b and len(a) > 0

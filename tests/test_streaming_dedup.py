@@ -1,0 +1,69 @@
+"""Streaming incremental exact dedup: first-seen-wins across batches and runs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from databus_spark.operators.dedup import documents_with_dups
+from databus_spark.streaming.dedup import StreamingExactDeduper
+
+
+def _stage_files(df, path: str, n: int) -> None:
+    df.repartition(n).write.mode("overwrite").parquet(path)
+
+
+def test_streaming_dedup_first_seen_wins(spark, sf_dir, tmp_path):
+    docs = documents_with_dups(spark, sf_dir).localCheckpoint(eager=True)
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert n_distinct < docs.count(), "fixture must contain duplicates"
+
+    stage = str(tmp_path / "stage")
+    _stage_files(docs, stage, 3)
+
+    dd = StreamingExactDeduper(
+        spark, str(tmp_path / "index"), str(tmp_path / "out")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = dd.run(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    assert dd.batches >= 2, "several micro-batches must have flowed"
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # exactly one survivor per distinct content, nothing lost
+    assert out.count() == n_distinct
+    assert out.select(F.md5("text")).distinct().count() == n_distinct
+
+    # a SECOND run over a re-staged copy of the same corpus (new files,
+    # fresh checkpoint) admits nothing: the hash index persists across runs
+    restage = str(tmp_path / "stage2")
+    _stage_files(docs, restage, 2)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(restage)
+    )
+    q2 = dd.run(stream2, str(tmp_path / "ckpt2"))
+    q2.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_distinct
+
+    # and genuinely-new content flows through
+    fresh = spark.createDataFrame(
+        [(9_000_001, "a brand new never seen document", "en", "new", 31)],
+        docs.schema,
+    )
+    stage3 = str(tmp_path / "stage3")
+    _stage_files(fresh, stage3, 1)
+    stream3 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage3)
+    )
+    q3 = dd.run(stream3, str(tmp_path / "ckpt3"))
+    q3.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_distinct + 1

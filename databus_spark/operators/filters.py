@@ -43,14 +43,46 @@ def physical_partition_filter(part_ids: Iterable[int] | None) -> Column:
     return F.col("part_id").isin(list(part_ids))
 
 
+def _looks_numeric(c: Column) -> Column:
+    """Cheap sign/digit char-map test gating the string->long cast.
+
+    try_cast on a NON-numeric string is served by an internal exception
+    per row (~0.5 us) — on a mostly-string-keyed log that was 5x the
+    whole scan (measured: try_cast alone 0.59 s vs 0.11 s scan at sf0.1).
+    A translate() char-map pass is ~free (0.10 s) and skips the cast for
+    every string that cannot parse; only a malformed-but-digit-shaped
+    string (e.g. "1-2", 19-digit overflow) still pays the exception, and
+    its try_cast NULL falls through to the same branch the gate predicts.
+    Bonus parity: Java's Long.parseLong does NOT trim, so gating also
+    stops Spark's cast from accepting " 42" the reference would hash
+    (KeyModFilter.java:60-76 / KeyRangeFilter.java:40-55 both parseLong).
+    The <=19-length bound keeps every accepted literal within long range
+    pre-overflow-check; longer digit strings throw in parseLong too.
+    """
+    return (
+        (F.length(c) >= 1)
+        & (F.length(c) <= 19)
+        & (F.translate(c, "+-0123456789", "") == "")
+    )
+
+
+def _parsed_long_key() -> Column:
+    """key_num when set, else key_str parsed as long (or NULL), with the
+    exception-free gate above."""
+    s = F.col("key_str")
+    return F.coalesce(
+        F.col("key_num"), F.when(_looks_numeric(s), s.try_cast("long"))
+    )
+
+
 def _numeric_key() -> Column:
     """Key as long: key_num when set, else key_str parsed as long (or NULL).
 
     Mirrors KeyRangeFilter.java:40-55 — string keys are parsed as longs,
-    non-numeric strings never match a range filter. try_cast keeps the
-    non-numeric branch NULL (not an error) under Spark's ANSI mode.
+    non-numeric strings never match a range filter (gated try_cast keeps
+    the non-numeric branch NULL, without the per-row exception cost).
     """
-    return F.coalesce(F.col("key_num"), F.col("key_str").try_cast("long"))
+    return _parsed_long_key()
 
 
 def key_range_filter(min_key: int, max_key: int) -> Column:
@@ -66,11 +98,15 @@ def key_mod_bucket() -> Column:
     The reference first tries Long.parseLong on string keys and only
     hashes strings that don't parse (KeyModFilter.java:60-76), so a
     string-keyed source with numeric-string keys buckets by the parsed
-    value — matched here via try_cast before the hashCode fallback.
+    value — matched here via the gated parse before the hashCode
+    fallback. Single-coalesce form: each sub-expression evaluates at
+    most once per row, lazily left-to-right.
     """
-    parsed = F.coalesce(F.col("key_num"), F.col("key_str").try_cast("long"))
-    return F.when(parsed.isNotNull(), F.abs(parsed)).otherwise(
-        F.abs(java_string_hashcode(F.col("key_str"))).cast("long")
+    return F.abs(
+        F.coalesce(
+            _parsed_long_key(),
+            java_string_hashcode(F.col("key_str")).cast("long"),
+        )
     )
 
 

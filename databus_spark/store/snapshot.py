@@ -148,9 +148,18 @@ class ParquetSnapshotStore:
         Only buckets containing batch keys are rewritten; untouched
         buckets are carried forward by cheap directory hard-links, so
         merge cost scales with batch keyspan, not table size.
+
+        One shuffle per merge: intra-batch last-wins is FUSED into the
+        (current ∪ batch) compaction below — max_by over the union picks
+        the same winners a separate intra-batch pass would, so
+        pre-compacting the batch only added a second shuffle per
+        micro-batch. The batch is checkpointed eagerly so the bucket
+        probe and the merged write evaluate the (streaming-source) plan
+        once, not twice.
         """
-        batch = latest_by_key(batch, self.key_cols)  # intra-batch last-wins
-        batch = batch.withColumn("_bucket", self._bucket_col())
+        batch = batch.withColumn("_bucket", self._bucket_col()).localCheckpoint(
+            eager=True
+        )
         touched = sorted(
             r["_bucket"] for r in batch.select("_bucket").distinct().collect()
         )

@@ -24,7 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Flip to a real decoder (PIL/libsndfile/ffmpeg) when available.
+# Pixel/sample DECODE for compressed formats (JPEG bitplanes, video)
+# still needs external libs (PIL/ffmpeg) and stays stubbed; header-level
+# METADATA decode below is real, pure stdlib.
 _REAL_CODECS_AVAILABLE = False
 
 MEDIA_SCHEMA = (
@@ -53,13 +55,111 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media(payload: bytes) -> object:
-    """Decode an image/audio payload. STUB: codec libs are not in this
-    container; the real implementation plugs in here unchanged."""
+    """Decode an image/audio payload to pixels/samples. STUB: pixel-level
+    codec libs are not in this container; the real implementation plugs
+    in here unchanged. Header-level metadata decode (parse_media_meta)
+    is REAL — pure stdlib — and does not come through here."""
     if not _REAL_CODECS_AVAILABLE:
         raise NotImplementedError(
-            "media codecs unavailable in this environment; "
+            "pixel/sample codecs unavailable in this environment; "
+            "parse_media_meta decodes real format metadata, "
             "extract_features uses the deterministic byte-level fallback"
         )
+
+
+# -- REAL metadata codecs (pure stdlib, no external libs) --------------------
+
+MEDIA_META_SCHEMA = (
+    "doc_id BIGINT, mime STRING, width INT, height INT, "
+    "n_channels INT, sample_rate_hz INT, duration_ms BIGINT, "
+    "rms_energy BIGINT, n_bytes BIGINT"
+)
+
+_NO_META = {
+    "mime": "application/octet-stream",
+    "width": None,
+    "height": None,
+    "n_channels": None,
+    "sample_rate_hz": None,
+    "duration_ms": None,
+    "rms_energy": None,
+}
+
+
+def parse_media_meta(payload: bytes) -> dict:
+    """REAL format sniff + metadata decode for the container's
+    libs-free environment: PNG/GIF/BMP/JPEG dimensions from their wire
+    headers, WAV audio via the stdlib wave/audioop modules (channels,
+    sample rate, duration, RMS energy). Unknown formats degrade to the
+    opaque-bytes row, never an error — a corrupt header is data, not an
+    ingest crash."""
+    import io
+    import struct
+
+    out = dict(_NO_META)
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            out.update(mime="image/png", width=w, height=h)
+        elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            out.update(mime="image/gif", width=w, height=h)
+        elif payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            out.update(mime="image/bmp", width=w, height=abs(h))
+        elif payload[:2] == b"\xff\xd8":
+            # JPEG: walk segments to the first SOF frame header
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    out.update(mime="image/jpeg", width=w, height=h)
+                    break
+                i += 2 + seg_len
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import audioop
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as wf:
+                rate = wf.getframerate()
+                frames = wf.getnframes()
+                width = wf.getsampwidth()
+                out.update(
+                    mime="audio/wav",
+                    n_channels=wf.getnchannels(),
+                    sample_rate_hz=rate,
+                    duration_ms=int(frames * 1000 / rate) if rate else None,
+                    rms_energy=audioop.rms(wf.readframes(frames), width)
+                    if frames
+                    else 0,
+                )
+    except Exception:
+        return dict(_NO_META)  # torn/corrupt header -> opaque bytes
+    return out
+
+
+def media_meta_probe(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL metadata extraction over the opaque media
+    column — the decode stage a 100 TB multimodal pipeline runs before
+    routing payloads to modality-specific feature extractors. Output
+    schema is fixed (prunable); payloads only cross to Python here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [parse_media_meta(bytes(b)) for b in pdf["media"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["n_bytes"] = pdf["media"].map(len).astype("int64")
+            yield out
+
+    return media_df.mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
 def extract_features(media_df: DataFrame) -> DataFrame:

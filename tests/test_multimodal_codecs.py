@@ -1,0 +1,114 @@
+"""REAL media metadata codecs over synthesized wire-format payloads.
+
+Every payload here is a byte-valid file of its format, built from the
+spec (PNG chunk CRCs, BMP/GIF little-endian headers, a JPEG SOF0
+segment walk, a WAV written by the stdlib wave module) — so the decode
+path under test is the real one, not a fixture shortcut.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from databus_spark.operators.multimodal import media_meta_probe, parse_media_meta
+
+
+def make_png(w: int, h: int) -> bytes:
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        raw = tag + body
+        return struct.pack(">I", len(body)) + raw + struct.pack(">I", zlib.crc32(raw))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    scanlines = b"".join(b"\x00" + b"\x7f" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def make_bmp(w: int, h: int) -> bytes:
+    row = (w * 3 + 3) & ~3
+    size = 54 + row * h
+    header = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    return header + info + b"\x00" * (row * h)
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_wav(rate: int, n_frames: int, amplitude: int = 1000) -> bytes:
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = struct.pack("<h", amplitude) * (2 * n_frames)
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_parse_media_meta_real_formats():
+    png = parse_media_meta(make_png(320, 200))
+    assert (png["mime"], png["width"], png["height"]) == ("image/png", 320, 200)
+
+    gif = parse_media_meta(make_gif(17, 9))
+    assert (gif["mime"], gif["width"], gif["height"]) == ("image/gif", 17, 9)
+
+    bmp = parse_media_meta(make_bmp(33, 21))
+    assert (bmp["mime"], bmp["width"], bmp["height"]) == ("image/bmp", 33, 21)
+
+    jpg = parse_media_meta(make_jpeg(640, 480))
+    assert (jpg["mime"], jpg["width"], jpg["height"]) == ("image/jpeg", 640, 480)
+
+    wav = parse_media_meta(make_wav(8000, 4000, amplitude=1000))
+    assert wav["mime"] == "audio/wav"
+    assert wav["n_channels"] == 2
+    assert wav["sample_rate_hz"] == 8000
+    assert wav["duration_ms"] == 500
+    assert wav["rms_energy"] == 1000  # constant-amplitude signal: rms == amp
+
+    junk = parse_media_meta(b"not a media file at all")
+    assert junk["mime"] == "application/octet-stream"
+    assert junk["width"] is None
+
+    # torn header: data, not a crash
+    torn = parse_media_meta(b"\x89PNG\r\n\x1a\n\x00\x00")
+    assert torn["mime"] == "application/octet-stream"
+
+
+def test_media_meta_probe_distributed(spark):
+    rows = [
+        (1, make_png(320, 200)),
+        (2, make_gif(17, 9)),
+        (3, make_jpeg(640, 480)),
+        (4, make_wav(16000, 16000)),
+        (5, b"opaque junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, media BINARY")
+    got = {r["doc_id"]: r.asDict() for r in media_meta_probe(df).collect()}
+    assert got[1]["mime"] == "image/png" and got[1]["width"] == 320
+    assert got[2]["height"] == 9
+    assert got[3]["width"] == 640
+    assert got[4]["sample_rate_hz"] == 16000 and got[4]["duration_ms"] == 1000
+    assert got[5]["mime"] == "application/octet-stream"
+    assert all(r["n_bytes"] > 0 for r in got.values())
+
+    # the decode stage stays Arrow-batched (never row-at-a-time Python)
+    plan = media_meta_probe(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan

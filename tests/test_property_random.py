@@ -111,3 +111,81 @@ def test_filterconfig_parse_ranges_roundtrip(spec):
     assert len(parsed) == len(spec)
     for (a, b), (lo, hi) in zip(spec, parsed):
         assert lo == min(a, b) and hi == max(a, b) + 1
+
+
+_bmp_char = st.characters(
+    min_codepoint=1, max_codepoint=0xFFFF, blacklist_categories=("Cs",)
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(strings=st.lists(st.text(alphabet=_bmp_char, max_size=40), min_size=1, max_size=60))
+def test_java_hashcode_property_bmp(spark, strings):
+    """The AND-fold Java String.hashCode must equal the definitional fold
+    for ARBITRARY BMP strings (one Spark job per example batch)."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.functions.hashes import java_string_hashcode
+
+    def jhash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - 4294967296 if h >= 2147483648 else h
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i INT, s STRING")
+    got = {r["i"]: r["h"] for r in df.select("i", java_string_hashcode(F.col("s")).alias("h")).collect()}
+    for i, s in enumerate(strings):
+        assert got[i] == jhash(s), repr(s)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.integers(-(2**40), 2**40).map(str),
+            st.text(alphabet=_bmp_char, max_size=24),
+            st.text(alphabet=st.sampled_from("+-0123456789"), max_size=24),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_key_mod_bucket_matches_reference_parse_rules(spark, keys):
+    """key_mod_bucket must follow KeyModFilter.java:60-76 for arbitrary
+    string keys: Long.parseLong semantics over ASCII digits (no trim,
+    explicit sign, long range) else abs(hashCode) — including
+    digit-shaped junk like '1-2', overflow literals, and bare signs.
+    (Known scoped divergence: Java's parseLong also accepts non-ASCII
+    Unicode digits; the engine and its DuckDB oracle both hash those.)"""
+    from pyspark.sql import functions as F
+
+    from databus_spark.functions.hashes import java_string_hashcode
+    from databus_spark.operators.filters import key_mod_bucket
+
+    def jhash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        return h - 4294967296 if h >= 2147483648 else h
+
+    def expected(s):
+        try:  # Long.parseLong: optional sign, digits only, no trim
+            if not s or s in "+-":
+                raise ValueError
+            body = s[1:] if s[0] in "+-" else s
+            if not body.isascii() or not body.isdigit():
+                raise ValueError
+            v = int(s)
+            if not (-(2**63) <= v < 2**63):
+                raise ValueError
+            return abs(v)
+        except ValueError:
+            return abs(jhash(s))
+
+    df = spark.createDataFrame(
+        [(i, None, s) for i, s in enumerate(keys)], "i INT, key_num LONG, key_str STRING"
+    )
+    got = {r["i"]: r["b"] for r in df.select("i", key_mod_bucket().alias("b")).collect()}
+    for i, s in enumerate(keys):
+        assert got[i] == expected(s), repr(s)

@@ -70,6 +70,7 @@ _PRIORITY = [
     # new this round
     "mixture_temperature_sample",
     "dedup_cluster_star",
+    "snapshot_diff",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

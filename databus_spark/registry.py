@@ -99,6 +99,21 @@ def snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff",
+    compaction.snapshot_diff_oracle_sql(
+        ORDERS_CHANGELOG_SQL, 3000, 6_000_000_000, key_cols=("key_str",)
+    ),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-vs-relay audit: per-key INSERT/UPDATE/DELETE between the
+    states at two SCN cutoffs — what a consumer bootstrapped at the
+    first cutoff must replay to reach the second. All three legs shuffle
+    on the key, so the full-outer join reuses the agg partitioning."""
+    log = orders_changelog(spark, sf_dir)
+    return compaction.snapshot_diff(log, 3000, 6_000_000_000, key_cols=("key_str",))
+
+
+@query(
     "snapshot_customer",
     compaction.snapshot_oracle_sql(
         CUSTOMER_CHANGELOG_SQL, key_cols=("key_str",), payload_cols=CUSTOMER_PAYLOAD

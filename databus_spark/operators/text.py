@@ -436,3 +436,43 @@ def lm_quality_score_sql(from_sql: str) -> str:
         FROM toks JOIN nll USING (tok)
         GROUP BY 1
     """
+
+
+COMPRESS_SCHEMA = "doc_id BIGINT, n_bytes BIGINT, n_compressed BIGINT, compress_ratio DOUBLE"
+
+
+def compressibility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the CCNet/Gopher-style
+    boilerplate signal: highly compressible text (low ratio) is
+    repetitive machine-generated boilerplate, incompressible text is
+    often binary junk; natural prose sits in a mid band.
+
+    A codec genuinely needs Python, so this is the designed slow-path
+    shape: Arrow-batched mapInPandas with a fixed 4-column output schema
+    (prunable), deterministic bytes (zlib level pinned), no shuffle.
+    DuckDB has no compression scalar, so the cross-engine oracle is a
+    pytest pin against the Python zlib reference instead of SQL.
+    """
+    import zlib
+
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+
+    def batches(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = pdf[text_col].map(lambda s: s.encode("utf-8"))
+            n_bytes = raw.map(len).astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "compress_ratio": (
+                        n_comp / n_bytes.where(n_bytes > 0, 1)
+                    ).round(6),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(batches, COMPRESS_SCHEMA)

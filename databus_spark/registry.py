@@ -1352,6 +1352,16 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_compressibility")
+def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio boilerplate signal (CCNet/Gopher-style).
+    A codec genuinely needs Python — Arrow-batched mapInPandas, the
+    designed slow path. No DuckDB compression scalar exists, so the
+    driver records a rows-only check; pytest pins values against the
+    Python zlib reference."""
+    return text.compressibility(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # GoldenGate XML trail source (SURVEY §2.1 S6) + corpus operators
 # --------------------------------------------------------------------------

@@ -95,3 +95,26 @@ def test_ann_family_recall_floor(spark, sf_dir):
     assert recalls["lsh"] >= 0.30, recalls
     assert recalls["ivf"] >= 0.30, recalls
     assert recalls["pq"] >= 0.04, recalls
+
+
+def test_compressibility_matches_zlib_reference(spark, sf_dir):
+    """The Arrow-batched compressibility scores must equal the Python
+    zlib reference exactly (level pinned), and the plan must stay
+    MapInPandas (never row-at-a-time Python)."""
+    import zlib
+
+    from databus_spark.catalog import load_table
+    from databus_spark.operators.text import compressibility
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    got = {r["doc_id"]: r for r in compressibility(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row["text"].encode("utf-8")
+        exp = len(zlib.compress(raw, 6))
+        assert got[row["doc_id"]]["n_compressed"] == exp
+        assert got[row["doc_id"]]["n_bytes"] == len(raw)
+        assert abs(got[row["doc_id"]]["compress_ratio"] - round(exp / max(len(raw), 1), 6)) < 1e-9
+
+    plan = compressibility(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

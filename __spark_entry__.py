@@ -71,6 +71,7 @@ _PRIORITY = [
     "mixture_temperature_sample",
     "dedup_cluster_star",
     "snapshot_diff",
+    "text_compressibility",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

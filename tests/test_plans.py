@@ -187,6 +187,16 @@ def test_lsh_band_pairs_have_no_self_join(spark, sf_dir):
     assert n_joins <= 2, f"minhash gained joins beyond the scoring pair ({n_joins}):\n" + plan[:800]
 
 
+def test_snapshot_diff_reuses_agg_partitioning(spark, sf_dir):
+    """Both compaction legs shuffle on the key, and the full-outer join
+    reuses that partitioning — exactly two Exchanges, never a third for
+    the join (which would reshuffle both reconstructed states)."""
+    plan = _plan(spark, "snapshot_diff", sf_dir)
+    assert plan.count("Exchange") == 2, (
+        f"snapshot_diff grew to {plan.count('Exchange')} exchanges:\n" + plan[:800]
+    )
+
+
 def test_mixture_sample_broadcasts_rates(spark, sf_dir):
     """Mixture sampling must broadcast the (few-row) group-rate table and
     filter the corpus map-side — a SortMergeJoin or corpus-wide window

@@ -598,3 +598,135 @@ def pq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
             )
         ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine near-pairs (text-side sparse-vector similarity)
+# ---------------------------------------------------------------------------
+# The sparse complement to embedding_near_pairs: documents as tf-idf
+# vectors over their token vocabulary, cosine computed through the term
+# inverted index — the classic sparse-similarity blocking. Terms with
+# df > MAX_TERM_DF are dropped from the VOCABULARY itself (stop-term
+# removal — they carry no similarity signal and their posting lists fan
+# out quadratically), so weights, norms, and dots all agree on the same
+# filtered vocab and the cosine is exact over it.
+#
+# Cross-engine determinism: per-term weights round to 6dp and are cast
+# to DECIMAL(18,6); products and the norm/dot sums then run entirely in
+# decimal (exact, order-independent), converting to double only for the
+# final sqrt/divide — so Spark and DuckDB agree bit-for-bit before the
+# final round(...,6). At 100 TB: two aggs (tf, df), posting-list
+# pair-gen bounded by C(MAX_TERM_DF, 2) per term, one pair-sum shuffle.
+
+MAX_TERM_DF = 100
+
+
+def sparse_tfidf_pairs(docs: DataFrame, threshold: float = 0.3) -> DataFrame:
+    from databus_spark.operators.text import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= MAX_TERM_DF)
+    )
+    n_docs = toks.select(F.count_distinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("norm")
+    )
+    postings = (
+        w.where(F.col("df") >= 2)
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "w"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    n = postings.sparkSession.sparkContext.defaultParallelism
+    pair_array = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (x["w"] * y["w"]).alias("p"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        postings.repartition(n)
+        .select(F.explode(pair_array).alias("pr"))
+        .groupBy(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
+        .agg(F.sum("pr.p").cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def sparse_tfidf_pairs_sql(from_sql: str, threshold: float = 0.3) -> str:
+    from databus_spark.operators.text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM ({from_sql})
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (
+            SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+            GROUP BY 1 HAVING count(DISTINCT doc_id) <= {MAX_TERM_DF}
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        w AS (
+            SELECT tf.doc_id, tf.tok, df.df,
+                   CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                        AS DECIMAL(18,6)) AS w
+            FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        ),
+        norms AS (
+            SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm
+            FROM w GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+            FROM w a JOIN w b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            WHERE a.df >= 2
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(dot / (na.norm * nb.norm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+    """

@@ -1352,6 +1352,20 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sparse_tfidf_pairs",
+    similarity.sparse_tfidf_pairs_sql(dedup.DOCS_WITH_DUPS_SQL, threshold=0.5),
+)
+def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector near-pairs: tf-idf cosine through the term inverted
+    index (stop-terms df>MAX_TERM_DF removed from the vocabulary), all
+    sums decimal-exact so both engines agree bit-for-bit. The sparse
+    complement of dedup_embedding_cosine."""
+    return similarity.sparse_tfidf_pairs(
+        dedup.documents_with_dups(spark, sf_dir), threshold=0.5
+    )
+
+
 @query("text_compressibility")
 def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio boilerplate signal (CCNet/Gopher-style).

@@ -72,6 +72,7 @@ _PRIORITY = [
     "dedup_cluster_star",
     "snapshot_diff",
     "text_compressibility",
+    "sparse_tfidf_pairs",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

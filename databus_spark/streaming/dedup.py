@@ -71,8 +71,13 @@ class StreamingExactDeduper:
         survivors = survivors.localCheckpoint(eager=True)  # compute ONCE for both writes
         # 3. emit, THEN index (at-least-once: replay re-emits, never loses)
         survivors.drop("content_hash").write.mode("append").parquet(self.out_dir)
-        survivors.select("content_hash").write.mode("append").parquet(self.index_dir)
+        self._append_index(survivors)
         self.batches += 1
+
+    def _append_index(self, survivors: DataFrame) -> None:
+        """Separate step so fault-injection tests can crash between the
+        emit and the index append — the at-least-once window."""
+        survivors.select("content_hash").write.mode("append").parquet(self.index_dir)
 
     def run(self, stream: DataFrame, checkpoint_dir: str):
         return (

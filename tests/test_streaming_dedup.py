@@ -67,3 +67,52 @@ def test_streaming_dedup_first_seen_wins(spark, sf_dir, tmp_path):
     q3 = dd.run(stream3, str(tmp_path / "ckpt3"))
     q3.awaitTermination(300)
     assert spark.read.parquet(str(tmp_path / "out")).count() == n_distinct + 1
+
+
+def test_streaming_dedup_crash_between_emit_and_index(spark, sf_dir, tmp_path):
+    """At-least-once contract: a crash AFTER the emit but BEFORE the index
+    append re-emits the batch's survivors on replay (duplicates possible)
+    but never loses a document — emit-before-index means no hash can be
+    indexed while its document never landed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.dedup import documents_with_dups
+
+    docs = documents_with_dups(spark, sf_dir).limit(200).localCheckpoint(eager=True)
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+
+    dd = StreamingExactDeduper(spark, str(tmp_path / "index"), str(tmp_path / "out"))
+
+    # first delivery crashes BETWEEN the emit and the index append
+    class Boom(RuntimeError):
+        pass
+
+    real_append = dd._append_index
+
+    def crash_before_index(survivors):
+        raise Boom()
+
+    dd._append_index = crash_before_index
+    with pytest.raises(Boom):
+        dd.process_batch(docs)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n_distinct
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "index")) or not any(
+        n.endswith(".parquet") for n in os.listdir(str(tmp_path / "index"))
+    ), "index must not lead the emit"
+
+    # replaying the SAME batch (source retry) re-emits already-emitted
+    # survivors but the final state loses nothing
+    dd._append_index = real_append
+    dd.process_batch(docs)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    hashes = out.select(F.md5("text").alias("h"))
+    assert hashes.distinct().count() == n_distinct, "replay lost documents"
+    # duplicates are allowed (at-least-once) but bounded by one replay
+    assert out.count() == 2 * n_distinct
+
+    # a THIRD delivery of the same content is fully absorbed by the index
+    dd.process_batch(docs)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2 * n_distinct

@@ -73,6 +73,7 @@ _PRIORITY = [
     "snapshot_diff",
     "text_compressibility",
     "sparse_tfidf_pairs",
+    "text_novelty",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

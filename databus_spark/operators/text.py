@@ -476,3 +476,46 @@ def compressibility(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInPandas(batches, COMPRESS_SCHEMA)
+
+
+def novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-diversity curation signal:
+    the fraction of a document's distinct k-grams appearing in NO other
+    document. Low novelty = boilerplate/near-dup tail; high novelty =
+    unique content worth keeping.
+
+    Shape: one gram explode + one df agg (map-side combinable) + one
+    per-doc agg; the df side joins back through the gram key (uniform),
+    no quadratic pair generation anywhere.
+    """
+    from databus_spark.operators.dedup import _shingles
+
+    grams = _shingles(docs, k)
+    df_ = grams.groupBy("shingle").agg(F.count_distinct("doc_id").alias("gram_df"))
+    return (
+        grams.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0)).alias("n_unique_grams"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_unique_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def novelty_profile_sql(from_sql: str, k: int = 5) -> str:
+    from databus_spark.operators.dedup import _shingles_sql_over
+
+    return f"""
+        WITH grams AS ({_shingles_sql_over(from_sql, k)}),
+        df AS (SELECT shingle, count(DISTINCT doc_id) AS gram_df FROM grams GROUP BY 1)
+        SELECT doc_id, count(*) AS n_grams,
+               sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS n_unique_grams,
+               round(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+                   AS novelty
+        FROM grams JOIN df USING (shingle)
+        GROUP BY 1
+    """

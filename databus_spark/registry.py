@@ -1366,6 +1366,18 @@ def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_novelty",
+    text.novelty_profile_sql(dedup.DOCS_WITH_DUPS_SQL, k=5),
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (fraction of its distinct 5-grams in
+    no other document) — the corpus-diversity curation signal; exact
+    mirror of dedup's duplicated corpus so mirrored/edited copies score
+    visibly low."""
+    return text.novelty_profile(dedup.documents_with_dups(spark, sf_dir), k=5)
+
+
 @query("text_compressibility")
 def text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio boilerplate signal (CCNet/Gopher-style).

@@ -74,6 +74,7 @@ _PRIORITY = [
     "text_compressibility",
     "sparse_tfidf_pairs",
     "text_novelty",
+    "per_group_quota",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

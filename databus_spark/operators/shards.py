@@ -244,3 +244,48 @@ def chunk_documents_sql(
             FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM ({from_sql}))
         )
     """
+
+
+QUOTA_SEED = "quota"
+
+
+def per_group_quota(
+    docs: DataFrame,
+    group_col: str = "source",
+    max_per_group: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Absolute per-group cap — the per-domain quota of crawl curation:
+    at most max_per_group docs survive per group, chosen as the
+    lowest-hash rows (deterministic, engine-reproducible; a fair random
+    sample for any non-adversarial id distribution).
+
+    Complements stratified_sample (a RATE) and mixture sampling (a
+    rebalance): quotas bound the damage any single domain can do to the
+    mixture regardless of its size. One shuffle on the group column;
+    rank is sort-based within each group partition, so a hot group costs
+    a sort, not memory.
+    """
+    h = portable_hash64(F.col(id_col).cast("string"), F.lit(QUOTA_SEED))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (
+        docs.select(id_col, group_col, F.row_number().over(w).alias("quota_rank"))
+        .where(F.col("quota_rank") <= max_per_group)
+    )
+
+
+def per_group_quota_sql(
+    from_sql: str,
+    group_col: str = "source",
+    max_per_group: int = 50,
+    id_col: str = "doc_id",
+) -> str:
+    h = portable_hash64_sql(id_col, f"'{QUOTA_SEED}'")
+    return f"""
+        SELECT {id_col}, {group_col}, quota_rank FROM (
+            SELECT {id_col}, {group_col},
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY {h}, {id_col}) AS quota_rank
+            FROM ({from_sql})
+        ) WHERE quota_rank <= {max_per_group}
+    """

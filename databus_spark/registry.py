@@ -624,6 +624,19 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "per_group_quota",
+    shards.per_group_quota_sql("SELECT doc_id, source FROM documents", "source", 50),
+)
+def per_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: at most 50 docs per source, lowest-hash chosen —
+    bounds the damage any single domain does to the mixture regardless
+    of its size (the crawl-curation counterpart of rate sampling)."""
+    return shards.per_group_quota(
+        load_table(spark, sf_dir, "documents"), "source", 50
+    )
+
+
 @query("mixture_temperature_sample", shards.mixture_temperature_sample_sql())
 def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted (alpha=0.5) mixture sampling by lang — the

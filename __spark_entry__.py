@@ -75,6 +75,7 @@ _PRIORITY = [
     "sparse_tfidf_pairs",
     "text_novelty",
     "per_group_quota",
+    "avro_ocf_roundtrip",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

@@ -161,9 +161,15 @@ def _promote(value: Any, writer_t: str, reader_t: str) -> Any:
     return value
 
 
-def decode_record(buf: bytes, writer: dict, reader: dict) -> dict:
+def decode_record(
+    buf: bytes, writer: dict, reader: dict, return_consumed: bool = False
+):
     """Decode writer-shaped bytes, project onto the reader schema
-    (Avro spec 'Schema Resolution'; DbusEventAvroDecoder.java:135-148)."""
+    (Avro spec 'Schema Resolution'; DbusEventAvroDecoder.java:135-148).
+
+    With return_consumed=True also returns the byte length consumed —
+    what a container-file block reader needs to walk concatenated
+    records (sources/avro_ocf.py)."""
     reader_fields = {f["name"]: f for f in reader["fields"]}
     rec: dict[str, Any] = {}
     pos = 0
@@ -178,6 +184,8 @@ def decode_record(buf: bytes, writer: dict, reader: dict) -> dict:
     for rf in reader["fields"]:
         if rf["name"] not in written:
             rec[rf["name"]] = rf.get("default")
+    if return_consumed:
+        return rec, pos
     return rec
 
 

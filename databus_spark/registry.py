@@ -1132,6 +1132,72 @@ def jdbc_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols)
 
 
+@query(
+    "avro_ocf_roundtrip",
+    f"""
+    SELECT scn, opcode, key_str, CAST(o_totalprice AS DOUBLE) AS amount
+    FROM ({ORDERS_CHANGELOG_SQL})
+    """,
+)
+def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container Files end-to-end WITHOUT the spark-avro jar:
+    the orders changelog staged as spec-compliant OCF files (deflate
+    codec, pure-Python writer) and read back through the distributed
+    binaryFile + mapInPandas reader — byte format, block framing, sync
+    markers, and codec all from the public Avro spec. Fixture staging is
+    digest-markered like the Derby/trail fixtures (collect is
+    FIXTURE-ONLY; a production OCF producer is upstream)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from databus_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    cols = ["scn", "opcode", "key_str"]
+    log = orders_changelog(spark, sf_dir).select(
+        *cols, F.col("o_totalprice").cast("double").alias("amount")
+    )
+    fingerprint = _content_fingerprint(log, "scn", "amount")
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ocf_dir = os.path.join(tempfile.gettempdir(), f"databus_ocf_{digest}")
+    marker = os.path.join(ocf_dir, "_COMPLETE")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fingerprint
+    if stale:
+        shutil.rmtree(ocf_dir, ignore_errors=True)
+        os.makedirs(ocf_dir)
+        schema = {
+            "type": "record",
+            "name": "orders_txn",
+            "fields": [
+                {"name": "scn", "type": "long"},
+                {"name": "opcode", "type": "string"},
+                {"name": "key_str", "type": "string"},
+                {"name": "amount", "type": ["null", "double"], "default": None},
+            ],
+        }
+        rows = [r.asDict() for r in log.collect()]  # FIXTURE-ONLY collect
+        n_files = 4
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            write_ocf(
+                os.path.join(ocf_dir, f"part{i}.avro"),
+                rows[i * per : (i + 1) * per],
+                schema,
+                codec="deflate",
+            )
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    return read_ocf(
+        spark,
+        os.path.join(ocf_dir, "*.avro"),
+        "scn BIGINT, opcode STRING, key_str STRING, amount DOUBLE",
+    )
+
+
 # --------------------------------------------------------------------------
 # Event-level metadata part (DbusEventPart; TestInternalMetadata.java)
 # --------------------------------------------------------------------------

@@ -159,6 +159,116 @@ def read_ocf_file(path: str, reader_schema: dict | None = None) -> Iterator[dict
         return read_ocf_bytes(f.read(), reader_schema)
 
 
+def _read_header(f) -> tuple[dict, str, bytes, int]:
+    """Parse (writer_schema, codec, sync, data_start) from an open file."""
+    head = f.read(1 << 16)  # metadata map is small; 64 KB covers it
+    if head[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta, pos = _read_meta_map(head, 4)
+    writer = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = bytes(head[pos : pos + 16])
+    return writer, codec, sync, pos + 16
+
+
+def _read_long_stream(f) -> int:
+    """Zigzag varint from a stream (the block headers between syncs)."""
+    shift = acc = 0
+    while True:
+        b = f.read(1)
+        if not b:
+            raise EOFError("truncated block header")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def iter_ocf_split(
+    path: str, start: int, end: int, reader_schema: dict | None = None
+) -> Iterator[dict]:
+    """Records of every block whose preceding sync marker STARTS in
+    [start, end) — the Hadoop AvroInputFormat split convention, so
+    arbitrary byte ranges over one file partition the records exactly
+    once with no coordination. Split 0 naturally owns the first block
+    (the header's trailing sync is its preceding sync)."""
+    with open(path, "rb") as f:
+        writer, codec, sync, data_start = _read_header(f)
+        reader = reader_schema or writer
+        # find the first sync whose offset q >= start
+        search_from = max(start, data_start - 16)
+        f.seek(search_from)
+        window = b""
+        q = None
+        base = search_from
+        while q is None:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return
+            window += chunk
+            i = window.find(sync)
+            if i >= 0:
+                q = base + i
+            else:
+                base += len(window) - 15
+                window = window[-15:]
+        while q < end:
+            f.seek(q + 16)
+            try:
+                count = _read_long_stream(f)
+                size = _read_long_stream(f)
+            except EOFError:
+                return  # file ends exactly after the final sync
+            data = f.read(size)
+            if codec == "deflate":
+                data = zlib.decompress(data, wbits=-15)
+            elif codec != "null":
+                raise ValueError(f"unsupported avro codec {codec!r}")
+            pos = 0
+            for _ in range(count):
+                rec, pos = _decode_at(data, pos, writer, reader)
+                yield rec
+            q = f.tell()  # next sync begins right here
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch (torn block)")
+
+
+def read_ocf_splits(
+    spark: SparkSession,
+    path_glob: str,
+    out_ddl: str,
+    split_bytes: int = 128 << 20,
+    reader_schema: dict | None = None,
+) -> DataFrame:
+    """The 100 TB read path: byte-range splits WITHIN files, each task
+    seeking to the next sync marker — intra-file parallelism, exactly
+    like Hadoop's AvroInputFormat. The driver only lists (path, size);
+    records never touch it. (Local-filesystem listing here; on HDFS/S3
+    the same plan builds from the FileSystem listing.)"""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    splits = []
+    for p in sorted(_glob.glob(path_glob)):
+        size = os.path.getsize(p)
+        for off in range(0, max(size, 1), split_bytes):
+            splits.append((p, off, min(off + split_bytes, size)))
+    out_names = [c.strip().split()[0] for c in out_ddl.split(",")]
+    sdf = spark.createDataFrame(splits, "path STRING, start BIGINT, end BIGINT")
+    sdf = sdf.repartition(min(len(splits), spark.sparkContext.defaultParallelism))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            for path, start, end in pdf.itertuples(index=False):
+                recs = list(iter_ocf_split(path, int(start), int(end), reader_schema))
+                yield pd.DataFrame(recs, columns=out_names)
+
+    return sdf.mapInPandas(batches, out_ddl)
+
+
 def read_ocf(
     spark: SparkSession,
     path_glob: str,

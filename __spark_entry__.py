@@ -76,6 +76,7 @@ _PRIORITY = [
     "text_novelty",
     "per_group_quota",
     "avro_ocf_roundtrip",
+    "jsonl_ingest_audit",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

@@ -1144,14 +1144,17 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orders changelog staged as spec-compliant OCF files (deflate
     codec, pure-Python writer) and read back through the distributed
     binaryFile + mapInPandas reader — byte format, block framing, sync
-    markers, and codec all from the public Avro spec. Fixture staging is
-    digest-markered like the Derby/trail fixtures (collect is
-    FIXTURE-ONLY; a production OCF producer is upstream)."""
+    markers, and codec all from the public Avro spec, and the read goes
+    through the SYNC-SPLIT scan (byte-range splits within files, the
+    Hadoop AvroInputFormat convention) so the driver-checked path is the
+    100 TB one. Fixture staging is digest-markered like the Derby/trail
+    fixtures (collect is FIXTURE-ONLY; a production OCF producer is
+    upstream)."""
     import hashlib
     import shutil
     import tempfile
 
-    from databus_spark.sources.avro_ocf import read_ocf, write_ocf
+    from databus_spark.sources.avro_ocf import read_ocf_splits, write_ocf
 
     cols = ["scn", "opcode", "key_str"]
     log = orders_changelog(spark, sf_dir).select(
@@ -1191,10 +1194,11 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         with open(marker, "w") as f:
             f.write(fingerprint)
-    return read_ocf(
+    return read_ocf_splits(
         spark,
         os.path.join(ocf_dir, "*.avro"),
         "scn BIGINT, opcode STRING, key_str STRING, amount DOUBLE",
+        split_bytes=256 << 10,  # forces several intra-file splits at sf0.01+
     )
 
 
@@ -1455,6 +1459,60 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror of dedup's duplicated corpus so mirrored/edited copies score
     visibly low."""
     return text.novelty_profile(dedup.documents_with_dups(spark, sf_dir), k=5)
+
+
+@query(
+    "jsonl_ingest_audit",
+    """
+    SELECT 'clean' AS kind, count(*) AS n FROM documents
+    UNION ALL SELECT 'quarantine_json', 3
+    UNION ALL SELECT 'quarantine_shape', 2
+    """,
+)
+def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingestion audit: the documents table staged as JSON
+    lines plus a poison file (3 unparseable lines, 2 schema-violating
+    records); the PERMISSIVE reader must land every clean row and
+    quarantine exactly the poison, by reason — nothing silently dropped."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from databus_spark.sources.jsonl import read_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(docs, "doc_id", "n_chars")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    jl_dir = os.path.join(tempfile.gettempdir(), f"databus_jsonl_{digest}")
+    marker = os.path.join(jl_dir, "_COMPLETE")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fingerprint
+    if stale:
+        shutil.rmtree(jl_dir, ignore_errors=True)
+        docs.write.json(os.path.join(jl_dir, "data"))
+        poison = [
+            '{"doc_id": 1, "text": "torn',                     # json
+            "not json at all",                                  # json
+            '{"doc_id": }',                                     # json
+            '{"doc_id": null, "text": "no id", "lang": "en"}',  # shape
+            '{"doc_id": 99000001, "lang": "en"}',               # shape (no text)
+        ]
+        with open(os.path.join(jl_dir, "data", "poison.json"), "w") as f:
+            f.write("\n".join(poison) + "\n")
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    clean, quarantine = read_jsonl(spark, os.path.join(jl_dir, "data", "*.json"))
+    a = clean.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("clean").alias("kind"), "n"
+    )
+    b = (
+        quarantine.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("quarantine_"), F.col("reason")).alias("kind"), "n")
+    )
+    return a.unionByName(b)
 
 
 @query("text_compressibility")

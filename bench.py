@@ -68,6 +68,18 @@ def main() -> None:
     _env.lineitem_changelog(spark, sf_dir, with_schema_key=True)
     _env.multi_source_changelog(spark, sf_dir)
 
+    # The external-source queries stage their fixtures (Derby seed, trail
+    # files, OCF files, JSONL dirs) eagerly inside the query BUILDER, so
+    # one untimed call here keeps that one-time cost out of their timings.
+    for _fixture_q in (
+        "jdbc_txlog_pull",
+        "trail_file_seek",
+        "avro_ocf_roundtrip",
+        "jsonl_ingest_audit",
+    ):
+        if _fixture_q in queries:
+            queries[_fixture_q](spark, sf_dir)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in headline:

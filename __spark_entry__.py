@@ -77,6 +77,7 @@ _PRIORITY = [
     "per_group_quota",
     "avro_ocf_roundtrip",
     "jsonl_ingest_audit",
+    "dedup_canonical",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

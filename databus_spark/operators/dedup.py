@@ -112,6 +112,46 @@ EXACT_DEDUP_SQL = f"""
 """
 
 
+def canonical_text(c: Column | str) -> Column:
+    """Dedup canonical form: lowercase, punctuation stripped, whitespace
+    runs collapsed, ends trimmed — the cheap normalization catching the
+    reformatted-copy tail (case changes, re-wrapping, punctuation edits)
+    that byte-exact hashing misses. Pure Catalyst regexp chain."""
+    col = F.col(c) if isinstance(c, str) else c
+    stripped = F.regexp_replace(F.lower(col), "[^a-z0-9\\s]", "")
+    return F.trim(F.regexp_replace(stripped, "\\s+", " "))
+
+
+CANONICAL_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def canonical_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup over the canonical form: groups differing only in
+    case/punctuation/whitespace collapse to one survivor. Same
+    single-uniform-shuffle shape as exact_dedup."""
+    return (
+        docs.withColumn("canon_hash", F.md5(canonical_text("text")))
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+CANONICAL_DEDUP_SQL = f"""
+    SELECT md5({CANONICAL_TEXT_SQL.format(col='text')}) AS canon_hash,
+           min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies
+    FROM ({DOCS_WITH_DUPS_SQL})
+    GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. N-gram Jaccard near-dup (inverted-index blocking)
 # ---------------------------------------------------------------------------

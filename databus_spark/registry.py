@@ -393,6 +393,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5)
 
 
+@query("dedup_canonical", dedup.CANONICAL_DEDUP_SQL)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the canonical text form (lowercase, punctuation
+    stripped, whitespace collapsed): catches the reformatted-copy tail
+    byte-exact hashing misses, same single-uniform-shuffle shape."""
+    return dedup.canonical_dedup(dedup.documents_with_dups(spark, sf_dir))
+
+
 @query("simhash_sketch", dedup.simhash_sql())
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (token-count weighted sign sums)."""

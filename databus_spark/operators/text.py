@@ -484,17 +484,24 @@ def novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
     document. Low novelty = boilerplate/near-dup tail; high novelty =
     unique content worth keeping.
 
-    Shape: one gram explode + one df agg (map-side combinable) + one
-    per-doc agg; the df side joins back through the gram key (uniform),
-    no quadratic pair generation anywhere.
+    Shape: one gram explode + ONE shuffle on the gram key. _shingles
+    emits DISTINCT grams per doc, so the per-shingle row count IS the
+    distinct-document frequency — a count window over the shingle
+    partition replaces the df-aggregate-and-join-back form (which
+    recomputed the explode on both join sides; measured 28 s -> ~4 s at
+    sf0.1). The window is a plain count: no per-key state beyond the
+    sort, so hot grams cost a sort, not memory.
     """
+    from pyspark.sql.window import Window as W
+
     from databus_spark.operators.dedup import _shingles
 
     grams = _shingles(docs, k)
-    df_ = grams.groupBy("shingle").agg(F.count_distinct("doc_id").alias("gram_df"))
+    counted = grams.withColumn(
+        "gram_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
     return (
-        grams.join(df_, "shingle")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0)).alias("n_unique_grams"),

@@ -78,6 +78,7 @@ _PRIORITY = [
     "avro_ocf_roundtrip",
     "jsonl_ingest_audit",
     "dedup_canonical",
+    "media_wav_probe",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

@@ -198,6 +198,38 @@ MEDIA_FEATURES_SQL = """
 """
 
 
+def synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV payload per document (FIXTURE for the codec
+    path): mono 8 kHz, 16-bit, constant amplitude 500 + doc_id % 1000,
+    100 + n_chars % 500 frames — every metadata field the probe decodes
+    is a closed-form function of (doc_id, n_chars), so a SQL oracle can
+    check the REAL wave/audioop decode end-to-end. Arrow-batched
+    synthesis; payload bytes never leave the executors."""
+    import io
+    import struct
+    import wave
+    from collections.abc import Iterator as _Iterator
+
+    def batches(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = 500 + int(doc_id) % 1000
+                frames = 100 + int(n_chars) % 500
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack("<h", amp) * frames)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        batches, "doc_id BIGINT, media BINARY"
+    )
+
+
 def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' shape: emit one row per sampled offset of each
     payload (what video frame extraction looks like as a plan) — pure

@@ -1470,6 +1470,38 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_wav_probe",
+    """
+    SELECT doc_id,
+           'audio/wav' AS mime,
+           1 AS n_channels,
+           8000 AS sample_rate_hz,
+           CAST(floor((100 + n_chars % 500) * 1000.0 / 8000) AS BIGINT) AS duration_ms,
+           500 + doc_id % 1000 AS rms_energy
+    FROM documents
+    """,
+)
+def media_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec driver-checked end-to-end: deterministic WAV
+    payloads synthesized per document (stdlib wave), decoded back by
+    media_meta_probe (wave + audioop RMS), every decoded field matched
+    against its closed-form oracle — constant-amplitude RMS equals the
+    amplitude exactly, duration is integer math."""
+    from databus_spark.operators.multimodal import media_meta_probe, synth_wav_corpus
+
+    media = synth_wav_corpus(load_table(spark, sf_dir, "documents"))
+    probe = media_meta_probe(media)
+    return probe.select(
+        "doc_id",
+        "mime",
+        "n_channels",
+        "sample_rate_hz",
+        "duration_ms",
+        "rms_energy",
+    )
+
+
+@query(
     "jsonl_ingest_audit",
     """
     SELECT 'clean' AS kind, count(*) AS n FROM documents

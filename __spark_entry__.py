@@ -79,6 +79,7 @@ _PRIORITY = [
     "jsonl_ingest_audit",
     "dedup_canonical",
     "media_wav_probe",
+    "filter_keymod_subscribe",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

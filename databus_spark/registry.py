@@ -163,6 +163,48 @@ def filter_keymod_strkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_keymod_subscribe",
+    f"""
+    SELECT {_ENV_OUT_SQL}
+    FROM ({CUSTOMER_CHANGELOG_SQL})
+    WHERE (CASE WHEN key_num IS NOT NULL THEN abs(key_num)
+                WHEN TRY_CAST(key_str AS BIGINT) IS NOT NULL
+                     THEN abs(TRY_CAST(key_str AS BIGINT))
+                ELSE abs(CAST({java_hash_sql('key_str')} AS BIGINT)) END) % 8 < 4
+    """,
+)
+def filter_keymod_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENFORCED subscription path driver-checked end-to-end: the
+    changelog staged route-materialized (route_partition directories),
+    subscribed via subscribe_key_mod — directory pruning, zero per-row
+    hashing — and the result must equal the per-row KeyModFilter oracle
+    exactly. Staging is digest-markered like the other source fixtures."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from databus_spark.operators.filters import subscribe_key_mod
+    from databus_spark.streaming.source import stage_changelog
+
+    log = customer_changelog(spark, sf_dir)
+    fingerprint = _content_fingerprint(log, "scn")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"databus_routed_{digest}")
+    marker = os.path.join(stage, "_ROUTED_COMPLETE")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fingerprint
+    if stale:
+        shutil.rmtree(stage, ignore_errors=True)
+        stage_changelog(log, stage, n_chunks=2, route_buckets=8)
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    staged = spark.read.option("basePath", stage).parquet(stage + "/chunk=*")
+    return subscribe_key_mod(staged, 8, 0, 4, route_buckets=8).select(*ENV_OUT)
+
+
+@query(
     "filter_keyrange",
     f"""
     SELECT {_ENV_OUT_SQL} FROM ({ORDERS_CHANGELOG_SQL})

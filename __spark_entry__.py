@@ -80,6 +80,11 @@ _PRIORITY = [
     "dedup_canonical",
     "media_wav_probe",
     "filter_keymod_subscribe",
+    "decontaminate_bloom",
+    "dedup_incremental",
+    "dedup_span_windows",
+    "ann_ivfpq_topk",
+    "quality_topk_per_lang",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

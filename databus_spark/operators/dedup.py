@@ -771,3 +771,237 @@ def decontaminate_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
         FROM corpus_sh JOIN bench_sh USING (shingle)
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# 7. Bloom-filter decontamination (the memory-bounded scale variant)
+# ---------------------------------------------------------------------------
+# decontaminate() broadcasts the benchmark's distinct gram STRINGS — fine
+# while eval sets are small, but a consortium-sized held-out suite can
+# carry billions of grams (hundreds of GB of strings, not broadcastable).
+# The classic fix is a Bloom filter: j hash positions per gram into an
+# m-bit space; membership = all j positions set. The bit positions are
+# derived from the same portable 60-bit hash family both engines share,
+# so the outcome — INCLUDING any false positives — is deterministic and
+# oracle-checkable, not just statistically close.
+#
+# Scale shape: the position set is at most j * |bench grams| ints but
+# never wider than m (2^20 here -> <= 128 KB as a bitset, a few MB as a
+# broadcast join table), independent of gram string length; the corpus
+# side explodes j positions per gram map-side and joins the broadcast
+# position set — the corpus itself never shuffles. A gram is flagged only
+# when ALL j probes hit (count of matched seeds == j), mirroring the
+# standard Bloom AND-semantics.
+
+BLOOM_M = 1 << 20  # filter bits
+BLOOM_J = 3        # probes per gram (seeds "bf0", "bf1", "bf2")
+
+
+def _bloom_positions(gram_col, seed_col):
+    """Bit position for (gram, seed): portable hash mod BLOOM_M."""
+    return F.pmod(
+        portable_hash64(gram_col, F.concat(F.lit("bf"), seed_col.cast("string"))),
+        F.lit(BLOOM_M),
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame, benchmark: DataFrame, k: int = DECONTAM_K
+) -> DataFrame:
+    """Corpus docs whose k-grams hit the benchmark Bloom filter.
+
+    Returns (doc_id, n_flagged_grams): distinct corpus grams for which
+    all BLOOM_J probe positions are set in the filter built from the
+    benchmark gram set. Superset of decontaminate()'s exact answer by
+    construction (false positives only, never negatives); deterministic
+    in both engines because the probes share the portable hash family.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_J - 1))).alias("s")
+    bench_pos = (
+        _shingles(benchmark, k)
+        .select("shingle")
+        .distinct()
+        .select("shingle", seeds)
+        .select(_bloom_positions(F.col("shingle"), F.col("s")).alias("pos"))
+        .distinct()
+    )
+    corpus_probes = (
+        _shingles(corpus, k)
+        .select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "shingle",
+            "s",
+            _bloom_positions(F.col("shingle"), F.col("s")).alias("pos"),
+        )
+    )
+    flagged = (
+        corpus_probes.join(F.broadcast(bench_pos), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count_distinct("s").alias("_hits"))
+        .where(F.col("_hits") == BLOOM_J)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged_grams")
+    )
+
+
+def decontaminate_bloom_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
+    pos = portable_hash64_sql("shingle", "'bf' || CAST(s AS VARCHAR)")
+    return f"""
+        WITH seeds AS (SELECT unnest(range(0, {BLOOM_J})) AS s),
+        bench_pos AS (
+            SELECT DISTINCT ({pos}) % {BLOOM_M} AS pos
+            FROM (SELECT DISTINCT shingle
+                  FROM ({_shingles_sql_over(benchmark_from_sql, k)}))
+            CROSS JOIN seeds
+        ),
+        corpus_probes AS (
+            SELECT doc_id, shingle, s, ({pos}) % {BLOOM_M} AS pos
+            FROM ({_shingles_sql_over(DOCS_WITH_DUPS_SQL, k)})
+            CROSS JOIN seeds
+        ),
+        flagged AS (
+            SELECT doc_id, shingle
+            FROM corpus_probes JOIN bench_pos USING (pos)
+            GROUP BY 1, 2 HAVING count(DISTINCT s) = {BLOOM_J}
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_grams
+        FROM flagged GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# 8. Incremental dedup against a reference corpus
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(incoming: DataFrame, base: DataFrame) -> DataFrame:
+    """Dedup an incoming batch against an already-curated base corpus:
+    each incoming doc is matched (by exact content hash) to the earliest
+    base doc with identical text; unmatched docs are new.
+
+    The production shape for rolling crawl ingestion — the base corpus
+    is NOT re-deduped, only the (much smaller) delta is checked. One
+    shuffle join on md5(text): uniform key, no skew; at 100 TB the base
+    side prunes to its hash+survivor columns (two columns read from a
+    100 TB table), and a Bloom filter over base hashes drops the
+    clearly-new incoming docs before the join (the decontaminate_bloom
+    machinery above, applied to content hashes instead of grams).
+    """
+    base_hashes = (
+        base.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("base_survivor_doc_id"))
+    )
+    return (
+        incoming.withColumn("content_hash", F.md5("text"))
+        .join(base_hashes, "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            "base_survivor_doc_id",
+            F.col("base_survivor_doc_id").isNull().alias("is_new"),
+        )
+    )
+
+
+def incremental_dedup_sql(incoming_from_sql: str, base_from_sql: str) -> str:
+    return f"""
+        WITH base AS (
+            SELECT md5(text) AS content_hash, min(doc_id) AS base_survivor_doc_id
+            FROM ({base_from_sql}) GROUP BY 1
+        )
+        SELECT i.doc_id, md5(i.text) AS content_hash, b.base_survivor_doc_id,
+               b.base_survivor_doc_id IS NULL AS is_new
+        FROM ({incoming_from_sql}) i
+        LEFT JOIN base b ON md5(i.text) = b.content_hash
+    """
+
+
+# ---------------------------------------------------------------------------
+# 9. Windowed substring-duplication profile (span-level dedup signal)
+# ---------------------------------------------------------------------------
+# Document-level dedup misses the partially-duplicated middle: pages that
+# quote, template, or concatenate previously-seen text. The
+# substring-level answer (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" — suffix-array exact substring matching)
+# restated for a shuffle engine: fixed-length non-overlapping token
+# windows, hashed and counted corpus-wide; a window occurrence is a
+# duplicate iff it is not the globally-first occurrence of that window
+# (first = lowest (doc_id, position)). Per-doc output = the fraction of
+# its windows that are duplicated — the curation signal used to drop or
+# trim boilerplate-heavy documents.
+
+SPAN_WIN = 10  # tokens per window
+
+
+def span_dedup_profile(docs: DataFrame, win: int = SPAN_WIN) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_fraction) over non-
+    overlapping win-token windows; only docs with >= 1 full window
+    appear.
+
+    Scale: one shuffle on the window text (uniform-ish; hot boilerplate
+    windows hit the AGGREGATE only — pairs are never generated), one
+    1-row-per-window join back (AQE skew-join handles hot windows), one
+    per-doc agg. The occurrence key packs (doc_id, position) into one
+    long so "globally first" is a plain min in both engines.
+    """
+    toks = tokens_col("text")
+    n_win = F.floor(F.size(toks) / win).cast("int")
+    segs = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(toks, i * win + 1, win), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        docs.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+        .withColumn("occ_key", F.col("doc_id") * 1_000_000 + F.col("seg_idx"))
+    )
+    firsts = occ.groupBy("seg").agg(F.min("occ_key").alias("first_key"))
+    return (
+        occ.join(firsts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("occ_key") != F.col("first_key")).cast("long")).alias(
+                "n_dup_windows"
+            ),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM ({from_sql})
+        ),
+        occ AS (
+            SELECT doc_id, (u).seg_idx AS seg_idx, (u).seg AS seg,
+                   doc_id * 1000000 + (u).seg_idx AS occ_key
+            FROM (
+                SELECT doc_id, unnest(list_transform(
+                           range(0, CAST(floor(len(toks) / {win}) AS BIGINT)),
+                           i -> struct_pack(seg_idx := i,
+                                seg := array_to_string(toks[i*{win}+1 : i*{win}+{win}], ' ')))) AS u
+                FROM base
+            )
+        ),
+        firsts AS (SELECT seg, min(occ_key) AS first_key FROM occ GROUP BY 1)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN occ_key <> first_key THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               round(CAST(sum(CASE WHEN occ_key <> first_key THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        FROM occ JOIN firsts USING (seg)
+        GROUP BY 1
+    """

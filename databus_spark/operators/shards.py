@@ -289,3 +289,74 @@ def per_group_quota_sql(
             FROM ({from_sql})
         ) WHERE quota_rank <= {max_per_group}
     """
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase grouped top-k (hot-group-safe best-of selection)
+# ---------------------------------------------------------------------------
+# per_group_quota and stratified_sample rank within a single window per
+# group: correct, but a group holding 1% of a 100 TB corpus sorts ~1 TB
+# on one reducer. When only the TOP-K per group survives (k << group),
+# the standard fix is two-phase: phase 1 ranks within (group, salt) —
+# bounding any single sort partition to |group| / n_salts — phase 2
+# re-ranks the surviving k * n_salts finalists per group (tiny). Any row
+# in the true global top-k is also in its salt slice's top-k, so the
+# result is IDENTICAL to the one-window form (which is what the oracle
+# runs) as long as the ordering is a total order — here (order DESC,
+# id ASC) with unique ids.
+
+TOPK_SALT_SEED = "topk"
+N_TOPK_SALTS = 8
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    n_salts: int = N_TOPK_SALTS,
+) -> DataFrame:
+    """Top-k rows per group by (order_col DESC, id_col ASC), computed as
+    a salted two-phase rank so no reducer ever sorts a whole hot group.
+    Output: input columns + `topk_rank` (1-based within the group)."""
+    salt = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), F.lit(TOPK_SALT_SEED)),
+        F.lit(n_salts),
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    finalists = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        finalists.drop("_salt")
+        .withColumn("topk_rank", F.row_number().over(w2))
+        .where(F.col("topk_rank") <= k)
+    )
+
+
+def grouped_topk_sql(
+    from_sql: str,
+    cols: list[str],
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: the plain single-window form — the two-phase plan must
+    reproduce it exactly. `cols` = the input columns to carry through."""
+    col_list = ", ".join(cols)
+    return f"""
+        SELECT {col_list}, CAST(rn AS INT) AS topk_rank FROM (
+            SELECT {col_list}, row_number() OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY {order_col} DESC, {id_col} ASC) AS rn
+            FROM ({from_sql})
+        ) t WHERE rn <= {k}
+    """

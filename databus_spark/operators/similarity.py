@@ -601,6 +601,159 @@ def pq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
 
 
 # ---------------------------------------------------------------------------
+# IVF + PQ combined: coarse-cell pruning THEN compressed ADC scoring —
+# the full FAISS-style IVFPQ shape. pq_topk scores every corpus vector's
+# codes against the query ADC table; at 100 TB that is still an
+# O(corpus) scan per batch of queries. Adding the IVF stage first
+# restricts ADC scoring to vectors in the query's nprobe cells
+# (~ IVF_NPROBE / N_CELLS of the corpus), so the scan cost drops by the
+# cell fan-in while the score math (and its decimal exactness) is
+# unchanged. Candidate generation and scoring both remain broadcast
+# joins against tiny dimension tables; the corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with IVF cell pruning + PQ ADC scoring.
+
+    Candidates = corpus vectors assigned (argmax cosine) to one of the
+    query's IVF_NPROBE highest-cosine cells; scores = sum over M_SUB
+    subspaces of the query's L2 to the candidate's code centroid
+    (decimal-summed, rank ties broken on neighbor id). Returns
+    (query_id, neighbor_id, approx_dist, rank).
+    """
+    cent = _ivf_centroids(emb, id_col, vec_col)
+    assigned = _ivf_assign(emb, cent, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell_id"
+    )
+    q_scored = _ivf_scored(emb.where(F.col(id_col) < n_queries), cent, id_col, vec_col)
+    wq = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        q_scored.withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= IVF_NPROBE)
+        .select(F.col(id_col).alias("query_id"), "cell_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    cb = _pq_codebook(emb, id_col, vec_col)
+    codes = pq_encode(emb, cb, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "m", "code"
+    )
+    adc = (
+        emb.where(F.col(id_col) < n_queries)
+        .crossJoin(F.broadcast(cb))
+        .withColumn("m", F.explode(F.sequence(F.lit(0), F.lit(M_SUB - 1))))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            F.col("code_id").alias("code"),
+            _sub_l2sq(vec_col, "code_vec").cast("decimal(18,6)").alias("d"),
+        )
+    )
+    approx = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(adc), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("decimal(24,6)").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("approx_dist").cast("double").alias("approx_dist"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h_ivf = portable_hash64_sql("vec_id", "'ivf'")
+    h_pq = portable_hash64_sql("vec_id", "'pq'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+
+    def sub_l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {SUB_DIM} + 1), "
+            f"i -> ({a}[m*{SUB_DIM}+i] - {b}[m*{SUB_DIM}+i])"
+            f" * ({a}[m*{SUB_DIM}+i] - {b}[m*{SUB_DIM}+i]))), 6)"
+        )
+
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h_ivf}, vec_id LIMIT {N_CELLS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS cell_rank
+            FROM embeddings v CROSS JOIN cent c
+        ),
+        cand AS (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell_id FROM ranked
+                  WHERE vec_id < {n_queries} AND cell_rank <= {IVF_NPROBE}) p
+            JOIN (SELECT vec_id, cell_id FROM ranked WHERE cell_rank = 1) a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id
+        ),
+        cb AS (
+            SELECT vec_id AS code_id, embedding AS code_vec
+            FROM embeddings ORDER BY {h_pq}, vec_id LIMIT {PQ_K}
+        ),
+        subspaces AS (SELECT unnest(range(0, {M_SUB})) AS m),
+        codes AS (
+            SELECT neighbor_id, m, code FROM (
+                SELECT v.vec_id AS neighbor_id, m, c.code_id AS code,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, m
+                           ORDER BY {sub_l2('v.embedding', 'c.code_vec')} ASC, c.code_id ASC
+                       ) AS rn
+                FROM embeddings v CROSS JOIN cb c CROSS JOIN subspaces
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT q.vec_id AS query_id, m, c.code_id AS code,
+                   CAST({sub_l2('q.embedding', 'c.code_vec')} AS DECIMAL(18,6)) AS d
+            FROM embeddings q CROSS JOIN cb c CROSS JOIN subspaces
+            WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id,
+               CAST(approx_dist AS DOUBLE) AS approx_dist, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC
+                   ) AS rank
+            FROM (
+                SELECT cand.query_id, cand.neighbor_id,
+                       CAST(sum(d) AS DECIMAL(24,6)) AS approx_dist
+                FROM cand
+                JOIN codes ON codes.neighbor_id = cand.neighbor_id
+                JOIN adc ON adc.query_id = cand.query_id
+                        AND adc.m = codes.m AND adc.code = codes.code
+                GROUP BY 1, 2
+            )
+        ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Sparse TF-IDF cosine near-pairs (text-side sparse-vector similarity)
 # ---------------------------------------------------------------------------
 # The sparse complement to embedding_near_pairs: documents as tf-idf

@@ -423,6 +423,49 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(corpus, benchmark)
 
 
+@query(
+    "decontaminate_bloom",
+    dedup.decontaminate_bloom_sql("SELECT * FROM documents WHERE doc_id % 17 = 0"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: same benchmark slice as
+    decontaminate_vs_benchmark, but membership goes through an m-bit /
+    j-probe Bloom position set instead of the raw gram strings — the
+    memory-bounded variant for consortium-sized eval suites. False
+    positives are deterministic (shared portable hash family), so the
+    result is oracle-checked exactly, not statistically."""
+    corpus = dedup.documents_with_dups(spark, sf_dir)
+    benchmark = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    return dedup.decontaminate_bloom(corpus, benchmark)
+
+
+@query(
+    "dedup_incremental",
+    dedup.incremental_dedup_sql(
+        f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",
+        "SELECT * FROM documents",
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingestion dedup: the incoming delta (the mirrored/edited
+    docs) checked against the already-curated base corpus by content
+    hash — exact copies resolve to their base survivor, edits are new."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    base = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(incoming, base)
+
+
+@query("dedup_span_windows", dedup.span_dedup_sql(dedup.DOCS_WITH_DUPS_SQL))
+def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile: per-doc fraction of
+    non-overlapping 10-token windows whose text already occurred earlier
+    in the corpus (suffix-array substring dedup restated as one uniform
+    shuffle on the window hash)."""
+    return dedup.span_dedup_profile(dedup.documents_with_dups(spark, sf_dir))
+
+
 @query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-shingle Jaccard >= 0.6 near-dup pairs via inverted-index join."""
@@ -499,6 +542,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("ann_ivfpq_topk", similarity.ivfpq_topk_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFPQ ANN: IVF cell pruning restricts the candidate set to
+    the query's nprobe cells, then PQ ADC scores only those candidates —
+    the compressed + pruned combination that makes batch ANN affordable
+    when the corpus is 100 TB (per-query scan cost drops by the cell
+    fan-in; all dimension tables stay broadcast)."""
+    return similarity.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("text_token_stats", text.TOKEN_STATS_SQL)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""
@@ -509,6 +562,27 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-style quality features + composite score."""
     return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_topk_per_lang",
+    shards.grouped_topk_sql(
+        f"SELECT t.doc_id, d.lang, t.quality FROM ({text.QUALITY_SQL}) t"
+        " JOIN documents d ON d.doc_id = t.doc_id",
+        cols=["doc_id", "lang", "quality"],
+        group_col="lang",
+        order_col="quality",
+        k=20,
+    ),
+)
+def quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of selection: top-20 documents per language by composite
+    quality score, via the salted two-phase grouped top-k — identical to
+    a single window but no reducer ever sorts a whole (hot) language."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return shards.grouped_topk(joined, "lang", "quality", k=20)
 
 
 @query("text_lang_id", text.LANG_ID_SQL)

@@ -1,0 +1,111 @@
+"""Behavior tests for the round-5 second-wave operators: windowed
+substring dedup, incremental cross-corpus dedup, Bloom decontamination,
+IVFPQ ANN, and the salted two-phase grouped top-k.
+
+(The oracle parity of each is covered by test_registry_oracles; these
+pin the SEMANTIC claims — superset/subset properties, equivalence to
+the one-window form, mirror-doc behavior — that a hash match alone
+doesn't explain.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from databus_spark.catalog import load_table
+from databus_spark.operators import dedup, shards, similarity
+
+
+def test_span_dedup_mirrors_fully_duplicated(spark, sf_dir):
+    """An exact mirror (doc_id + 1M) re-emits every window of its base
+    doc, so every one of its windows is a duplicate occurrence; the base
+    doc (lower occ key) keeps dup_fraction 0 unless some OTHER doc
+    happens to share a window."""
+    docs = dedup.documents_with_dups(spark, sf_dir)
+    prof = dedup.span_dedup_profile(docs)
+    mirrors = prof.where(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    )
+    n_mirror, n_full = mirrors.agg(
+        F.count("*"), F.sum((F.col("dup_fraction") == 1.0).cast("int"))
+    ).collect()[0]
+    assert n_mirror > 0
+    assert n_full == n_mirror, "an exact mirror had a non-duplicated window"
+
+
+def test_span_dedup_short_docs_excluded(spark):
+    """Docs with fewer than SPAN_WIN tokens contribute no windows."""
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.span_dedup_profile(docs).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["n_windows"] == 1 and rows[0]["n_dup_windows"] == 0
+
+
+def test_incremental_dedup_mirrors_matched_edits_new(spark, sf_dir):
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    base = load_table(spark, sf_dir, "documents")
+    out = dedup.incremental_dedup(incoming, base).collect()
+    for r in out:
+        if r["doc_id"] < 2_000_000:  # exact mirror
+            assert not r["is_new"]
+            assert r["base_survivor_doc_id"] == r["doc_id"] - 1_000_000
+        else:  # edited copy: first token dropped -> new content
+            assert r["is_new"] and r["base_survivor_doc_id"] is None
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """Bloom membership can only ADD false positives: every doc the
+    exact gram-set decontaminator flags must be flagged by the Bloom
+    variant with at least as many grams."""
+    corpus = dedup.documents_with_dups(spark, sf_dir)
+    benchmark = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    exact = {
+        r["doc_id"]: r["n_bench_grams"]
+        for r in dedup.decontaminate(corpus, benchmark).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_grams"]
+        for r in dedup.decontaminate_bloom(corpus, benchmark).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for doc, n in exact.items():
+        assert bloom[doc] >= n, f"doc {doc}: bloom dropped a true positive"
+
+
+def test_ivfpq_candidates_respect_ivf_cells(spark, sf_dir):
+    """Every IVFPQ result pair must be an IVF candidate pair (the PQ
+    stage only re-scores, never widens, the IVF candidate set)."""
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    ivf_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, k=10**6).collect()
+    }
+    ivfpq_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.ivfpq_topk(emb).collect()
+    }
+    assert ivfpq_pairs, "ivfpq returned nothing"
+    assert ivfpq_pairs <= ivf_pairs
+
+
+def test_grouped_topk_equals_single_window(spark, sf_dir):
+    """The salted two-phase plan must reproduce the one-window result
+    row-for-row, and its phase-1 window must partition on the salt (the
+    property that bounds any single sort partition)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    two_phase = shards.grouped_topk(docs, "lang", "n_chars", k=7)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    one_window = (
+        docs.withColumn("topk_rank", F.row_number().over(w))
+        .where(F.col("topk_rank") <= 7)
+    )
+    assert sorted(map(tuple, two_phase.collect())) == sorted(
+        map(tuple, one_window.collect())
+    )
+    plan = two_phase._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "phase-1 salt partitioning disappeared from the plan"

@@ -85,6 +85,9 @@ _PRIORITY = [
     "dedup_span_windows",
     "ann_ivfpq_topk",
     "quality_topk_per_lang",
+    "contamination_fraction",
+    "oov_rate",
+    "length_histogram",
     # changed this round (LSH bucket caps, byte-budget tiebreaker,
     # hashCode AND-fold, Derby fingerprint markers) — keep in-window
     "dedup_minhash_lsh",

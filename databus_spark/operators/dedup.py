@@ -773,6 +773,58 @@ def decontaminate_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
     """
 
 
+def contamination_fraction(
+    corpus: DataFrame, benchmark: DataFrame, k: int = DECONTAM_K
+) -> DataFrame:
+    """Graded decontamination: per-doc FRACTION of distinct k-grams that
+    appear in the benchmark — the thresholdable signal (drop at >= 0.5,
+    audit at >= 0.05) where decontaminate() is binary.
+
+    Same scale shape as decontaminate (benchmark gram set broadcast,
+    corpus streams map-side); the denominator is a per-doc distinct-gram
+    count, one extra map-side-combinable agg on doc_id. Only docs with
+    >= 1 benchmark gram are emitted.
+    """
+    bench_grams = _shingles(benchmark, k).select("shingle").distinct()
+    corpus_grams = _shingles(corpus, k)
+    totals = corpus_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_bench_grams"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_bench_grams",
+        F.round(
+            F.col("n_bench_grams").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("contamination"),
+    )
+
+
+def contamination_fraction_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
+    return f"""
+        WITH corpus_sh AS ({_shingles_sql_over(DOCS_WITH_DUPS_SQL, k)}),
+        bench_sh AS (
+            SELECT DISTINCT shingle FROM ({_shingles_sql_over(benchmark_from_sql, k)})
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM corpus_sh GROUP BY 1
+        ),
+        hits AS (
+            SELECT doc_id, count(DISTINCT shingle) AS n_bench_grams
+            FROM corpus_sh JOIN bench_sh USING (shingle)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_grams, n_bench_grams,
+               round(CAST(n_bench_grams AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+                   AS contamination
+        FROM hits JOIN totals USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # 7. Bloom-filter decontamination (the memory-bounded scale variant)
 # ---------------------------------------------------------------------------

@@ -526,3 +526,107 @@ def novelty_profile_sql(from_sql: str, k: int = 5) -> str:
         FROM grams JOIN df USING (shingle)
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate (tokenizer-coverage signal)
+# ---------------------------------------------------------------------------
+# BPE/tokenizer training wants to know how much of each document falls
+# outside the candidate vocabulary: high-OOV docs are either noise or
+# evidence the vocab is mis-sized. Vocabulary = top-V tokens by corpus
+# frequency (ties broken by token string) — at scale a distributed
+# TakeOrdered over the token-count agg, then BROADCAST back; the corpus
+# token stream is scored map-side, never shuffled a second time.
+
+OOV_VOCAB_SIZE = 200
+
+
+def oov_rate(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) against the corpus top-V
+    vocabulary. Both the vocab ranking and the rate are deterministic
+    (count DESC, token ASC; round 6dp)."""
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6),
+        )
+    )
+
+
+def oov_rate_sql(from_sql: str, vocab_size: int = OOV_VOCAB_SIZE) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM ({from_sql})
+        ),
+        vocab AS (
+            SELECT tok FROM toks GROUP BY tok
+            ORDER BY count(*) DESC, tok ASC LIMIT {vocab_size}
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Length profile (log2 histogram per language)
+# ---------------------------------------------------------------------------
+# The curriculum/packing planner's first question: how are document
+# lengths distributed per language? Log2 buckets are pure map-side math
+# (floor(log2(n_chars))) + one agg — no sort, no percentile state, no
+# skew (buckets are bounded); the exact-percentile alternative is
+# lag_percentiles' machinery, this is the O(1)-memory profile.
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """(lang, bucket, n_docs, min_chars, max_chars) where bucket =
+    floor(log2(n_chars)); n_chars <= 0 guarded into bucket -1.
+
+    The bucket is computed as length(bin(n)) - 1 — integer arithmetic,
+    so engines can't disagree at exact powers of two the way a float
+    log2 can (ln(1024)/ln(2) = 9.999... floors to 9 on some libms)."""
+    bucket = F.when(
+        F.col("n_chars") > 0,
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("int"),
+    ).otherwise(F.lit(-1))
+    return (
+        docs.select("lang", "n_chars", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = """
+    SELECT lang,
+           CASE WHEN n_chars > 0
+                THEN CAST(length(bin(n_chars)) - 1 AS INT) ELSE -1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+"""

@@ -424,6 +424,19 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contamination_fraction",
+    dedup.contamination_fraction_sql("SELECT * FROM documents WHERE doc_id % 17 = 0"),
+)
+def contamination_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: fraction of each doc's distinct 8-grams
+    that are benchmark grams — the thresholdable form of
+    decontaminate_vs_benchmark (drop >= 0.5, audit >= 0.05)."""
+    corpus = dedup.documents_with_dups(spark, sf_dir)
+    benchmark = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    return dedup.contamination_fraction(corpus, benchmark)
+
+
+@query(
     "decontaminate_bloom",
     dedup.decontaminate_bloom_sql("SELECT * FROM documents WHERE doc_id % 17 = 0"),
 )
@@ -562,6 +575,22 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-style quality features + composite score."""
     return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query("oov_rate", text.oov_rate_sql("SELECT doc_id, text FROM documents"))
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc out-of-vocabulary rate vs the corpus top-200 token
+    vocabulary (tokenizer-coverage signal): vocab = distributed
+    TakeOrdered over the token counts, broadcast back; the token stream
+    is scored map-side."""
+    return text.oov_rate(load_table(spark, sf_dir, "documents"))
+
+
+@query("length_histogram", text.LENGTH_HISTOGRAM_SQL)
+def length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2 length histogram — the O(1)-memory, no-sort
+    corpus length profile (integer bin() bucket math, one agg)."""
+    return text.length_histogram(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -109,3 +109,40 @@ def test_grouped_topk_equals_single_window(spark, sf_dir):
     )
     plan = two_phase._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan, "phase-1 salt partitioning disappeared from the plan"
+
+
+def test_contamination_fraction_consistent_with_binary(spark, sf_dir):
+    """Graded contamination agrees with the binary decontaminator on the
+    flagged doc set and its numerator, and fractions stay in (0, 1]."""
+    corpus = dedup.documents_with_dups(spark, sf_dir)
+    benchmark = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    binary = {
+        r["doc_id"]: r["n_bench_grams"]
+        for r in dedup.decontaminate(corpus, benchmark).collect()
+    }
+    graded = {r["doc_id"]: r for r in dedup.contamination_fraction(corpus, benchmark).collect()}
+    assert set(binary) == set(graded)
+    for doc, n in binary.items():
+        g = graded[doc]
+        assert g["n_bench_grams"] == n
+        assert 0 < g["contamination"] <= 1.0
+        # the benchmark slice itself is fully contaminated
+        if doc % 17 == 0 and doc < 1_000_000:
+            assert g["contamination"] == 1.0
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark, sf_dir):
+    from databus_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = T.oov_rate(docs)
+    lo, hi, n = rates.agg(F.min("oov_rate"), F.max("oov_rate"), F.count("*")).collect()[0]
+    assert n == docs.count(), "every doc must get a rate"
+    assert 0.0 <= lo and hi <= 1.0
+    # the fixture vocabulary is tiny (~60 distinct words), so the top-200
+    # vocab covers everything -> all rates must be exactly 0
+    n_vocab = (
+        docs.select(F.explode(T.tokens_col("text")).alias("t")).distinct().count()
+    )
+    if n_vocab <= T.OOV_VOCAB_SIZE:
+        assert hi == 0.0

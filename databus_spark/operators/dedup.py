@@ -786,7 +786,10 @@ def contamination_fraction(
     >= 1 benchmark gram are emitted.
     """
     bench_grams = _shingles(benchmark, k).select("shingle").distinct()
-    corpus_grams = _shingles(corpus, k)
+    # lazy local checkpoint: the gram explode feeds BOTH the totals agg
+    # and the hit count — materialize it once instead of re-shingling
+    # the corpus per consumer
+    corpus_grams = _shingles(corpus, k).localCheckpoint(eager=False)
     totals = corpus_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "shingle")
@@ -845,16 +848,18 @@ def contamination_fraction_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> 
 # when ALL j probes hit (count of matched seeds == j), mirroring the
 # standard Bloom AND-semantics.
 
-BLOOM_M = 1 << 20  # filter bits
-BLOOM_J = 3        # probes per gram (seeds "bf0", "bf1", "bf2")
+BLOOM_M = 1 << 20  # filter bits = 16^5: a position IS a 5-hex-char md5 slice
+BLOOM_J = 3        # probes per gram (three disjoint md5 slices)
 
 
-def _bloom_positions(gram_col, seed_col):
-    """Bit position for (gram, seed): portable hash mod BLOOM_M."""
-    return F.pmod(
-        portable_hash64(gram_col, F.concat(F.lit("bf"), seed_col.cast("string"))),
-        F.lit(BLOOM_M),
-    )
+def _bloom_probe_array(shingle_col):
+    """All BLOOM_J probe positions from ONE md5. Because BLOOM_M = 16^5,
+    a position into the bit space is exactly a 5-hex-char digest slice —
+    no numeric conversion at all (conv() big-integer parsing measured
+    ~2x the whole map stage): slices [1-5], [6-10], [11-15]. One hash
+    per gram, probe exchange carries 5-char keys."""
+    md = F.md5(shingle_col)
+    return F.array(*[F.substring(md, 1 + 5 * s, 5) for s in range(BLOOM_J)])
 
 
 def decontaminate_bloom(
@@ -866,30 +871,32 @@ def decontaminate_bloom(
     all BLOOM_J probe positions are set in the filter built from the
     benchmark gram set. Superset of decontaminate()'s exact answer by
     construction (false positives only, never negatives); deterministic
-    in both engines because the probes share the portable hash family.
+    in both engines because the probes are md5 slices both mirror
+    exactly.
+
+    The gram string is hashed ONCE map-side; every downstream exchange
+    carries (doc_id, gram_h, s, pos) with 5/16-char hex keys — never
+    the gram text.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_J - 1))).alias("s")
     bench_pos = (
         _shingles(benchmark, k)
         .select("shingle")
         .distinct()
-        .select("shingle", seeds)
-        .select(_bloom_positions(F.col("shingle"), F.col("s")).alias("pos"))
+        .select(F.explode(_bloom_probe_array(F.col("shingle"))).alias("pos"))
         .distinct()
     )
-    corpus_probes = (
-        _shingles(corpus, k)
-        .select("doc_id", "shingle", seeds)
-        .select(
-            "doc_id",
-            "shingle",
-            "s",
-            _bloom_positions(F.col("shingle"), F.col("s")).alias("pos"),
-        )
+    # gram identity from the SAME digest the probes slice (16 hex chars
+    # -> 64-bit id string): one md5 per gram total, shared by codegen
+    # subexpression elimination with the probe array's digest
+    gram_h = F.substring(F.md5(F.col("shingle")), 17, 16)
+    corpus_probes = _shingles(corpus, k).select(
+        "doc_id",
+        gram_h.alias("gram_h"),
+        F.posexplode(_bloom_probe_array(F.col("shingle"))).alias("s", "pos"),
     )
     flagged = (
         corpus_probes.join(F.broadcast(bench_pos), "pos")
-        .groupBy("doc_id", "shingle")
+        .groupBy("doc_id", "gram_h")
         .agg(F.count_distinct("s").alias("_hits"))
         .where(F.col("_hits") == BLOOM_J)
     )
@@ -899,22 +906,23 @@ def decontaminate_bloom(
 
 
 def decontaminate_bloom_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
-    pos = portable_hash64_sql("shingle", "'bf' || CAST(s AS VARCHAR)")
+    pos = "substr(md5(shingle), 1 + 5 * CAST(s AS INT), 5)"
+    gram_h = "substr(md5(shingle), 17, 16)"
     return f"""
         WITH seeds AS (SELECT unnest(range(0, {BLOOM_J})) AS s),
         bench_pos AS (
-            SELECT DISTINCT ({pos}) % {BLOOM_M} AS pos
+            SELECT DISTINCT {pos} AS pos
             FROM (SELECT DISTINCT shingle
                   FROM ({_shingles_sql_over(benchmark_from_sql, k)}))
             CROSS JOIN seeds
         ),
         corpus_probes AS (
-            SELECT doc_id, shingle, s, ({pos}) % {BLOOM_M} AS pos
+            SELECT doc_id, {gram_h} AS gram_h, s, {pos} AS pos
             FROM ({_shingles_sql_over(DOCS_WITH_DUPS_SQL, k)})
             CROSS JOIN seeds
         ),
         flagged AS (
-            SELECT doc_id, shingle
+            SELECT doc_id, gram_h
             FROM corpus_probes JOIN bench_pos USING (pos)
             GROUP BY 1, 2 HAVING count(DISTINCT s) = {BLOOM_J}
         )

@@ -2,10 +2,13 @@
 
 Beyond-reference capability. Images/audio/video travel as `binary`
 columns with a typed metadata struct; decode / feature-extract run as
-Arrow-batched Pandas functions over mapInPandas — the Spark-side
-plumbing (schema, batching, partition flow) is real and tested; the
-actual codec call is stubbed because no image/audio libraries ship in
-this container.
+Arrow-batched Pandas functions over mapInPandas. REAL, stdlib-only
+codecs cover: header metadata for PNG/GIF/BMP/JPEG, full WAV decode
+(wave + audioop RMS), and full PNG pixel decode (zlib inflate + all
+five scanline filters, png_decode below) — each driven through the
+oracle gate by a synthesized corpus with closed-form expected values.
+Only entropy-coded pixel data (JPEG, video) remains stubbed: those
+genuinely need libjpeg/ffmpeg, which this container does not ship.
 
 Design for 100 TB: binary payloads stay opaque end-to-end (no JVM<->
 Python round trip until the extract stage), rows flow through
@@ -55,15 +58,21 @@ def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media(payload: bytes) -> object:
-    """Decode an image/audio payload to pixels/samples. STUB: pixel-level
-    codec libs are not in this container; the real implementation plugs
-    in here unchanged. Header-level metadata decode (parse_media_meta)
-    is REAL — pure stdlib — and does not come through here."""
+    """Decode an image/audio payload to pixels/samples. PNG and WAV are
+    REAL (png_decode, parse_media_meta); entropy-coded formats (JPEG,
+    video) still need libjpeg/ffmpeg and stay stubbed here."""
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wf:
+            return wf.readframes(wf.getnframes())
     if not _REAL_CODECS_AVAILABLE:
         raise NotImplementedError(
-            "pixel/sample codecs unavailable in this environment; "
-            "parse_media_meta decodes real format metadata, "
-            "extract_features uses the deterministic byte-level fallback"
+            "entropy-coded pixel/sample codecs (JPEG, video) unavailable "
+            "in this environment; PNG and WAV decode are real"
         )
 
 
@@ -240,3 +249,210 @@ def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "doc_id",
         F.explode(offsets).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+
+
+# -- REAL PNG pixel codec (pure stdlib zlib + numpy defiltering) -------------
+# Pixel-level decode for PNG needs no external imaging lib: IDAT is zlib
+# (RFC 1950) and scanline defiltering is five integer filters (PNG spec
+# §9). Implemented here so the "decode" stage of the multimodal pipeline
+# is REAL for PNG the way wave/audioop made it real for WAV; JPEG/video
+# remain the honest stub in decode_media (their entropy coders genuinely
+# need libjpeg/ffmpeg).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def png_encode(pixels, filter_mode: str = "cycle") -> bytes:
+    """Minimal PNG writer for 8-bit grayscale/RGB numpy arrays (shape
+    (h, w) or (h, w, 3)). filter_mode 'cycle' applies filter r % 5 to
+    scanline r — deliberately exercising every PNG filter type so a
+    decoder round-trip proves real defiltering, not just inflate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    color_type = {1: 0, 3: 2}[ch]
+    raw = px.reshape(h, w * ch).astype(np.int32)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    lines = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = raw[r]
+        f = r % 5 if filter_mode == "cycle" else 0
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), cur[:-ch]])
+        pleft = np.concatenate([np.zeros(ch, dtype=np.int32), prior[:-ch]])
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prior
+        elif f == 3:
+            out = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - pleft
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - pleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pleft))
+            out = cur - pred
+        lines.append(f)
+        lines.extend((out % 256).astype(np.uint8).tobytes())
+        prior = cur
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes):
+    """REAL PNG pixel decode, stdlib-only: chunk walk, zlib inflate,
+    full five-filter scanline defiltering (PNG spec §9: None/Sub/Up/
+    Average/Paeth). Supports 8-bit depth, color types 0/2/4/6,
+    non-interlaced. Returns an (h, w, channels) uint8 array; raises
+    ValueError on anything else (caller quarantines)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, idat, meta = 8, bytearray(), None
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+                raise ValueError("unsupported PNG variant")
+            meta = (w, h, _PNG_CHANNELS[color_type])
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + length
+    if meta is None:
+        raise ValueError("missing IHDR")
+    w, h, ch = meta
+    stride = w * ch
+    try:
+        data = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # torn/corrupt stream is DATA, not a crash
+        raise ValueError(f"corrupt IDAT: {e}") from e
+    if len(data) != h * (stride + 1):
+        raise ValueError("truncated IDAT")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = data[r * (stride + 1)]
+        line = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prior) % 256
+        else:
+            # Sub/Average/Paeth need the reconstructed left neighbor:
+            # sequential per pixel within the scanline (scanlines are
+            # short; payload-level parallelism comes from Arrow batches)
+            cur = np.zeros(stride, dtype=np.int32)
+            for j in range(stride):
+                left = cur[j - ch] if j >= ch else 0
+                up = prior[j]
+                upleft = prior[j - ch] if j >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                elif f == 4:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                else:
+                    raise ValueError(f"bad filter {f}")
+                cur[j] = (line[j] + pred) % 256
+        out[r] = cur
+        prior = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+PNG_PIXEL_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_channels INT, "
+    "pixel_sum BIGINT, px_min INT, px_max INT"
+)
+
+
+def synth_png_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic 8x8 grayscale PNG per document (FIXTURE for the
+    codec path): pixel[r, c] = (doc_id * 7 + r * 8 + c) % 256, encoded
+    with the filter-cycling writer so decode exercises all five PNG
+    filters. Every probe output is a closed-form function of doc_id, so
+    a SQL oracle checks the REAL inflate + defilter end-to-end."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(64, dtype=np.int64).reshape(8, 8)
+        for pdf in it:
+            blobs = [
+                png_encode(((int(d) * 7 + base) % 256).astype("uint8"))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(batches, "doc_id BIGINT, media BINARY")
+
+
+def media_png_probe(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PNG pixel decode over the opaque media column:
+    dimensions + integer pixel statistics (exact, oracle-checkable).
+    Undecodable payloads are dropped here; production keeps them in a
+    quarantine leg like the JSONL source does."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    px = png_decode(bytes(blob))
+                except ValueError:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "n_channels": px.shape[2],
+                        "pixel_sum": int(px.astype("int64").sum()),
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "pixel_sum", "px_min", "px_max",
+                ],
+            )
+
+    return media_df.mapInPandas(batches, PNG_PIXEL_SCHEMA)

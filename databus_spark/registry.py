@@ -899,6 +899,67 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Data layout: Z-order clustering key (multi-dim pruning)
+# --------------------------------------------------------------------------
+
+@query(
+    "zorder_events_key",
+    None,  # set below (needs the layout import)
+)
+def zorder_events_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-key over (user_id, event-hour): min-max bucket each
+    dimension to 8 bits (a scalar agg broadcast back — without it the
+    wider dimension owns every high z bit), then interleave. This is
+    the clustering column zorder_layout range-partitions on so parquet
+    min-max stats prune user-slice, time-slice, AND box queries."""
+    from databus_spark.operators.layout import ZB_BITS, minmax_bucket, zorder_key
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    )
+    mm = e.agg(
+        F.min("user_id").alias("ux"),
+        F.max("user_id").alias("vx"),
+        F.min("h").alias("uy"),
+        F.max("h").alias("vy"),
+    )
+    return e.crossJoin(F.broadcast(mm)).select(
+        "event_id",
+        zorder_key(
+            minmax_bucket(F.col("user_id"), F.col("ux"), F.col("vx")),
+            minmax_bucket(F.col("h"), F.col("uy"), F.col("vy")),
+            ZB_BITS,
+        ).alias("z"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from databus_spark.operators.layout import minmax_bucket_sql, zorder_key_sql, ZB_BITS
+
+    xb = minmax_bucket_sql("user_id", "ux", "vx")
+    yb = minmax_bucket_sql("h", "uy", "vy")
+    z = zorder_key_sql(xb, yb, ZB_BITS)
+    return f"""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+            FROM events
+        ),
+        mm AS (
+            SELECT min(user_id) AS ux, max(user_id) AS vx,
+                   min(h) AS uy, max(h) AS vy
+            FROM e
+        )
+        SELECT event_id, {z} AS z FROM e CROSS JOIN mm
+    """
+
+
+ORACLES["zorder_events_key"] = _zorder_oracle()
+
+
+# --------------------------------------------------------------------------
 # Time windows & sessions — NEW capabilities over the envelope stream
 # (the reference has txn windows only, SURVEY §2.10 T13)
 # --------------------------------------------------------------------------
@@ -1644,6 +1705,36 @@ def media_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         "rms_energy",
     )
+
+
+@query(
+    "media_png_probe",
+    """
+    SELECT doc_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(1 AS INT) AS n_channels,
+           CAST(list_sum(list_transform(range(0, 64),
+                i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS pixel_sum,
+           CAST(list_min(list_transform(range(0, 64),
+                i -> (doc_id * 7 + i) % 256)) AS INT) AS px_min,
+           CAST(list_max(list_transform(range(0, 64),
+                i -> (doc_id * 7 + i) % 256)) AS INT) AS px_max
+    FROM documents
+    """,
+)
+def media_png_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec driver-checked end-to-end: deterministic
+    8x8 PNGs synthesized per document with a filter-CYCLING writer
+    (every scanline uses a different PNG filter type), decoded back by
+    the stdlib-only inflate + five-filter defilter in png_decode, and
+    the exact integer pixel statistics matched against their closed
+    form. The spec-vector test in test_multimodal_codecs pins the
+    decoder against hand-filtered bytes, so an encoder/decoder
+    symmetric bug can't hide."""
+    from databus_spark.operators.multimodal import media_png_probe, synth_png_corpus
+
+    media = synth_png_corpus(load_table(spark, sf_dir, "documents"))
+    return media_png_probe(media)
 
 
 @query(

@@ -112,3 +112,59 @@ def test_media_meta_probe_distributed(spark):
     # the decode stage stays Arrow-batched (never row-at-a-time Python)
     plan = media_meta_probe(df)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_png_decode_spec_vector():
+    """Decoder pinned against HAND-FILTERED bytes (PNG spec §9), so a
+    symmetric encode/decode bug cannot hide behind the round-trip:
+    row0 uses filter 1 (Sub): raw [10, 20] -> stored [10, 10];
+    row1 uses filter 4 (Paeth): raw [30, 40] -> stored [20, 10]
+    (j0: pred = up = 10; j1: pred = left = 30)."""
+    import struct
+    import zlib
+
+    from databus_spark.operators.multimodal import png_decode
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray
+    raw = bytes([1, 10, 10]) + bytes([4, 20, 10])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = png_decode(payload)
+    assert px.shape == (2, 2, 1)
+    assert px[:, :, 0].tolist() == [[10, 20], [30, 40]]
+
+
+def test_png_roundtrip_all_filters_and_rgb():
+    import numpy as np
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+
+    gray = ((np.arange(64).reshape(8, 8) * 37 + 11) % 256).astype("uint8")
+    assert (png_decode(png_encode(gray))[:, :, 0] == gray).all()
+    rgb = ((np.arange(192).reshape(8, 8, 3) * 29 + 5) % 256).astype("uint8")
+    assert (png_decode(png_encode(rgb)) == rgb).all()
+
+
+def test_png_decode_rejects_torn_payloads():
+    import pytest as _pytest
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+    import numpy as np
+
+    good = png_encode(np.zeros((4, 4), dtype="uint8"))
+    with _pytest.raises(ValueError):
+        png_decode(good[:-20] + b"\x00" * 4)  # truncated IDAT stream
+    with _pytest.raises(ValueError):
+        png_decode(b"not a png at all")

@@ -19,6 +19,11 @@ HEADLINE = [
     ("mixture_temperature_sample", "group rates broadcast; corpus side never shuffles"),
     ("snapshot_diff", "full-outer join reuses the two compactions' partitioning: 2 exchanges"),
     ("sparse_tfidf_pairs", "sparse cosine: decimal sums, posting-list pair-gen"),
+    ("zorder_events_key", "Z-order keying: scalar min/max broadcast, events never shuffle"),
+    ("decontaminate_bloom", "Bloom positions broadcast; probe stream carries hex slices, never gram text"),
+    ("dedup_span_windows", "substring-dup profile: one uniform window-text shuffle + stats join-back"),
+    ("ann_ivfpq_topk", "IVF prune then PQ ADC: every dimension table broadcast, corpus never shuffles"),
+    ("media_png_probe", "real PNG decode: pure mapInPandas chain, zero exchanges"),
 ]
 
 spark = build_session("plans", cpus=8)

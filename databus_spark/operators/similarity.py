@@ -247,6 +247,10 @@ def _ivf_centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .orderBy("_h", "cell_id")  # TakeOrdered(N_CELLS): no global sort
         .limit(N_CELLS)
         .drop("_h")
+        # lazy checkpoint: every broadcast of the centroid dim re-runs
+        # the TakeOrdered scan otherwise (ivf_topk/ivfpq_topk broadcast
+        # it twice) — materialize the 8 rows once
+        .localCheckpoint(eager=False)
     )
 
 
@@ -475,6 +479,7 @@ def _pq_codebook(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         .orderBy("_h", "code_id")
         .limit(PQ_K)
         .drop("_h")
+        .localCheckpoint(eager=False)  # one TakeOrdered job for both broadcasts
     )
 
 

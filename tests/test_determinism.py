@@ -17,6 +17,12 @@ RISKY = [
     "keyset_page",            # limit after orderBy
     "dtail_json",             # tail limit
     "events_as_changelog_state",  # window compaction
+    # round-5 second wave
+    "quality_topk_per_lang",  # two-phase salted top-k with score ties
+    "ann_ivfpq_topk",         # IVF candidates + decimal ADC rank
+    "oov_rate",               # vocab cut at count ties
+    "dedup_span_windows",     # min-occurrence race across shuffles
+    "dedup_cluster_star",     # iterative star alternation
 ]
 
 

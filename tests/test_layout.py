@@ -77,3 +77,44 @@ def test_zorder_layout_multi_dim_locality(spark, sf_dir, tmp_path):
     assert avg_user_cov < base_user_cov, (
         "z-order should beat single-dim sort on the non-sorted dimension"
     )
+
+
+def test_zorder_table_incremental_append(spark, sf_dir, tmp_path):
+    """Incremental maintenance: a batch overlapping one z-region
+    rewrites only the touched files; a batch beyond the clustered
+    bounds clamps into the edge bucket; read() always returns exactly
+    the union of everything appended; manifest intervals stay ordered."""
+    from databus_spark.operators.layout import ZorderTable
+
+    base = spark.range(0, 4000).selectExpr(
+        "id AS row_id", "CAST(id % 64 AS LONG) AS x", "CAST(id % 97 AS LONG) AS y"
+    )
+    t = ZorderTable(spark, str(tmp_path / "zt"), "x", "y", rows_per_file=500)
+    t.write_initial(base)
+    man0 = t.manifest()
+    assert len(man0["files"]) >= 4
+    los = [e["zlo"] for e in man0["files"]]
+    assert los == sorted(los)
+
+    # targeted append: all rows land in ONE corner of (x, y) space
+    corner = spark.range(4000, 4100).selectExpr(
+        "id AS row_id", "CAST(0 AS LONG) AS x", "CAST(0 AS LONG) AS y"
+    )
+    r1 = t.append(corner)
+    assert r1["rewritten"] >= 1
+    assert r1["kept"] >= len(man0["files"]) - 2, r1  # most files untouched
+
+    # out-of-bounds append clamps into the edge bucket (frozen bounds)
+    far = spark.range(4100, 4150).selectExpr(
+        "id AS row_id", "CAST(10000 AS LONG) AS x", "CAST(10000 AS LONG) AS y"
+    )
+    t.append(far)
+
+    got = sorted(r["row_id"] for r in t.read().select("row_id").collect())
+    assert got == list(range(0, 4150))
+
+    man = t.manifest()
+    assert man["bounds"] == man0["bounds"], "bounds must stay frozen"
+    ivs = sorted((e["zlo"], e["zhi"]) for e in man["files"])
+    for (lo, hi) in ivs:
+        assert lo <= hi

@@ -189,3 +189,96 @@ def test_key_mod_bucket_matches_reference_parse_rules(spark, keys):
     got = {r["i"]: r["b"] for r in df.select("i", key_mod_bucket().alias("b")).collect()}
     for i, s in enumerate(keys):
         assert got[i] == expected(s), repr(s)
+
+
+# -- round-5 codecs & layout properties --------------------------------------
+
+png_image_strategy = st.tuples(
+    st.integers(min_value=1, max_value=12),  # height
+    st.integers(min_value=1, max_value=12),  # width
+    st.sampled_from([1, 3]),                 # channels (gray / RGB)
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(img=png_image_strategy)
+def test_png_codec_roundtrip_random_images(img):
+    """Encode(filter-cycling) -> decode must reproduce any 8-bit image
+    exactly, for every size/channel combination the codec supports."""
+    import numpy as np
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+
+    h, w, ch, seed = img
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch) if ch > 1 else (h, w), dtype=np.uint8)
+    out = png_decode(png_encode(px))
+    assert out.shape == (h, w, ch)
+    expect = px if ch > 1 else px[:, :, None]
+    assert (out == expect).all()
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_key_is_bijective_bit_interleave(spark, pairs):
+    """The Morton key must be invertible: de-interleaving the bits of
+    z recovers (x, y) exactly for any pair of bucketed values."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pairs, ["x", "y"]).select(
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=8).alias("z")
+    )
+    for r in df.collect():
+        z = r["z"]
+        x = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r["x"], r["y"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_dedup_profile_invariants(spark, texts):
+    """For ANY corpus: dup windows never exceed windows, fractions stay
+    in [0,1], and summed first-occurrences equal the number of distinct
+    window texts."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.dedup import span_dedup_profile
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    rows = span_dedup_profile(docs, win=3).collect()
+    n_firsts = sum(r["n_windows"] - r["n_dup_windows"] for r in rows)
+    # reference window set computed independently in Python (mirrors the
+    # operator's tokenization: split('\s+') over lower(trim(text)))
+    import re
+
+    wins = set()
+    for t in texts:
+        toks = re.split(r"\s+", t.strip().lower())
+        for i in range(len(toks) // 3):
+            wins.add(" ".join(toks[i * 3 : i * 3 + 3]))
+    distinct_windows = len(wins)
+    for r in rows:
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+    assert n_firsts == distinct_windows

@@ -60,6 +60,7 @@ _PRIORITY = [
     "length_histogram",
     "zorder_events_key",
     "media_png_probe",
+    "key_skew_profile",
     # CHANGED this round (LSH bucket caps, Bloom hex-slice probes,
     # byte-budget tiebreaker, hashCode AND-fold, fingerprint markers)
     "dedup_minhash_lsh",
@@ -92,8 +93,8 @@ _PRIORITY = [
     "dedup_cluster_survivors",
     "topk_orders_per_segment",
     "filter_payload_fields",
-    "cube_rollup",
     # deferred to next round's window (still verified locally):
+    "cube_rollup",
     "media_features",
     "scalar_functions",
     "dtail_json",

@@ -195,11 +195,20 @@ class ZorderTable:
         entries = []
         for fp in sorted(_glob.glob(_os.path.join(sub, "*.parquet"))):
             mm = self.spark.read.parquet(fp).agg(
-                F.min("z"), F.max("z"), F.count(F.lit(1))
+                F.min("z"), F.max("z"), F.count(F.lit(1)),
+                F.min(self.x_col), F.max(self.x_col),
+                F.min(self.y_col), F.max(self.y_col),
             ).collect()[0]
             if mm[2]:
-                entries.append({"file": _os.path.relpath(fp, self.path),
-                                "zlo": int(mm[0]), "zhi": int(mm[1])})
+                entries.append({
+                    "file": _os.path.relpath(fp, self.path),
+                    "zlo": int(mm[0]), "zhi": int(mm[1]),
+                    # dimension bounding box: manifest-level pruning for
+                    # read_box without decoding Morton intervals (the
+                    # BIGMIN refinement drops in here if ever needed)
+                    "xlo": int(mm[3]), "xhi": int(mm[4]),
+                    "ylo": int(mm[5]), "yhi": int(mm[6]),
+                })
         return entries
 
     # -- public API ---------------------------------------------------------
@@ -254,3 +263,36 @@ class ZorderTable:
         return self.spark.read.parquet(
             *[_os.path.join(self.path, e["file"]) for e in man["files"]]
         )
+
+    def read_box(
+        self,
+        x_range: tuple[int, int] | None = None,
+        y_range: tuple[int, int] | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Box/slice query with MANIFEST-level file pruning: only files
+        whose per-dimension bounding box intersects the requested
+        ranges are listed at all (the z layout is what makes those
+        boxes compact in BOTH dimensions), then the residual predicate
+        runs as an ordinary pushed-down parquet filter. Returns
+        (DataFrame, {'files_read': n, 'files_total': m}) so callers —
+        and tests — can see the pruning actually happen."""
+        man = self.manifest()
+        picked = []
+        for e in man["files"]:
+            if x_range is not None and (e["xhi"] < x_range[0] or e["xlo"] > x_range[1]):
+                continue
+            if y_range is not None and (e["yhi"] < y_range[0] or e["ylo"] > y_range[1]):
+                continue
+            picked.append(e)
+        stats = {"files_read": len(picked), "files_total": len(man["files"])}
+        if not picked:
+            empty = self.read().limit(0)
+            return empty, stats
+        df = self.spark.read.parquet(
+            *[_os.path.join(self.path, e["file"]) for e in picked]
+        )
+        if x_range is not None:
+            df = df.where(F.col(self.x_col).between(*x_range))
+        if y_range is not None:
+            df = df.where(F.col(self.y_col).between(*y_range))
+        return df, stats

@@ -170,3 +170,51 @@ EVENT_RATE_ANOMALY_SQL_TEMPLATE = """
     FROM hourly JOIN moments USING (event_type)
     WHERE abs(round((n_events - mean_n) / (CASE WHEN sd_n > 0 THEN sd_n END), 4)) >= 2.0
 """
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """Shuffle-skew diagnostics: the top-k heaviest keys of a column
+    with each key's share of the table and its ratio to the mean key
+    population — the number that says whether a join/agg on this key
+    needs salting or AQE skew handling before you run it at 100 TB.
+
+    One agg shuffle on the key (map-side combined), then a distributed
+    TakeOrdered for the top-k (never a global sort) against broadcast
+    scalar totals. Deterministic ties: count DESC, key ASC.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("_total").cast("double"), 6)
+        .alias("share"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / (F.col("_total").cast("double") / F.col("_n_keys").cast("double")),
+            4,
+        ).alias("skew_ratio"),
+    )
+
+
+def key_skew_profile_sql(from_sql: str, key_col: str, top_k: int = 20) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT CAST({key_col} AS VARCHAR) AS key, count(*) AS n_rows
+            FROM ({from_sql}) GROUP BY 1
+        ),
+        totals AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
+        SELECT key, n_rows,
+               round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+               round(CAST(n_rows AS DOUBLE)
+                     / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4)
+                   AS skew_ratio
+        FROM (SELECT key, n_rows FROM counts
+              ORDER BY n_rows DESC, key ASC LIMIT {top_k})
+        CROSS JOIN totals
+    """

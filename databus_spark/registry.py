@@ -898,6 +898,18 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", k.alias("k"), "event_type").where(F.col("k") >= 90)
 
 
+@query(
+    "key_skew_profile",
+    stats.key_skew_profile_sql("SELECT event_type FROM events", "event_type"),
+)
+def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics over the events stream's type key:
+    heavy-hitter share + ratio-to-mean-key — the pre-flight check that
+    decides salting/AQE-skew handling before a join or agg ships."""
+    e = load_table(spark, sf_dir, "events").select("event_type")
+    return stats.key_skew_profile(e, "event_type")
+
+
 # --------------------------------------------------------------------------
 # Data layout: Z-order clustering key (multi-dim pruning)
 # --------------------------------------------------------------------------

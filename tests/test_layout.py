@@ -118,3 +118,32 @@ def test_zorder_table_incremental_append(spark, sf_dir, tmp_path):
     ivs = sorted((e["zlo"], e["zhi"]) for e in man["files"])
     for (lo, hi) in ivs:
         assert lo <= hi
+
+
+def test_zorder_read_box_prunes_files(spark, sf_dir, tmp_path):
+    """A box query must read a strict subset of files via the manifest
+    bbox check and still return exactly the rows a full-scan filter
+    returns."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.layout import ZorderTable
+
+    base = spark.range(0, 8000).selectExpr(
+        "id AS row_id", "CAST(id % 101 AS LONG) AS x", "CAST(id % 137 AS LONG) AS y"
+    )
+    t = ZorderTable(spark, str(tmp_path / "ztb"), "x", "y", rows_per_file=500)
+    t.write_initial(base)
+
+    df, stats = t.read_box(x_range=(0, 12), y_range=(0, 16))
+    assert stats["files_read"] < stats["files_total"], stats
+    want = sorted(
+        r["row_id"]
+        for r in base.where(F.col("x").between(0, 12) & F.col("y").between(0, 16))
+        .select("row_id").collect()
+    )
+    got = sorted(r["row_id"] for r in df.select("row_id").collect())
+    assert got == want
+
+    # a box fully outside the table reads zero files
+    empty, st2 = t.read_box(x_range=(500, 600))
+    assert st2["files_read"] == 0 and empty.count() == 0

@@ -61,6 +61,7 @@ _PRIORITY = [
     "zorder_events_key",
     "media_png_probe",
     "key_skew_profile",
+    "zorder_box_read",
     # CHANGED this round (LSH bucket caps, Bloom hex-slice probes,
     # byte-budget tiebreaker, hashCode AND-fold, fingerprint markers)
     "dedup_minhash_lsh",
@@ -92,8 +93,8 @@ _PRIORITY = [
     "as_of_join_events",
     "dedup_cluster_survivors",
     "topk_orders_per_segment",
-    "filter_payload_fields",
     # deferred to next round's window (still verified locally):
+    "filter_payload_fields",
     "cube_rollup",
     "media_features",
     "scalar_functions",

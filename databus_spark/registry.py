@@ -971,6 +971,60 @@ def _zorder_oracle() -> str:
 ORACLES["zorder_events_key"] = _zorder_oracle()
 
 
+@query(
+    "zorder_box_read",
+    """
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour
+        FROM events
+    ),
+    b AS (SELECT min(user_id) AS u0, min(hour) AS h0 FROM e)
+    SELECT event_id, user_id, hour
+    FROM e CROSS JOIN b
+    WHERE user_id BETWEEN u0 AND u0 + 10
+      AND hour BETWEEN h0 AND h0 + 96
+    """,
+)
+def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ZorderTable slice: events staged once into a
+    z-clustered parquet table (content-fingerprinted marker), then a
+    (user, hour) box query served through manifest bbox pruning +
+    pushed-down residual filters. The oracle is the plain full-scan
+    filter — pruning must be invisible to results; the pruning ITSELF
+    (files_read < files_total) is pinned in tests/test_layout.py."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from databus_spark.operators.layout import ZorderTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    zdir = _os.path.join(tempfile.gettempdir(), f"databus_ztable_{digest}")
+    marker = _os.path.join(zdir, "_COMPLETE")
+    fingerprint = _content_fingerprint(e, "event_id", "user_id")
+    stale = True
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fingerprint
+    if stale:
+        shutil.rmtree(zdir, ignore_errors=True)
+        t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=1000)
+        t.write_initial(e)
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=1000)
+    b = e.agg(F.min("user_id"), F.min("hour")).collect()[0]  # scalar probe
+    df, _stats = t.read_box((b[0], b[0] + 10), (b[1], b[1] + 96))
+    return df.select("event_id", "user_id", "hour")
+
+
 # --------------------------------------------------------------------------
 # Time windows & sessions — NEW capabilities over the envelope stream
 # (the reference has txn windows only, SURVEY §2.10 T13)

@@ -154,8 +154,14 @@ class ZorderTable:
         return int(open(p).read()) if _os.path.exists(p) else 0
 
     def _commit(self, v: int, manifest: dict) -> None:
-        with open(_os.path.join(self.path, f"_manifest_v{v}.json"), "w") as f:
+        # manifest first, atomically; THEN flip _VERSION (also atomic).
+        # A crash between the two leaves _VERSION at v-1 pointing at the
+        # intact previous manifest — the table stays readable, the
+        # orphaned v-dir is garbage for vacuum, never corruption.
+        mtmp = _os.path.join(self.path, f"_manifest_v{v}.json.tmp")
+        with open(mtmp, "w") as f:
             _json.dump(manifest, f)
+        _os.replace(mtmp, _os.path.join(self.path, f"_manifest_v{v}.json"))
         tmp = _os.path.join(self.path, "_VERSION.tmp")
         with open(tmp, "w") as f:
             f.write(str(v))
@@ -217,6 +223,11 @@ class ZorderTable:
             F.min(self.x_col), F.max(self.x_col),
             F.min(self.y_col), F.max(self.y_col),
         ).collect()[0]
+        if mm[0] is None:
+            raise ValueError(
+                "write_initial needs at least one row: the clustering "
+                "bounds freeze at creation and an empty table has none"
+            )
         bounds = {"xmin": int(mm[0]), "xmax": int(mm[1]),
                   "ymin": int(mm[2]), "ymax": int(mm[3])}
         keyed = self._keyed(df, bounds)

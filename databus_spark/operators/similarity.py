@@ -758,6 +758,62 @@ def ivfpq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
     """
 
 
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production ANN endpoint: IVFPQ ADC produces a cheap
+    shortlist (top `shortlist` per query, compressed codes only), then
+    ONLY those candidates fetch full vectors for an exact cosine
+    re-rank — recall of the exact metric at the scan cost of the
+    compressed one. The shortlist (n_queries * shortlist rows) is
+    broadcast with the query vectors; the corpus contributes one
+    id-equi-join to fetch candidate vectors."""
+    cand = ivfpq_topk(emb, n_queries, shortlist, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    qv = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = nv.join(
+        F.broadcast(cand.join(qv, "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def ivfpq_rerank_topk_sql(n_queries: int = 10, k: int = 5, shortlist: int = 20) -> str:
+    sim = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+        SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   round({sim}, 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({sim}, 6) DESC, neighbor_id ASC
+                   ) AS rank
+            FROM ({ivfpq_topk_sql(n_queries, shortlist)}) s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings c ON c.vec_id = s.neighbor_id
+        )
+        WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Sparse TF-IDF cosine near-pairs (text-side sparse-vector similarity)
 # ---------------------------------------------------------------------------

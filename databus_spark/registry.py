@@ -565,6 +565,14 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("ann_ivfpq_rerank_topk", similarity.ivfpq_rerank_topk_sql())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ANN: IVFPQ ADC shortlist (compressed codes only) +
+    exact cosine re-rank of just the shortlist — exact-metric ranking
+    at compressed-scan cost; only shortlisted ids fetch full vectors."""
+    return similarity.ivfpq_rerank_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("text_token_stats", text.TOKEN_STATS_SQL)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""

@@ -147,3 +147,89 @@ def test_zorder_read_box_prunes_files(spark, sf_dir, tmp_path):
     # a box fully outside the table reads zero files
     empty, st2 = t.read_box(x_range=(500, 600))
     assert st2["files_read"] == 0 and empty.count() == 0
+
+
+def test_zorder_table_crash_between_manifest_and_version(spark, tmp_path):
+    """The commit protocol (manifest atomically, then _VERSION): a crash
+    after writing the v2 manifest but before flipping _VERSION must
+    leave the table serving v1 intact — an orphan manifest is garbage,
+    never corruption."""
+    import json
+    import os
+
+    from databus_spark.operators.layout import ZorderTable
+
+    base = spark.range(0, 1000).selectExpr(
+        "id AS row_id", "CAST(id % 31 AS LONG) AS x", "CAST(id % 17 AS LONG) AS y"
+    )
+    t = ZorderTable(spark, str(tmp_path / "ztc"), "x", "y", rows_per_file=300)
+    t.write_initial(base)
+    v1 = t.manifest()
+
+    # simulate the torn commit: orphan v2 manifest exists, _VERSION still 1
+    orphan = {"bounds": v1["bounds"], "files": []}
+    with open(os.path.join(t.path, "_manifest_v2.json"), "w") as f:
+        json.dump(orphan, f)
+
+    assert t._version() == 1
+    assert t.manifest() == v1
+    assert t.read().count() == 1000
+
+    # the next append supersedes the orphan and commits v2 properly
+    t.append(
+        spark.range(1000, 1100).selectExpr(
+            "id AS row_id", "CAST(1 AS LONG) AS x", "CAST(1 AS LONG) AS y"
+        )
+    )
+    assert t._version() == 2
+    assert t.read().count() == 1100
+
+
+def test_zorder_table_streaming_ingest(spark, tmp_path):
+    """Structured Streaming ingest into the z-table: micro-batches land
+    via foreachBatch(append); the final table equals the full input and
+    stays clustered (ordered, disjoint-on-read manifest intervals is
+    not required across appends, but bounds stay frozen and reads are
+    exact)."""
+    import glob
+    import os
+
+    from databus_spark.operators.layout import ZorderTable
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    full = spark.range(0, 3000).selectExpr(
+        "id AS row_id", "CAST(id % 53 AS LONG) AS x", "CAST(id % 71 AS LONG) AS y"
+    )
+    # three source files -> three-ish micro-batches with maxFilesPerTrigger
+    full.where("row_id < 1000").coalesce(1).write.parquet(src + "/p0")
+    full.where("row_id >= 1000 AND row_id < 2000").coalesce(1).write.parquet(src + "/p1")
+    full.where("row_id >= 2000").coalesce(1).write.parquet(src + "/p2")
+
+    t = ZorderTable(spark, str(tmp_path / "zts"), "x", "y", rows_per_file=500)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.write_initial(full.limit(0))  # frozen bounds need >= 1 row
+    t.write_initial(spark.read.parquet(src + "/p0"))
+
+    stream = (
+        spark.readStream.schema("row_id LONG, x LONG, y LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p[12]/")
+    )
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            t.append(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["row_id"] for r in t.read().select("row_id").collect())
+    assert got == list(range(0, 3000))

@@ -95,6 +95,17 @@ def test_ann_family_recall_floor(spark, sf_dir):
     assert recalls["lsh"] >= 0.30, recalls
     assert recalls["ivf"] >= 0.30, recalls
     assert recalls["pq"] >= 0.04, recalls
+    # exact re-rank of the ADC shortlist must beat pure ADC ranking
+    # (measured 0.26 vs 0.10 at sf0.001)
+    adc = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.ivfpq_topk(emb).collect()
+    }
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_rerank_topk(emb).collect()
+    }
+    assert len(exact & rr) >= len(exact & adc), "re-rank lost recall vs pure ADC"
+    assert len(exact & rr) / len(exact) >= 0.2
 
 
 def test_compressibility_matches_zlib_reference(spark, sf_dir):

@@ -197,24 +197,35 @@ class ZorderTable:
         sub = _os.path.join(out_dir, f"w{_uuid.uuid4().hex[:8]}")
         (keyed.repartitionByRange(n, "z").sortWithinPartitions("z")
               .write.parquet(sub))
-        import glob as _glob
-        entries = []
-        for fp in sorted(_glob.glob(_os.path.join(sub, "*.parquet"))):
-            mm = self.spark.read.parquet(fp).agg(
+        # ONE job computes every file's stats (groupBy input_file_name)
+        # — a per-file agg loop would cost a driver-side job per file,
+        # quadratic pain at table-format file counts
+        rows = (
+            self.spark.read.parquet(sub)
+            .groupBy(F.input_file_name().alias("_f"))
+            .agg(
                 F.min("z"), F.max("z"), F.count(F.lit(1)),
                 F.min(self.x_col), F.max(self.x_col),
                 F.min(self.y_col), F.max(self.y_col),
-            ).collect()[0]
-            if mm[2]:
-                entries.append({
-                    "file": _os.path.relpath(fp, self.path),
-                    "zlo": int(mm[0]), "zhi": int(mm[1]),
-                    # dimension bounding box: manifest-level pruning for
-                    # read_box without decoding Morton intervals (the
-                    # BIGMIN refinement drops in here if ever needed)
-                    "xlo": int(mm[3]), "xhi": int(mm[4]),
-                    "ylo": int(mm[5]), "yhi": int(mm[6]),
-                })
+            )
+            .collect()
+        )
+        entries = []
+        for r in sorted(rows, key=lambda r: r[1]):  # order by zlo
+            fp = r[0]
+            for prefix in ("file://", "file:"):
+                if fp.startswith(prefix):
+                    fp = fp[len(prefix):]
+                    break
+            entries.append({
+                "file": _os.path.relpath(fp, self.path),
+                "zlo": int(r[1]), "zhi": int(r[2]),
+                # dimension bounding box: manifest-level pruning for
+                # read_box without decoding Morton intervals (the
+                # BIGMIN refinement drops in here if ever needed)
+                "xlo": int(r[4]), "xhi": int(r[5]),
+                "ylo": int(r[6]), "yhi": int(r[7]),
+            })
         return entries
 
     # -- public API ---------------------------------------------------------

@@ -1023,11 +1023,11 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             stale = f.read().strip() != fingerprint
     if stale:
         shutil.rmtree(zdir, ignore_errors=True)
-        t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=1000)
+        t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=20_000)
         t.write_initial(e)
         with open(marker, "w") as f:
             f.write(fingerprint)
-    t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=1000)
+    t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=20_000)
     b = e.agg(F.min("user_id"), F.min("hour")).collect()[0]  # scalar probe
     df, _stats = t.read_box((b[0], b[0] + 10), (b[1], b[1] + 96))
     return df.select("event_id", "user_id", "hour")

@@ -63,6 +63,7 @@ _PRIORITY = [
     "key_skew_profile",
     "zorder_box_read",
     "ann_ivfpq_rerank_topk",
+    "dedup_survivor_corpus",
     # CHANGED this round (LSH bucket caps, Bloom hex-slice probes,
     # byte-budget tiebreaker, hashCode AND-fold, fingerprint markers)
     "dedup_minhash_lsh",
@@ -92,8 +93,8 @@ _PRIORITY = [
     "vocab_top_terms",
     "tfidf_top_terms",
     "as_of_join_events",
-    "dedup_cluster_survivors",
     # deferred to next round's window (still verified locally):
+    "dedup_cluster_survivors",
     "topk_orders_per_segment",
     "filter_payload_fields",
     "cube_rollup",

@@ -2189,6 +2189,53 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters_star(pairs)
 
 
+def _survivor_corpus_oracle() -> str:
+    clusters = dedup_clusters_sql(dedup.minhash_lsh_sql(k=5, threshold=0.5))
+    return f"""
+        WITH d AS ({dedup.DOCS_WITH_DUPS_SQL}),
+        exact_losers AS (
+            SELECT d.doc_id FROM d
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS s FROM d GROUP BY 1) e
+              ON md5(d.text) = e.h AND d.doc_id <> e.s
+        ),
+        near_losers AS (
+            SELECT doc_id FROM ({clusters}) WHERE NOT is_survivor
+        )
+        SELECT doc_id, lang, source FROM d
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
+          AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+    """
+
+
+@query("dedup_survivor_corpus", _survivor_corpus_oracle())
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the corpus that survives BOTH
+    exact content dedup (min-doc_id survivor per md5) and near-dup
+    clustering (connected components over MinHash-LSH pairs, min-doc_id
+    survivor per component) — what actually ships to training. Two
+    anti-joins against loser sets that are tiny relative to the corpus;
+    every stage is the scale shape already proven for its standalone
+    query."""
+    docs = dedup.documents_with_dups(spark, sf_dir)
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    exact_losers = (
+        hashes.join(
+            hashes.groupBy("h").agg(F.min("doc_id").alias("s")), "h"
+        )
+        .where(F.col("doc_id") != F.col("s"))
+        .select("doc_id")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, k=5, threshold=0.5)
+    near_losers = (
+        dedup_clusters(pairs).where(~F.col("is_survivor")).select("doc_id")
+    )
+    return (
+        docs.join(exact_losers, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
 @query(
     "topk_orders_per_segment",
     """

@@ -74,9 +74,10 @@ _PRIORITY = [
     "filter_keymod_longkey",
     "jdbc_txlog_pull",
     "trail_file_seek",
-    # rotation: last green row r3 or earlier (20 of 29 fit the 50-query
-    # window; the 9 deferred below still run in the full local gate and
-    # front-load next round)
+    # rotation: last green row r3 or earlier — as many as fit the
+    # 50-query window after the new/changed entries above; the rest are
+    # deferred below (still run in the full local gate, and front-load
+    # next round's window)
     "text_fingerprint",
     "repetition_filter",
     "curation_decisions",

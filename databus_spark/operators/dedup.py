@@ -1015,9 +1015,18 @@ def span_dedup_profile(docs: DataFrame, win: int = SPAN_WIN) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i * win + 1, win), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # occurrence key packs (doc_id, position) into one long with a
+    # 32-bit shift: safe for doc_id < 2^31 and up to 2^32 windows per
+    # doc (a decimal-multiplier pack aliased at 1M windows); the lazy
+    # checkpoint materializes the explode once for its two consumers
+    # (firsts agg + join-back) instead of re-tokenizing the corpus
     occ = (
         docs.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
-        .withColumn("occ_key", F.col("doc_id") * 1_000_000 + F.col("seg_idx"))
+        .withColumn(
+            "occ_key",
+            F.shiftleft(F.col("doc_id"), 32) + F.col("seg_idx").cast("long"),
+        )
+        .localCheckpoint(eager=False)
     )
     firsts = occ.groupBy("seg").agg(F.min("occ_key").alias("first_key"))
     return (
@@ -1046,7 +1055,7 @@ def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
         ),
         occ AS (
             SELECT doc_id, (u).seg_idx AS seg_idx, (u).seg AS seg,
-                   doc_id * 1000000 + (u).seg_idx AS occ_key
+                   (doc_id << 32) + (u).seg_idx AS occ_key
             FROM (
                 SELECT doc_id, unnest(list_transform(
                            range(0, CAST(floor(len(toks) / {win}) AS BIGINT)),

@@ -339,8 +339,10 @@ def png_decode(payload: bytes):
         tag = payload[i + 4 : i + 8]
         body = payload[i + 8 : i + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 13:  # short body is DATA -> ValueError, per contract
+                raise ValueError("truncated IHDR")
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
+                ">IIBBBBB", body[:13]
             )
             if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
                 raise ValueError("unsupported PNG variant")

@@ -545,7 +545,12 @@ def oov_rate(docs: DataFrame, vocab_size: int = OOV_VOCAB_SIZE) -> DataFrame:
     """(doc_id, n_tokens, n_oov, oov_rate) against the corpus top-V
     vocabulary. Both the vocab ranking and the rate are deterministic
     (count DESC, token ASC; round 6dp)."""
-    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    # lazy checkpoint: the token explode feeds BOTH the vocab ranking
+    # and the per-doc scoring join — materialize it once instead of
+    # re-tokenizing the corpus per consumer
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    ).localCheckpoint(eager=False)
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_n"))

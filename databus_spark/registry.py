@@ -1016,7 +1016,10 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     zdir = _os.path.join(tempfile.gettempdir(), f"databus_ztable_{digest}")
     marker = _os.path.join(zdir, "_COMPLETE")
-    fingerprint = _content_fingerprint(e, "event_id", "user_id")
+    # fingerprint must include EVERY stored dimension: a regenerated
+    # fixture with identical ids but shifted ts would otherwise serve
+    # stale hours from the marker-matched z-table
+    fingerprint = _content_fingerprint(e, "event_id", "user_id", "hour")
     stale = True
     if _os.path.exists(marker):
         with open(marker) as f:

@@ -168,3 +168,16 @@ def test_png_decode_rejects_torn_payloads():
         png_decode(good[:-20] + b"\x00" * 4)  # truncated IDAT stream
     with _pytest.raises(ValueError):
         png_decode(b"not a png at all")
+
+
+def test_png_decode_short_ihdr_is_value_error():
+    """A truncated IHDR body must surface as ValueError (quarantinable
+    data), never struct.error (task crash)."""
+    import pytest as _pytest
+    import numpy as np
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+
+    good = png_encode(np.zeros((4, 4), dtype="uint8"))
+    with _pytest.raises(ValueError):
+        png_decode(good[:20])  # signature + cut-short IHDR

@@ -6,8 +6,8 @@ Two workhorses:
   The reference mod-partitions string keys with it
   (reference: databus-core-impl/.../databus2/core/filter/KeyModFilter.java:72-79),
   so subscription bucketing of string-keyed sources must reproduce it
-  exactly. Implemented as a JVM-side higher-order-function fold — NOT a
-  Python UDF — so it stays inside whole-stage codegen and scales.
+  exactly. Implemented via the JVM's own String.hashCode through
+  ``reflect`` — NOT a Python UDF — ~1.3x an unfiltered scan.
 
 * ``portable_hash64`` — deterministic 60-bit hash from the md5 hex
   digest. Used wherever the engine needs a seedable hash that a DuckDB
@@ -27,32 +27,32 @@ _TWO31 = 2147483648  # 2**31
 
 
 def java_string_hashcode(col: Column | str) -> Column:
-    """Bit-exact Java String.hashCode() for ASCII/Latin-1 strings.
+    """Bit-exact Java String.hashCode() — the JVM's own implementation.
 
-    h = fold(chars, 0, (acc, c) -> acc*31 + c) with int32 wrap-around,
-    computed in unsigned-mod-2^32 space then re-signed. Pure Catalyst
-    expressions (split/aggregate) — codegen-friendly, no UDF.
+    Dispatches to ``reflect('java.util.Objects', 'hashCode', s)``:
+    CallMethodViaReflection hands the column value to the JVM as a
+    java.lang.String, whose intrinsic, result-cached hashCode runs the
+    31-multiply fold over UTF-16 units — exact Java semantics for EVERY
+    string, surrogate pairs included. Measured ~1.3x an unfiltered scan
+    at 2M rows vs ~3.2-4.2x for the prior Catalyst HOF per-codepoint
+    fold (split + aggregate is CodegenFallback: interpreted per char;
+    an lpad-unrolled codegen polynomial was worse still — substring on
+    UTF8String is an O(i) boundary scan, and an Arrow pandas_udf pays
+    transfer it can't amortize on short keys).
 
-    The per-step reduction is a bitwise AND, not pmod: acc and the char
-    code are both non-negative, so x % 2^32 == x & (2^32-1), and the
-    AND avoids a 64-bit division per character (measured 2.2x faster;
-    at that point the fold sits at the split+ascii floor — chunked and
-    power-table formulations were both slower).
+    Null contract: NULL in -> NULL out (the explicit guard below;
+    Objects.hashCode(null) alone would yield 0).
 
-    Exact for every BMP string (verified incl. Latin-1 and CJK). For
-    non-BMP chars (surrogate pairs, e.g. emoji) this folds by codepoint
-    where Java folds by UTF-16 unit, so values diverge from the JVM —
-    but stay consistent with the DuckDB oracle, which folds the same way.
+    Oracle note: the DuckDB mirror (``java_hash_sql``) folds by
+    CODEPOINT, identical for all BMP strings (one UTF-16 unit each).
+    For non-BMP keys (emoji etc.) the engine now sides with the JVM /
+    reference (KeyModFilter.java:72-79 buckets with the real hashCode)
+    and diverges from the oracle — previously the reverse. Property
+    tests pin BMP equivalence (tests/test_property_random.py:128).
     """
     c = F.col(col) if isinstance(col, str) else col
-    unsigned = F.aggregate(
-        F.split(c, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)).bitwiseAND(F.lit(_TWO32 - 1).cast("long")),
-    )
-    return (
-        F.when(unsigned >= _TWO31, unsigned - _TWO32).otherwise(unsigned).cast("int")
-    )
+    h = F.reflect(F.lit("java.util.Objects"), F.lit("hashCode"), c)
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(h.cast("int"))
 
 
 def java_hash_sql(col_expr: str) -> str:

@@ -115,23 +115,25 @@ def key_mod_filter(num_buckets: int, min_bucket: int, max_bucket: int) -> Column
 
     Single-bound fast path: pmod is always >= 0, so min_bucket <= 0 needs
     only one comparison — which matters because each comparison re-evaluates
-    the hash fold for string keys (no CSE across HOF predicates).
+    the string-key hash (no CSE across the two predicate branches).
 
     CONTRACT NOTE (string keys at scale): this per-row form is the
     compatibility FALLBACK, for logs that were staged without routing.
     Subscriptions should go through ``subscribe_key_mod``, which routes
     to the materialized layout when available and WARNS
     (UnroutedKeyModWarning) when it must fall back to this scan.
-    The supported scale path for string-keyed mod subscriptions is
+    The preferred scale path for string-keyed mod subscriptions is
     ``key_mod_subscription`` over a route-materialized layout
     (stage_changelog(..., route_buckets=N)): the Java-hashCode bucket is
     computed ONCE at ingest and becomes a partition directory, so the
     subscription is directory pruning (measured ~0.65x an unfiltered
-    scan) instead of a per-row hash (~0.4 us/row — benchmarked as the
-    fastest of five pure-Catalyst formulations: per-char HOF fold beats
-    seq+substring, bitwise-AND chunking, and a 24-wide unrolled sum;
-    bench reports it as keymod_hash_overhead_ratio, a diagnostic of the
-    unrouted fallback, not the subscription path). Plan guard:
+    scan) AND skips even reading the key column. The fallback itself is
+    now cheap: java_string_hashcode dispatches to the JVM's intrinsic
+    String.hashCode via reflect (~1.3x an unfiltered scan at 2M rows,
+    down from 3-4x for the per-codepoint Catalyst fold), so an unrouted
+    scan is a usable path, not a trap — the warning remains because the
+    routed layout still wins and prunes I/O. Bench reports the fallback
+    as keymod_hash_overhead_ratio. Plan guard:
     tests/test_plans.py::test_key_mod_subscription_prunes_partitions.
     """
     b = F.pmod(key_mod_bucket(), F.lit(num_buckets))

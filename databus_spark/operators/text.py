@@ -491,6 +491,15 @@ def novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
     recomputed the explode on both join sides; measured 28 s -> ~4 s at
     sf0.1). The window is a plain count: no per-key state beyond the
     sort, so hot grams cost a sort, not memory.
+
+    Cross-engine bit-exactness: the novelty ratio is computed as integer
+    arithmetic — ``(n_unique_grams * 1e6) div n_grams`` (exact bigint
+    floor-division in both Spark and DuckDB) followed by ONE IEEE-754
+    double division by 1e6, which is bit-deterministic across engines.
+    The previous ``round(double, 6)`` form diverged on near-tie ratios:
+    Spark rounds via exact BigDecimal HALF_UP on the binary double while
+    DuckDB rounds the scaled float (the r5 `text_novelty` hash mismatch).
+    Semantics: novelty is truncated (floored) to 6 decimal places.
     """
     from pyspark.sql.window import Window as W
 
@@ -508,7 +517,10 @@ def novelty_profile(docs: DataFrame, k: int = 5) -> DataFrame:
         )
         .withColumn(
             "novelty",
-            F.round(F.col("n_unique_grams") / F.col("n_grams"), 6),
+            F.expr(
+                "cast((n_unique_grams * 1000000L) div n_grams as double)"
+                " / 1000000.0"
+            ),
         )
     )
 
@@ -521,8 +533,8 @@ def novelty_profile_sql(from_sql: str, k: int = 5) -> str:
         df AS (SELECT shingle, count(DISTINCT doc_id) AS gram_df FROM grams GROUP BY 1)
         SELECT doc_id, count(*) AS n_grams,
                sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS n_unique_grams,
-               round(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) / count(*), 6)
-                   AS novelty
+               CAST((sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) * 1000000)
+                    // count(*) AS DOUBLE) / 1000000.0 AS novelty
         FROM grams JOIN df USING (shingle)
         GROUP BY 1
     """

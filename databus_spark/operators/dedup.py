@@ -634,67 +634,91 @@ def dedup_clusters_star(pairs: DataFrame, max_iterations: int = 50) -> DataFrame
     neighbors (and itself) re-point there. The fixed point is a star
     forest — every node adjacent to its component minimum — read off as
     labels. Output schema matches dedup_clusters.
-    """
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
 
-    def signature(e: DataFrame):
+    Per-round cost (r6 rewrite — was 2 symmetrize-distincts over 2E rows
+    plus a separate signature job): edges live CANONICALLY oriented
+    (u > v) and distinct between rounds, so
+
+    * symmetrize is a FREE union — two directions of a distinct canonical
+      set cannot collide, no distinct shuffle;
+    * both star steps emit canonically (large-star: v > u >= m; small-star:
+      v >= m and u > m), so only ONE distinct per round, over E rows not 2E;
+    * large-star's output skips its distinct entirely — min-aggregates are
+      duplicate-insensitive and the end-of-round distinct dedupes;
+    * the convergence signature rides the checkpoint job via
+      ``Observation`` (metrics collected while the round materializes) —
+      zero extra jobs per round.
+    """
+    from pyspark.sql import Observation
+
+    sig_exprs = lambda: [  # noqa: E731 — fresh aliases per Observation
+        F.count(F.lit(1)).alias("n"),
         # decimal sums: 60-bit hash values summed over a corpus-scale
         # edge list overflow long (ANSI mode raises)
-        return tuple(
-            e.agg(
-                F.count(F.lit(1)),
-                F.sum(F.col("u").cast("decimal(38,0)")),
-                F.sum(F.col("v").cast("decimal(38,0)")),
-                F.sum(
-                    portable_hash64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")
-                ),
-            ).collect()[0]
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(portable_hash64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")).alias(
+            "sh"
+        ),
+    ]
+
+    obs0 = Observation()
+    edges = (  # canonical: u = max(pair), v = min(pair), distinct
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
         )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .observe(obs0, *sig_exprs())
+        .localCheckpoint(eager=True)
+    )
+    sig = tuple(obs0.get.values())
+
+    def symmetrize(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     # Both steps are min-agg + equi-join back on the node id — NEVER a
     # collect_set of neighborhoods (the component-min node's neighborhood
     # grows to the whole component as rounds contract it; an array agg
     # there would concentrate a giant component into one row).
     def large_star(e: DataFrame) -> DataFrame:
+        # e symmetric; emits (v -> m) for strictly-larger neighbors:
+        # canonical by construction (v > u >= m), duplicates tolerated
         mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         return (
             e.join(mins, "u")
             .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
         )
 
     def small_star(e: DataFrame) -> DataFrame:
-        smaller = e.where(F.col("v") <= F.col("u"))
-        mins = smaller.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        nbr_edges = smaller.join(mins, "u").select(
-            F.col("v").alias("a"), F.col("m").alias("b")
-        )
+        # e canonical (every row already has v < u = the edge at its
+        # larger endpoint — exactly small-star's working set)
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbr_edges = e.join(mins, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
         self_edges = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
-        return nbr_edges.unionByName(self_edges).where(F.col("a") != F.col("b"))
-
-    def symmetrize(e: DataFrame) -> DataFrame:
         return (
-            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            nbr_edges.unionByName(self_edges)
+            .where(F.col("a") != F.col("b"))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .distinct()
         )
 
-    sig = signature(edges)
     for _ in range(max_iterations):
-        stars = symmetrize(large_star(edges))
-        edges = symmetrize(small_star(stars)).localCheckpoint(eager=True)
-        new_sig = signature(edges)
+        stars = large_star(symmetrize(edges))
+        obs = Observation()
+        edges = (
+            small_star(stars).distinct().observe(obs, *sig_exprs()).localCheckpoint(eager=True)
+        )
+        new_sig = tuple(obs.get.values())
         if new_sig == sig:
             break
         sig = new_sig
     # fixed point is a star forest: label = min over closed neighborhood
-    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("label"))
+    labels = symmetrize(edges).groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("label")
+    )
     return labels.select(
         F.col("u").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -59,12 +59,12 @@ TOKEN_STATS_SQL = f"""
 """
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality features + composite score in [0,1].
-
-    Features mirror the usual pretraining-corpus filters: document
-    length, mean word length, stopword ratio, alpha ratio.
-    """
+def quality_exprs(text_col: str = "text") -> list[Column]:
+    """The quality-score feature columns as bare expressions, so callers
+    composing several per-row signal families (curation_decisions) can
+    fuse them into ONE projection — Catalyst's subexpression elimination
+    then computes the token split once per row across families, and no
+    doc_id self-join is needed."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -81,14 +81,22 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stop_ratio * 3.0, F.lit(0.3))
         + alpha_ratio * 0.3
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_tokens.alias("n_tokens"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(score, 4).alias("quality"),
-    )
+    ]
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features mirror the usual pretraining-corpus filters: document
+    length, mean word length, stopword ratio, alpha ratio.
+    """
+    return docs.select("doc_id", *quality_exprs(text_col))
 
 
 def _quality_sql() -> str:
@@ -116,11 +124,9 @@ def _quality_sql() -> str:
 QUALITY_SQL = _quality_sql()
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-token language heuristic: argmax of per-language marker hits.
-
-    Deterministic tie-break by language code; 'und' when nothing hits.
-    """
+def lang_exprs(text_col: str = "text") -> list[Column]:
+    """(pred_lang, marker_hits) as bare expressions — see quality_exprs
+    for why signal families expose their columns for projection fusion."""
     toks = tokens_col(text_col)
     scores = []
     for lang in sorted(LANG_MARKERS):
@@ -136,11 +142,18 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.struct(s["hits"].alias("hits"), F.lit(-i).alias("pri"), s["lang"].alias("lang"))
         for i, s in enumerate(scores)
     ])
-    return docs.select(
-        "doc_id",
+    return [
         F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("pred_lang"),
         best["hits"].cast("int").alias("marker_hits"),
-    )
+    ]
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: argmax of per-language marker hits.
+
+    Deterministic tie-break by language code; 'und' when nothing hits.
+    """
+    return docs.select("doc_id", *lang_exprs(text_col))
 
 
 def _lang_id_sql() -> str:
@@ -393,7 +406,12 @@ def redact_pii_sql(source_sql: str) -> str:
 
 
 def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    # lazy checkpoint: the token explode feeds BOTH the tf table and the
+    # per-doc scoring join — materialize it once instead of re-splitting
+    # every document twice (same pattern as oov_rate below)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("tok")
+    ).localCheckpoint(eager=False)
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     total = tf.agg(F.sum("tf").alias("n_total"))
     nll = tf.crossJoin(F.broadcast(total)).select(

@@ -674,24 +674,22 @@ def _curation_sql() -> str:
     """
 
 
-@query("curation_decisions", _curation_sql())
-def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation pipeline's end product: quality scoring, repetition
-    filtering and language-ID composed into one plan emitting
-    keep / downsample / drop per document, with a deterministic
-    hash-sampled survivor set for the downsample class (1-in-5).
-    Catalyst fuses the three operator families over a single documents
-    scan per branch; the whole decision is JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+def _v1_decisions(docs: DataFrame) -> DataFrame:
+    """v1 curation over an arbitrary documents frame (shared by the v1
+    and v2 registry entries). quality and lang-ID are pure per-row
+    expressions, so they are FUSED into one projection (Catalyst's
+    subexpression elimination computes the token split once across
+    both families) — the only join is against the repetition profile,
+    whose top-token mode genuinely needs an explode+agg."""
     from databus_spark.functions.hashes import portable_hash64
 
-    joined = (
-        text.quality_score(docs)
-        .select("doc_id", "quality")
-        .join(
-            text.repetition_profile(docs).select("doc_id", "is_repetitive"), "doc_id"
-        )
-        .join(text.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+    per_row = docs.select(
+        "doc_id",
+        *text.quality_exprs(),
+        *text.lang_exprs(),
+    ).select("doc_id", "quality", "pred_lang")
+    joined = per_row.join(
+        text.repetition_profile(docs).select("doc_id", "is_repetitive"), "doc_id"
     )
     decision = (
         F.when(
@@ -709,6 +707,17 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (portable_hash64(F.col("doc_id").cast("string"), F.lit("mix")) % 5 == 0)
     )
     return out.withColumn("sampled_in", sampled)
+
+
+@query("curation_decisions", _curation_sql())
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's end product: quality scoring, repetition
+    filtering and language-ID composed into one plan emitting
+    keep / downsample / drop per document, with a deterministic
+    hash-sampled survivor set for the downsample class (1-in-5).
+    quality + lang-ID fuse into one projection; the whole decision is
+    JVM-side."""
+    return _v1_decisions(load_table(spark, sf_dir, "documents"))
 
 
 def _curation_v2_sql() -> str:
@@ -746,14 +755,24 @@ def curation_decisions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation v2: the v1 quality/repetition/lang composite PLUS
     benchmark decontamination (8-gram overlap with the held-out slice)
     and the unigram-LM NLL gate — five signal families, one plan. The
-    benchmark gram set broadcasts; every other join is doc_id-keyed."""
-    docs = load_table(spark, sf_dir, "documents")
+    benchmark gram set broadcasts; every other join is doc_id-keyed.
+
+    Scan sharing: the (doc_id, text) base is lazily localCheckpointed
+    once and feeds all four derivations (v1 signals, repetition explode,
+    LM token stream, decontamination shingles) from the materialized
+    blocks instead of four parquet re-reads. v1 is computed over the
+    corpus slice directly (all its signals are per-doc, so filter-first
+    equals filter-after); the LM tf table still trains on the FULL doc
+    set, matching the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").localCheckpoint(
+        eager=False
+    )
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     benchmark = docs.where(F.col("doc_id") % 17 == 0)
 
     from databus_spark.operators.dedup import decontaminate
 
-    v1 = curation_decisions(spark, sf_dir).where(F.col("doc_id") % 17 != 0)
+    v1 = _v1_decisions(corpus)
     contaminated = decontaminate(corpus, benchmark).select("doc_id")
     lm = text.lm_quality_score(docs).select("doc_id", "avg_nll")
     joined = (

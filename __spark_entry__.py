@@ -30,71 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict order.
-# Round 5 rotation: front-load the 29 queries whose last green driver row
-# is r3 (everything in CORRECTNESS_r04 was green in r4), so no query's
-# external check goes stale by more than two rounds. The merge gate is
-# still a FULL local run over all registered queries (the round-5 session
-# drove every query against its oracle at sf0.01 — zero failures), so
-# rotation never leaves a query locally unchecked.
+# Round 6 rotation: (a) the 13 queries deferred from r5's window (some
+# have never had an external driver row), (b) everything whose engine
+# path changed this round (novelty ratio arithmetic, reflect-based Java
+# hashCode, canonical-orientation star components, curation scan
+# sharing, bloom gram identity, skew-profile tie-break, z-table staging
+# lock), (c) the oldest r4-green rows. The merge gate is still a FULL
+# local run over all registered queries at sf0.01, so rotation never
+# leaves a query locally unchecked.
 _PRIORITY = [
-    # NEW this round (never had an external driver row) — always first
-    "mixture_temperature_sample",
-    "dedup_cluster_star",
-    "snapshot_diff",
-    "text_compressibility",
-    "sparse_tfidf_pairs",
-    "text_novelty",
-    "per_group_quota",
-    "avro_ocf_roundtrip",
-    "jsonl_ingest_audit",
-    "dedup_canonical",
-    "media_wav_probe",
-    "filter_keymod_subscribe",
-    "decontaminate_bloom",
-    "dedup_incremental",
-    "dedup_span_windows",
-    "ann_ivfpq_topk",
-    "quality_topk_per_lang",
-    "contamination_fraction",
-    "oov_rate",
-    "length_histogram",
-    "zorder_events_key",
-    "media_png_probe",
-    "key_skew_profile",
-    "zorder_box_read",
-    "ann_ivfpq_rerank_topk",
-    "dedup_survivor_corpus",
-    # CHANGED this round (LSH bucket caps, Bloom hex-slice probes,
-    # byte-budget tiebreaker, hashCode AND-fold, fingerprint markers)
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "simhash_sketch",
-    "dedup_ngram_jaccard",
-    "filter_keymod_strkey",
-    "filter_keymod_longkey",
-    "jdbc_txlog_pull",
-    "trail_file_seek",
-    # rotation: last green row r3 or earlier — as many as fit the
-    # 50-query window after the new/changed entries above; the rest are
-    # deferred below (still run in the full local gate, and front-load
-    # next round's window)
-    "text_fingerprint",
-    "repetition_filter",
-    "curation_decisions",
-    "stratified_sample",
-    "sequence_packing",
-    "schema_evolution_decode",
-    "avro_binary_decode",
-    "sql_txlog_pull",
-    "event_metadata_extract",
-    "schema_key_compaction",
-    "schema_key_filter",
-    "stream_fetch_bounded",
-    "skew_salted_agg",
-    "vocab_top_terms",
-    "tfidf_top_terms",
-    "as_of_join_events",
-    # deferred to next round's window (still verified locally):
+    # (a) deferred from round 5 — external row overdue
     "dedup_cluster_survivors",
     "topk_orders_per_segment",
     "filter_payload_fields",
@@ -108,6 +53,63 @@ _PRIORITY = [
     "hash_sample",
     "partition_router",
     "pivot_events_daily",
+    # (b) engine path changed in round 6
+    "text_novelty",
+    "filter_keymod_strkey",
+    "filter_keymod_longkey",
+    "filter_keymod_subscribe",
+    "dedup_cluster_star",
+    "dedup_survivor_corpus",
+    "dedup_incremental",
+    "curation_decisions",
+    "curation_decisions_v2",
+    "decontaminate_bloom",
+    "key_skew_profile",
+    "zorder_box_read",
+    "repetition_filter",
+    "text_quality",
+    "text_lang_id",
+    "lm_quality_score",
+    # (c) oldest green rows (r4) — refresh before they go stale
+    "snapshot_orders",
+    "snapshot_customer",
+    "filter_keyrange",
+    "filter_composite_json",
+    "bootstrap_snapshot_catchup",
+    "keyset_page",
+    "max_scn_probe",
+    "per_source_stats",
+    "lag_percentiles",
+    "value_histogram",
+    "event_rate_anomaly",
+    "txn_window_stats",
+    "source_registry_join",
+    "pricing_summary",
+    "dedup_exact",
+    "decontaminate_vs_benchmark",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    # deferred to next round's window (still verified locally):
+    "text_token_stats",
+    "chunk_documents",
+    "json_props_extract",
+    "time_window_tumbling",
+    "time_window_sliding",
+    "sessionize",
+    "revenue_by_nation",
+    "urgent_orders_shipped",
+    "returned_items_topk",
+    "supplier_profit_by_nation",
+    "pii_redact",
+    "events_as_changelog_state",
+    "running_account_balance",
+    "opcode_transitions",
+    "partition_spread_per_source",
+    "null_rate_profile",
+    "buffer_info",
 ]
 
 

@@ -33,10 +33,20 @@ def bootstrap_state(
     target_scn: int,
     key_cols: Sequence[str] = ("source", "key_str"),
 ) -> DataFrame:
-    """State at target_scn via snapshot(<=start) ∪ catchup((start, target])."""
-    snapshot_phase = log.where(F.col("scn") <= start_scn)
-    catchup_phase = log.where((F.col("scn") > start_scn) & (F.col("scn") <= target_scn))
-    merged = snapshot_phase.unionByName(catchup_phase)
+    """State at target_scn via snapshot(<=start) ∪ catchup((start, target]).
+
+    Both phases read the SAME changelog here, and their scn windows
+    partition (-inf, target], so the union fuses into ONE pruned scan
+    with an OR predicate — a unionByName of two filters over one source
+    would scan it twice (Catalyst does not merge union branches).
+    When the phases come from physically different sources (a compacted
+    snapshot table + a live log, the reference's layout), build each
+    side separately and unionByName them before latest_by_key — the
+    dedup handles any overlap either way.
+    """
+    snapshot_phase = F.col("scn") <= start_scn
+    catchup_phase = (F.col("scn") > start_scn) & (F.col("scn") <= target_scn)
+    merged = log.where(snapshot_phase | catchup_phase)
     return latest_by_key(merged, key_cols).where(F.col("opcode") != "DELETE")
 
 

@@ -894,12 +894,14 @@ def decontaminate_bloom(
     Returns (doc_id, n_flagged_grams): distinct corpus grams for which
     all BLOOM_J probe positions are set in the filter built from the
     benchmark gram set. Superset of decontaminate()'s exact answer by
-    construction (false positives only, never negatives); deterministic
-    in both engines because the probes are md5 slices both mirror
-    exactly.
+    construction (false positives only, never negatives — gram identity
+    is the FULL 128-bit digest, so the superset guarantee holds modulo
+    an md5 collision, the standard content-addressing assumption);
+    deterministic in both engines because the probes are md5 slices
+    both mirror exactly.
 
     The gram string is hashed ONCE map-side; every downstream exchange
-    carries (doc_id, gram_h, s, pos) with 5/16-char hex keys — never
+    carries (doc_id, gram_h, s, pos) with 5/32-char hex keys — never
     the gram text.
     """
     bench_pos = (
@@ -909,10 +911,10 @@ def decontaminate_bloom(
         .select(F.explode(_bloom_probe_array(F.col("shingle"))).alias("pos"))
         .distinct()
     )
-    # gram identity from the SAME digest the probes slice (16 hex chars
-    # -> 64-bit id string): one md5 per gram total, shared by codegen
+    # gram identity = the SAME digest the probes slice, kept in full
+    # (32 hex chars): one md5 per gram total, shared by codegen
     # subexpression elimination with the probe array's digest
-    gram_h = F.substring(F.md5(F.col("shingle")), 17, 16)
+    gram_h = F.md5(F.col("shingle"))
     corpus_probes = _shingles(corpus, k).select(
         "doc_id",
         gram_h.alias("gram_h"),
@@ -931,7 +933,7 @@ def decontaminate_bloom(
 
 def decontaminate_bloom_sql(benchmark_from_sql: str, k: int = DECONTAM_K) -> str:
     pos = "substr(md5(shingle), 1 + 5 * CAST(s AS INT), 5)"
-    gram_h = "substr(md5(shingle), 17, 16)"
+    gram_h = "md5(shingle)"
     return f"""
         WITH seeds AS (SELECT unnest(range(0, {BLOOM_J})) AS s),
         bench_pos AS (

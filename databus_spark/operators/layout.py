@@ -286,6 +286,63 @@ class ZorderTable:
             *[_os.path.join(self.path, e["file"]) for e in man["files"]]
         )
 
+    def vacuum(self) -> dict:
+        """Delete everything the CURRENT version does not reference:
+        superseded data files (append rewrites leave the old copies on
+        disk), stale ``_manifest_v*.json``, orphaned ``*.tmp``, and
+        emptied version directories. Mirrors the snapshot store's
+        retention contract.
+
+        Crash-safe by construction: vacuum only ever deletes paths
+        absent from the manifest that ``_VERSION`` points at, and never
+        touches ``_VERSION`` or the live manifest — a crash mid-vacuum
+        leaves the table fully readable with some garbage remaining,
+        which the next vacuum collects. Returns removal counts.
+        """
+        v = self._version()
+        man = self.manifest()
+        referenced = {
+            _os.path.normpath(_os.path.join(self.path, e["file"]))
+            for e in man["files"]
+        }
+        # sidecars that must survive alongside a referenced file
+        keep_sidecars = set()
+        for fp in referenced:
+            d, base = _os.path.split(fp)
+            keep_sidecars.add(_os.path.join(d, "_SUCCESS"))
+            keep_sidecars.add(_os.path.join(d, "._SUCCESS.crc"))
+            keep_sidecars.add(_os.path.join(d, f".{base}.crc"))
+
+        removed = {"data_files": 0, "manifests": 0, "tmp": 0, "dirs": 0}
+        for name in _os.listdir(self.path):
+            full = _os.path.join(self.path, name)
+            if name.endswith(".tmp") and _os.path.isfile(full):
+                _os.remove(full)
+                removed["tmp"] += 1
+            elif name.startswith("_manifest_v") and name.endswith(".json"):
+                try:
+                    mv = int(name[len("_manifest_v"):-len(".json")])
+                except ValueError:
+                    continue
+                if mv != v:
+                    _os.remove(full)
+                    removed["manifests"] += 1
+        for name in _os.listdir(self.path):
+            full = _os.path.join(self.path, name)
+            if not (name.startswith("v") and name[1:].isdigit() and _os.path.isdir(full)):
+                continue
+            for root, dirs, files in _os.walk(full, topdown=False):
+                for f in files:
+                    fp = _os.path.normpath(_os.path.join(root, f))
+                    if fp in referenced or fp in keep_sidecars:
+                        continue
+                    _os.remove(fp)
+                    removed["data_files"] += 1
+                if not _os.listdir(root):
+                    _os.rmdir(root)
+                    removed["dirs"] += 1
+        return removed
+
     def read_box(
         self,
         x_range: tuple[int, int] | None = None,

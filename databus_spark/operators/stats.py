@@ -180,7 +180,10 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
 
     One agg shuffle on the key (map-side combined), then a distributed
     TakeOrdered for the top-k (never a global sort) against broadcast
-    scalar totals. Deterministic ties: count DESC, key ASC.
+    scalar totals. Deterministic ties: count DESC, key ASC with NULLS
+    LAST — asc_nulls_last, because Spark's asc sorts NULL first while
+    the DuckDB oracle's ORDER BY key ASC sorts it last; a NULL key
+    tied at the top_k boundary would otherwise pick different rows.
     """
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
@@ -188,7 +191,7 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     totals = counts.agg(
         F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
     )
-    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    top = counts.orderBy(F.desc("n_rows"), F.asc_nulls_last("key")).limit(top_k)
     return top.crossJoin(F.broadcast(totals)).select(
         "key",
         "n_rows",

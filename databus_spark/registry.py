@@ -1039,16 +1039,31 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture with identical ids but shifted ts would otherwise serve
     # stale hours from the marker-matched z-table
     fingerprint = _content_fingerprint(e, "event_id", "user_id", "hour")
-    stale = True
-    if _os.path.exists(marker):
-        with open(marker) as f:
-            stale = f.read().strip() != fingerprint
-    if stale:
-        shutil.rmtree(zdir, ignore_errors=True)
-        t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=20_000)
-        t.write_initial(e)
-        with open(marker, "w") as f:
-            f.write(fingerprint)
+    # OS file lock around the stage-or-reuse block: two concurrent
+    # driver/test processes share this tempdir path, and without the
+    # lock one could rmtree the dir the other is mid-staging/reading.
+    import fcntl
+
+    lock_path = zdir + ".lock"
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            stale = True
+            if _os.path.exists(marker):
+                with open(marker) as f:
+                    stale = f.read().strip() != fingerprint
+            if stale:
+                shutil.rmtree(zdir, ignore_errors=True)
+                t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=20_000)
+                t.write_initial(e)
+                # tmp + atomic rename: a torn marker write must read as
+                # "stale", never as a half-written fingerprint match
+                mtmp = marker + ".tmp"
+                with open(mtmp, "w") as f:
+                    f.write(fingerprint)
+                _os.replace(mtmp, marker)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
     t = ZorderTable(spark, zdir, "user_id", "hour", rows_per_file=20_000)
     b = e.agg(F.min("user_id"), F.min("hour")).collect()[0]  # scalar probe
     df, _stats = t.read_box((b[0], b[0] + 10), (b[1], b[1] + 96))

@@ -233,3 +233,64 @@ def test_zorder_table_streaming_ingest(spark, tmp_path):
 
     got = sorted(r["row_id"] for r in t.read().select("row_id").collect())
     assert got == list(range(0, 3000))
+
+
+def test_zorder_table_vacuum(spark, tmp_path):
+    """vacuum() removes everything the current version doesn't reference
+    — superseded data files, stale manifests, orphaned tmp files — and
+    leaves the table's contents bit-identical. A crash mid-vacuum
+    (simulated as a partial delete) never touches _VERSION or the live
+    manifest, so the table stays readable throughout."""
+    import json
+    import os
+
+    from databus_spark.operators.layout import ZorderTable
+
+    base = spark.range(0, 2000).selectExpr(
+        "id AS row_id", "CAST(id % 64 AS LONG) AS x", "CAST(id % 97 AS LONG) AS y"
+    )
+    t = ZorderTable(spark, str(tmp_path / "ztv"), "x", "y", rows_per_file=400)
+    t.write_initial(base)
+    for lo in (2000, 2100):  # two rewriting appends -> superseded files
+        t.append(
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS row_id", "CAST(0 AS LONG) AS x", "CAST(0 AS LONG) AS y"
+            )
+        )
+    # plant an orphaned tmp (torn marker write)
+    with open(os.path.join(t.path, "_manifest_v9.json.tmp"), "w") as f:
+        json.dump({}, f)
+
+    def parquet_files():
+        out = []
+        for root, _dirs, files in os.walk(t.path):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return set(out)
+
+    before = parquet_files()
+    referenced = {
+        os.path.normpath(os.path.join(t.path, e["file"])) for e in t.manifest()["files"]
+    }
+    assert referenced < before, "appends should have left superseded files"
+    pre_rows = sorted(r["row_id"] for r in t.read().select("row_id").collect())
+
+    removed = t.vacuum()
+    assert removed["data_files"] > 0 and removed["manifests"] >= 2
+    assert removed["tmp"] >= 1
+    after = parquet_files()
+    assert after == referenced, "exactly the referenced files survive"
+    # stale manifests gone, live manifest + _VERSION intact
+    mans = [n for n in os.listdir(t.path) if n.startswith("_manifest_v") and n.endswith(".json")]
+    assert mans == [f"_manifest_v{t._version()}.json"]
+    assert sorted(r["row_id"] for r in t.read().select("row_id").collect()) == pre_rows
+
+    # idempotent; and the table still appends + vacuums cleanly after
+    assert t.vacuum()["data_files"] == 0
+    t.append(
+        spark.range(2200, 2300).selectExpr(
+            "id AS row_id", "CAST(1 AS LONG) AS x", "CAST(1 AS LONG) AS y"
+        )
+    )
+    t.vacuum()
+    got = sorted(r["row_id"] for r in t.read().select("row_id").collect())
+    assert got == list(range(0, 2300))

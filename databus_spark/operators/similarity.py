@@ -462,7 +462,16 @@ def embedding_near_pairs_sql(threshold: float = 0.4) -> str:
 
 M_SUB = 8    # subspaces
 SUB_DIM = 8  # dims per subspace (8 x 8 = 64-dim embeddings)
-PQ_K = 8     # codes per subspace codebook
+PQ_K = 32    # codes per subspace codebook (r6: 8 -> 32 after an sf0.01
+             # recall sweep — the donor codebook is the shortlist's
+             # quality bottleneck; 32 codes lift rerank recall@5 from
+             # 0.38 to 0.52 at the same probe fraction, and the encode
+             # stays a map-side argmin, linear in PQ_K. Production PQ
+             # uses 256; the synthetic 64-dim corpus saturates ~64.)
+IVFPQ_NPROBE = 3  # cells probed by the IVFPQ paths (the plain IVF path
+                  # keeps IVF_NPROBE=2; the compressed index affords a
+                  # wider probe because ADC scoring is so much cheaper
+                  # than full-vector scoring)
 
 
 def _pq_codebook(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -623,15 +632,19 @@ def ivfpq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int | None = None,
 ) -> DataFrame:
     """ANN top-k with IVF cell pruning + PQ ADC scoring.
 
     Candidates = corpus vectors assigned (argmax cosine) to one of the
-    query's IVF_NPROBE highest-cosine cells; scores = sum over M_SUB
+    query's `nprobe` (default IVFPQ_NPROBE) highest-cosine cells;
+    scores = sum over M_SUB
     subspaces of the query's L2 to the candidate's code centroid
     (decimal-summed, rank ties broken on neighbor id). Returns
     (query_id, neighbor_id, approx_dist, rank).
     """
+    if nprobe is None:
+        nprobe = IVFPQ_NPROBE
     cent = _ivf_centroids(emb, id_col, vec_col)
     assigned = _ivf_assign(emb, cent, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cell_id"
@@ -640,7 +653,7 @@ def ivfpq_topk(
     wq = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     probes = (
         q_scored.withColumn("cell_rank", F.row_number().over(wq))
-        .where(F.col("cell_rank") <= IVF_NPROBE)
+        .where(F.col("cell_rank") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cell_id")
     )
     cand = (
@@ -683,8 +696,11 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+def ivfpq_topk_sql(n_queries: int = 10, k: int = 5, nprobe: int | None = None) -> str:
     from databus_spark.functions.hashes import portable_hash64_sql
+
+    if nprobe is None:
+        nprobe = IVFPQ_NPROBE
 
     h_ivf = portable_hash64_sql("vec_id", "'ivf'")
     h_pq = portable_hash64_sql("vec_id", "'pq'")
@@ -713,7 +729,7 @@ def ivfpq_topk_sql(n_queries: int = 10, k: int = 5) -> str:
         cand AS (
             SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
             FROM (SELECT vec_id, cell_id FROM ranked
-                  WHERE vec_id < {n_queries} AND cell_rank <= {IVF_NPROBE}) p
+                  WHERE vec_id < {n_queries} AND cell_rank <= {nprobe}) p
             JOIN (SELECT vec_id, cell_id FROM ranked WHERE cell_rank = 1) a
               ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id
         ),
@@ -762,7 +778,7 @@ def ivfpq_rerank_topk(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    shortlist: int = 20,
+    shortlist: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -795,7 +811,7 @@ def ivfpq_rerank_topk(
     )
 
 
-def ivfpq_rerank_topk_sql(n_queries: int = 10, k: int = 5, shortlist: int = 20) -> str:
+def ivfpq_rerank_topk_sql(n_queries: int = 10, k: int = 5, shortlist: int = 40) -> str:
     sim = _cosine_sql("q.embedding", "c.embedding")
     return f"""
         SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank

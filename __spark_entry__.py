@@ -39,6 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # local run over all registered queries at sf0.01, so rotation never
 # leaves a query locally unchecked.
 _PRIORITY = [
+    # NEW this round (never had an external driver row) — always first
+    "hll_distinct_users",
+    "semdedup_survivors",
+    "ann_filtered_topk",
+    "train_split_assign",
+    "bpe_pair_counts",
     # (a) deferred from round 5 — external row overdue
     "dedup_cluster_survivors",
     "topk_orders_per_segment",

@@ -360,3 +360,45 @@ def grouped_topk_sql(
             FROM ({from_sql})
         ) t WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic, leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+# Splitting by row position (or Spark's randomSplit) is unstable under
+# corpus growth and reshuffling, and puts byte-identical documents on
+# both sides of the train/test fence. Hashing the CONTENT digest fixes
+# both: the assignment of a document never changes as the corpus grows,
+# and exact duplicates always land in the same split — the cheap
+# train-test-leakage guard that should precede the expensive near-dup
+# decontamination pass. Map-side pure expressions; zero shuffle.
+
+SPLIT_SEED = "split"
+SPLIT_PCT = (("train", 80), ("val", 90), ("test", 100))
+
+
+def split_assign(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, split_bucket, split): hash-of-content percentile split.
+    bucket = portable_hash(md5(text)) % 100; train < 80 <= val < 90 <= test."""
+    h = portable_hash64(F.md5(F.col(text_col)), F.lit(SPLIT_SEED))
+    bucket = F.pmod(h, F.lit(100))
+    split = F.when(bucket < SPLIT_PCT[0][1], SPLIT_PCT[0][0]).when(
+        bucket < SPLIT_PCT[1][1], SPLIT_PCT[1][0]
+    ).otherwise(SPLIT_PCT[2][0])
+    return docs.select(
+        id_col, bucket.cast("int").alias("split_bucket"), split.alias("split")
+    )
+
+
+def split_assign_sql(from_sql: str, id_col: str = "doc_id") -> str:
+    h = portable_hash64_sql("md5(text)", f"'{SPLIT_SEED}'")
+    return f"""
+        SELECT {id_col},
+               CAST(({h}) % 100 AS INT) AS split_bucket,
+               CASE WHEN ({h}) % 100 < {SPLIT_PCT[0][1]} THEN '{SPLIT_PCT[0][0]}'
+                    WHEN ({h}) % 100 < {SPLIT_PCT[1][1]} THEN '{SPLIT_PCT[1][0]}'
+                    ELSE '{SPLIT_PCT[2][0]}' END AS split
+        FROM ({from_sql})
+    """

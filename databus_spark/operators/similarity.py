@@ -281,7 +281,12 @@ def _ivf_assign(emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str)
 
 
 def ivf_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidate_pred=None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their argmax-cosine cell;
     each query probes its IVF_NPROBE nearest cells; exact re-rank inside.
@@ -290,9 +295,18 @@ def ivf_topk(
     candidate join is an equi-join on cell_id, candidates per query
     ~ IVF_NPROBE * n / N_CELLS. The complementary scale path to sign-LSH
     (lsh_topk): IVF adapts to the data's density (cells follow sampled
-    points), LSH is data-oblivious."""
+    points), LSH is data-oblivious.
+
+    ``candidate_pred`` (a boolean Column over the corpus frame's
+    columns) makes this FILTERED ANN — metadata-constrained search,
+    e.g. "nearest English docs only". The predicate is applied to the
+    index side BEFORE the candidate join (pushdown into the posting
+    lists, the filter-aware-search shape), never to the query side,
+    and the index itself is built over the full corpus so it is shared
+    across differently-filtered queries."""
     cent = _ivf_centroids(emb, id_col, vec_col)
-    assigned = _ivf_assign(emb, cent, id_col, vec_col).select(
+    corpus = emb.where(candidate_pred) if candidate_pred is not None else emb
+    assigned = _ivf_assign(corpus, cent, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell_id"
     )
     # probe ranking only over the (tiny) query subset — its window is
@@ -322,7 +336,7 @@ def ivf_topk(
     )
 
 
-def ivf_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+def ivf_topk_sql(n_queries: int = 10, k: int = 5, candidate_where: str = "TRUE") -> str:
     from databus_spark.functions.hashes import portable_hash64_sql
 
     h = portable_hash64_sql("vec_id", "'ivf'")
@@ -345,7 +359,9 @@ def ivf_topk_sql(n_queries: int = 10, k: int = 5) -> str:
             SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
             FROM (SELECT vec_id, cell_id FROM ranked
                   WHERE vec_id < {n_queries} AND cell_rank <= {IVF_NPROBE}) p
-            JOIN (SELECT vec_id, cell_id FROM ranked WHERE cell_rank = 1) a
+            JOIN (SELECT r.vec_id, r.cell_id FROM ranked r
+                  JOIN embeddings e ON e.vec_id = r.vec_id
+                  WHERE r.cell_rank = 1 AND ({candidate_where})) a
               ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id
         )
         SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
@@ -959,4 +975,136 @@ def sparse_tfidf_pairs_sql(from_sql: str, threshold: float = 0.3) -> str:
         JOIN norms na ON na.doc_id = doc_a
         JOIN norms nb ON nb.doc_id = doc_b
         WHERE round(dot / (na.norm * nb.norm), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster embeddings, drop within-cluster
+# near-duplicates
+# ---------------------------------------------------------------------------
+# Abbas et al., "SemDeDup" (arXiv:2303.09540): web-scale corpora carry
+# documents that are SEMANTICALLY interchangeable without sharing
+# n-grams (templated rewrites, translations, boilerplate paraphrase).
+# The recipe: cluster the embedding space, compare pairs ONLY within a
+# cluster, keep one representative per semantic-duplicate group.
+#
+# Restated Spark-first: cells = the deterministic hash-sampled IVF
+# centroids (k-means iterations are not bit-reproducible across
+# engines; the cell granularity, not the centroid polish, is what
+# bounds pair-gen). Pair generation is within-cell only, capped by
+# MAX_BUCKET_VECS like every pair generator here; grouping is the same
+# label-propagation connected components the lexical dedup family uses.
+# N_CELLS grows ~sqrt(n) with the corpus, so cells — and the pair join
+# — stay bounded; the corpus contributes one map-side assignment and
+# one equi-join keyed by cell.
+
+SEM_THRESHOLD = 0.4  # same near-dup cosine bar as embedding_near_pairs
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell_id, cluster_id, is_survivor) for EVERY corpus
+    vector: vectors whose cosine >= threshold within their cell are
+    grouped transitively; survivor = the min-id member. Vectors with no
+    semantic twin survive as their own singleton cluster."""
+    from databus_spark.operators.dedup import dedup_clusters
+
+    cent = _ivf_centroids(emb, id_col, vec_col)
+    assigned = _ivf_assign(emb, cent, id_col, vec_col)
+
+    ok = (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= MAX_BUCKET_VECS))
+        .select("cell_id")
+    )
+    paired = assigned.join(F.broadcast(ok), "cell_id")
+    a = paired.select(
+        "cell_id", F.col(id_col).alias("ida"), F.col(vec_col).alias("va")
+    )
+    b = paired.select(
+        "cell_id", F.col(id_col).alias("idb"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    return (
+        assigned.select(id_col, "cell_id")
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_survivor"
+            ),
+        )
+    )
+
+
+def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    sim = _cosine_sql("x.embedding", "y.embedding")
+    return f"""
+        WITH RECURSIVE cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {N_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                       ) AS rnk
+                FROM embeddings v CROSS JOIN cent c
+            ) WHERE rnk = 1
+        ),
+        ok AS (
+            SELECT cell_id FROM assigned
+            GROUP BY 1 HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_VECS}
+        ),
+        pairs AS (
+            SELECT p.vec_id AS doc_a, q.vec_id AS doc_b
+            FROM (SELECT a.* FROM assigned a JOIN ok USING (cell_id)) p
+            JOIN (SELECT a.* FROM assigned a JOIN ok USING (cell_id)) q
+              ON p.cell_id = q.cell_id AND p.vec_id < q.vec_id
+            JOIN embeddings x ON x.vec_id = p.vec_id
+            JOIN embeddings y ON y.vec_id = q.vec_id
+            WHERE round({sim}, 6) >= {threshold}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ),
+        clusters AS (
+            SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT a.vec_id, a.cell_id,
+               coalesce(c.cluster_id, a.vec_id) AS cluster_id,
+               coalesce(c.cluster_id, a.vec_id) = a.vec_id AS is_survivor
+        FROM assigned a LEFT JOIN clusters c ON c.vec_id = a.vec_id
     """

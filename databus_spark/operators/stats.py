@@ -221,3 +221,129 @@ def key_skew_profile_sql(from_sql: str, key_col: str, top_k: int = 20) -> str:
               ORDER BY n_rows DESC, key ASC LIMIT {top_k})
         CROSS JOIN totals
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch — deterministic and oracle-exact
+# ---------------------------------------------------------------------------
+# Spark's approx_count_distinct is a black-box HLL++ no other engine can
+# reproduce bit-for-bit, so it can only ever get a rows-only check. This
+# is the engine's own HLL built from the portable md5 hash family both
+# engines share: the SKETCH ITSELF is deterministic, so the estimate —
+# including its error — is oracle-checkable to the last bit.
+#
+# Determinism engineering:
+# * register index = low HLL_P bits of the 60-bit portable hash; the
+#   rank input w = the remaining 52 bits; rho(w) = 53 - bit_length(w)
+#   (rho(0) = 53), all integer ops.
+# * the harmonic sum is kept EXACT: sum of 2^(53 - rho) as DECIMAL(38,0)
+#   (every term is an integer because rho <= 53), with absent registers
+#   contributing 2^53 each — no float summation order anywhere.
+# * alpha * m^2 * 2^53 is precomputed HERE and embedded as one double
+#   literal in both engines; the estimate is a single IEEE division by
+#   the (exact) scaled sum. The small-range linear-counting branch uses
+#   ln(m/zeros) — one transcendental on integer inputs, same class of
+#   cross-engine determinism as lm_quality_score's log().
+#
+# 100 TB shape: ONE shuffle keyed (group, register) — at most m=256
+# rows per group survive the map-side partial max — then a per-group
+# fold of 256 registers. This is exactly why HLL exists: the distinct
+# count of a 100 TB column flows through kilobytes.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_NUMER = repr(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 53))  # exact literal
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """(group, n_exact, n_hll, rel_err): HLL estimate of distinct
+    `key_col` per group next to the exact count — the estimator AND its
+    realized error, both bit-identical across engines."""
+    from databus_spark.functions.hashes import portable_hash64
+
+    h = portable_hash64(F.col(key_col).cast("string"), F.lit("hll"))
+    bucket = F.pmod(h, F.lit(HLL_M))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("b"), rho.alias("r"))
+        .groupBy("grp", "b")
+        .agg(F.max("r").alias("r"))
+    )
+    per_group = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(F.expr("shiftleft(1L, 53 - r)").cast("decimal(38,0)")).alias("_zsum"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(key_col)).alias("n_exact")
+    )
+    zeros = F.lit(HLL_M) - F.col("_present")
+    z = (
+        F.col("_zsum") + zeros.cast("decimal(38,0)") * F.lit(1 << 53).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(float(_HLL_NUMER)) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return (
+        per_group.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            F.round(est, 4).alias("n_hll"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def hll_distinct_sql(from_sql: str, key_col: str, group_col: str) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql(f"CAST({key_col} AS VARCHAR)", "'hll'")
+    return f"""
+        WITH base AS (
+            SELECT {group_col} AS grp,
+                   ({h}) % {HLL_M} AS b,
+                   ({h}) // {HLL_M} AS w
+            FROM ({from_sql})
+        ),
+        regs AS (
+            SELECT grp, b,
+                   max(CASE WHEN w = 0 THEN 53
+                            ELSE 53 - length(bin(w)) END) AS r
+            FROM base GROUP BY 1, 2
+        ),
+        pg AS (
+            SELECT grp, count(*) AS present,
+                   sum(CAST(1::BIGINT << (53 - r) AS DECIMAL(38,0))) AS zsum
+            FROM regs GROUP BY 1
+        ),
+        exact AS (
+            SELECT {group_col} AS grp, count(DISTINCT {key_col}) AS n_exact
+            FROM ({from_sql}) GROUP BY 1
+        ),
+        scored AS (
+            SELECT grp, n_exact,
+                   CASE WHEN ({_HLL_NUMER} / zd) <= {2.5 * HLL_M}
+                             AND ({HLL_M} - present) > 0
+                        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                 / CAST({HLL_M} - present AS DOUBLE))
+                        ELSE {_HLL_NUMER} / zd END AS est
+            FROM (
+                SELECT pg.grp, exact.n_exact, present,
+                       CAST(zsum + CAST({HLL_M} - present AS DECIMAL(38,0))
+                                * CAST({1 << 53} AS DECIMAL(38,0)) AS DOUBLE) AS zd
+                FROM pg JOIN exact ON pg.grp = exact.grp
+            )
+        )
+        SELECT grp AS {group_col}, n_exact,
+               round(est, 4) AS n_hll,
+               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+        FROM scored
+    """

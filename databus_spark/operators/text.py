@@ -665,3 +665,49 @@ LENGTH_HISTOGRAM_SQL = """
     FROM documents
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step pair counting (tokenizer induction)
+# ---------------------------------------------------------------------------
+# The inner loop of byte-pair-encoding vocabulary training: count every
+# ADJACENT token pair in the corpus and surface the merge candidates.
+# One explode + one count shuffle per iteration — at 100 TB each BPE
+# merge round is a single map-side-combinable aggregation, which is why
+# corpus-scale tokenizer training is tractable at all. Pair strings are
+# built with zip_with over two array slices (no positional explode+
+# self-join, which would shuffle the token stream twice).
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """(pair, n) for the top_n most frequent adjacent token pairs —
+    the next-merge ranking of one BPE training iteration.
+    Deterministic: count DESC, pair ASC."""
+    toks = tokens_col(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts_sql(from_sql: str, top_n: int = 50) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        SELECT pair, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS pair
+            FROM (SELECT {toks} AS toks FROM ({from_sql}))
+        )
+        GROUP BY 1
+        ORDER BY n DESC, pair ASC
+        LIMIT {top_n}
+    """

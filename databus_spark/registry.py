@@ -573,6 +573,34 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_rerank_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "ann_filtered_topk",
+    similarity.ivf_topk_sql(n_queries=10, k=5, candidate_where="e.label % 2 = 0"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN: top-5 neighbors among even-labelled
+    vectors only. The predicate pushes into the index's posting lists
+    (candidates filtered BEFORE the cell join), the index is built on
+    the full corpus and shared across differently-filtered queries —
+    the filter-aware-search shape every RAG serving stack needs."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=10,
+        k=5,
+        candidate_pred=F.col("label") % 2 == 0,
+    )
+
+
+@query("semdedup_survivors", similarity.semdedup_survivors_sql())
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space into
+    IVF cells, group within-cell cosine near-twins transitively, keep
+    the min-id representative — semantic dedup that catches templated
+    rewrites sharing no n-grams. One map-side assignment, one
+    cell-keyed pair join (population-capped), label-prop components."""
+    return similarity.semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("text_token_stats", text.TOKEN_STATS_SQL)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""
@@ -817,6 +845,30 @@ def per_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "train_split_assign",
+    shards.split_assign_sql("SELECT doc_id, text FROM documents"),
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split: bucket =
+    hash(md5(text)) % 100, so assignments survive corpus growth and
+    byte-identical duplicates can never straddle the train/test fence.
+    Zero shuffle — one map-side projection."""
+    return shards.split_assign(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "bpe_pair_counts",
+    text.bpe_pair_counts_sql("SELECT doc_id, text FROM documents"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration's merge ranking: corpus-wide adjacent
+    token-pair counts, top-50 by (count DESC, pair ASC). zip_with over
+    two token-array slices + ONE map-side-combinable count shuffle —
+    the reason corpus-scale tokenizer induction is tractable."""
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
 @query("mixture_temperature_sample", shards.mixture_temperature_sample_sql())
 def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted (alpha=0.5) mixture sampling by lang — the
@@ -935,6 +987,23 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides salting/AQE-skew handling before a join or agg ships."""
     e = load_table(spark, sf_dir, "events").select("event_type")
     return stats.key_skew_profile(e, "event_type")
+
+
+@query(
+    "hll_distinct_users",
+    stats.hll_distinct_sql(
+        "SELECT event_type, user_id FROM events", "user_id", "event_type"
+    ),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via the engine's OWN
+    HyperLogLog (portable md5 register hash, exact decimal register
+    sum), compared against the exact count in the same result. Unlike
+    approx_count_distinct, the sketch is deterministic and reproduced
+    bit-for-bit by the DuckDB oracle — estimate AND realized error are
+    hash-checked, not just row counts."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return stats.hll_distinct(e, "user_id", "event_type")
 
 
 # --------------------------------------------------------------------------

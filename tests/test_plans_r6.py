@@ -1,0 +1,103 @@
+"""Physical-plan + behavior guards for the round-6 operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _executed(spark, name, sf_dir):
+    from databus_spark.registry import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hll_two_exchanges_only(spark, sf_dir):
+    """HLL is register-agg then group-fold: the sketch side costs two
+    exchanges (grp,b) then (grp); the exact count_distinct comparison
+    column adds its own pair. Never a cartesian, never a sort of the
+    input."""
+    plan = _executed(spark, "hll_distinct_users", sf_dir)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 6, plan[:900]
+
+
+def test_split_assign_zero_shuffle(spark, sf_dir):
+    """The content-hash split is a pure projection."""
+    plan = _executed(spark, "train_split_assign", sf_dir)
+    assert "Exchange" not in plan, plan[:900]
+
+
+def test_bpe_pair_counts_single_agg_shuffle(spark, sf_dir):
+    """One count shuffle + the TakeOrdered top-n; the token stream is
+    exploded once, never self-joined."""
+    plan = _executed(spark, "bpe_pair_counts", sf_dir)
+    assert plan.count("Exchange") <= 1, plan[:900]
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_filtered_ann_filters_candidates_not_queries(spark, sf_dir):
+    """ann_filtered_topk: every neighbor satisfies the predicate; the
+    query set is unconstrained (odd-label queries still get answers)."""
+    from databus_spark.catalog import load_table
+    from databus_spark.registry import QUERIES
+
+    out = QUERIES["ann_filtered_topk"](spark, sf_dir)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = out.collect()
+    assert rows, "filtered search returned nothing"
+    assert all(labels[r["neighbor_id"]] % 2 == 0 for r in rows)
+    assert any(labels[r["query_id"]] % 2 == 1 for r in rows), (
+        "query side must not be filtered"
+    )
+
+
+def test_semdedup_partitions_corpus(spark, sf_dir):
+    """semdedup emits one row per corpus vector; survivors = cluster
+    minima; every cluster member shares the survivor's cell or reached
+    it transitively; singletons survive."""
+    from databus_spark.catalog import load_table
+    from databus_spark.registry import QUERIES
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = QUERIES["semdedup_survivors"](spark, sf_dir).collect()
+    assert len(rows) == n
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["vec_id"] for m in members)
+        assert sum(m["is_survivor"] for m in members) == 1
+
+
+def test_bootstrap_state_reads_changelog_once(spark, sf_dir):
+    """The fused phase windows read the changelog ONCE: bootstrap_state's
+    plan has exactly as many file scans as the bare changelog (the r5
+    union-of-phases form doubled every scan under it)."""
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.operators.bootstrap import bootstrap_state
+
+    def scans(df):
+        df.count()
+        return df._jdf.queryExecution().executedPlan().toString().count("Scan parquet")
+
+    log = orders_changelog(spark, sf_dir)
+    assert scans(bootstrap_state(log, 3000, 6_000_000_000)) == scans(log)
+
+
+def test_hll_estimate_error_bounded(spark, sf_dir):
+    """The realized HLL error stays inside ~3x the theoretical standard
+    error (1.04/sqrt(m)) on every group — a loose but real accuracy
+    contract for the m=256 sketch."""
+    from databus_spark.registry import QUERIES
+
+    rows = QUERIES["hll_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    bound = 3 * 1.04 / (256 ** 0.5)
+    for r in rows:
+        assert r["rel_err"] <= bound, (r["event_type"], r["rel_err"], bound)

@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # leaves a query locally unchecked.
 _PRIORITY = [
     # NEW this round (never had an external driver row) — always first
+    "funnel_conversion",
+    "retention_cohorts",
+    "cm_frequency_profile",
     "hll_distinct_users",
     "semdedup_survivors",
     "ann_filtered_topk",
@@ -76,6 +79,9 @@ _PRIORITY = [
     "text_quality",
     "text_lang_id",
     "lm_quality_score",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank_topk",
     # (c) oldest green rows (r4) — refresh before they go stale
     "snapshot_orders",
     "snapshot_customer",
@@ -97,7 +103,6 @@ _PRIORITY = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_pq_topk",
     # deferred to next round's window (still verified locally):
     "text_token_stats",
     "chunk_documents",

@@ -694,7 +694,11 @@ def ivfpq_topk(
         )
     )
     approx = (
-        cand.join(codes, "neighbor_id")
+        # cand is bounded by the query batch (n_queries * probed-cell
+        # population) — broadcast it explicitly; with PQ_K=32 the codes
+        # side's size estimate grew past AQE's auto-broadcast threshold
+        # and this join silently fell back to sort-merge
+        codes.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(adc), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").cast("decimal(24,6)").alias("approx_dist"))

@@ -256,10 +256,15 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _HLL_NUMER = repr(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 53))  # exact literal
 
 
-def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
-    """(group, n_exact, n_hll, rel_err): HLL estimate of distinct
-    `key_col` per group next to the exact count — the estimator AND its
-    realized error, both bit-identical across engines."""
+def hll_registers(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """(grp, b, r): the per-group HLL register state — the MERGEABLE
+    sketch. Merging sketches of any partition of the data is a plain
+    ``groupBy(grp, b).max(r)`` (register-wise max is associative,
+    commutative and idempotent), which is also exactly what a partial
+    aggregate does map-side — mergeability of the reference's stats
+    collectors (A2/A3) falls out of Spark's two-phase aggregation, and
+    the same property makes the sketch streamable (max-merge per
+    micro-batch) and unionable across corpora without rescanning."""
     from databus_spark.functions.hashes import portable_hash64
 
     h = portable_hash64(F.col(key_col).cast("string"), F.lit("hll"))
@@ -268,17 +273,20 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     rho = F.when(w == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.select(F.col(group_col).alias("grp"), bucket.alias("b"), rho.alias("r"))
         .groupBy("grp", "b")
         .agg(F.max("r").alias("r"))
     )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Fold register state (grp, b, r) to (grp, n_hll): the exact
+    decimal harmonic sum, the embedded-literal numerator, and the
+    linear-counting small-range branch."""
     per_group = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("_present"),
         F.sum(F.expr("shiftleft(1L, 53 - r)").cast("decimal(38,0)")).alias("_zsum"),
-    )
-    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count_distinct(F.col(key_col)).alias("n_exact")
     )
     zeros = F.lit(HLL_M) - F.col("_present")
     z = (
@@ -289,15 +297,26 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
         (raw <= 2.5 * HLL_M) & (zeros > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
     ).otherwise(raw)
+    return per_group.select("grp", F.round(est, 4).alias("n_hll"))
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """(group, n_exact, n_hll, rel_err): HLL estimate of distinct
+    `key_col` per group next to the exact count — the estimator AND its
+    realized error, both bit-identical across engines."""
+    estimates = hll_estimate(hll_registers(df, key_col, group_col))
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(key_col)).alias("n_exact")
+    )
     return (
-        per_group.join(exact, "grp")
+        estimates.join(exact, "grp")
         .select(
             F.col("grp").alias(group_col),
             "n_exact",
-            F.round(est, 4).alias("n_hll"),
-            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
-                "rel_err"
-            ),
+            "n_hll",
+            F.round(
+                F.abs(F.col("n_hll") - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
         )
     )
 
@@ -344,6 +363,220 @@ def hll_distinct_sql(from_sql: str, key_col: str, group_col: str) -> str:
         )
         SELECT grp AS {group_col}, n_exact,
                round(est, 4) AS n_hll,
-               round(abs(est - n_exact) / n_exact, 4) AS rel_err
+               round(abs(round(est, 4) - n_exact) / n_exact, 4) AS rel_err
         FROM scored
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch — the HLL's counting sibling
+# ---------------------------------------------------------------------------
+# Approximate per-key frequencies in d*w integers regardless of key
+# cardinality: d seeded hash rows of w counters; estimate = min over
+# rows of the key's counter (one-sided error: NEVER an undercount,
+# overcounts only from collisions). Everything is integer arithmetic on
+# the shared portable hash family, so unlike probabilistic sketch
+# libraries the estimates are bit-identical across engines and the
+# overcount is deterministic — the oracle checks exact equality AND the
+# one-sided bound.
+#
+# Mergeability: counters ADD (sum per (row, pos)) — map-side partial
+# aggregation merges shard sketches for free, same as hll_registers'
+# max-merge. 100 TB shape: one groupBy on (seed_row, pos) bounded by
+# d*w = 768 output rows; scoring keys is a broadcast join against the
+# sketch table.
+
+CM_D = 3    # hash rows
+CM_W = 256  # counters per row
+
+
+def _cm_pos(key_col, s_col):
+    from databus_spark.functions.hashes import portable_hash64
+
+    seed = F.concat(F.lit("cm"), s_col.cast("string"))
+    return F.pmod(portable_hash64(key_col.cast("string"), seed), F.lit(CM_W))
+
+
+def cm_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """(s, pos, c): the d x w counter table — at most CM_D * CM_W rows."""
+    fan = df.select(
+        F.col(key_col).alias("_k"),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("s"),
+    )
+    return (
+        fan.select("s", _cm_pos(F.col("_k"), F.col("s")).alias("pos"))
+        .groupBy("s", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cm_estimate(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
+    """(key, n_cm): min-over-rows counter lookup for each input key.
+    The sketch is broadcast (<= d*w rows)."""
+    fan = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("s"),
+    ).withColumn("pos", _cm_pos(F.col(key_col), F.col("s")))
+    return (
+        fan.join(F.broadcast(sketch), ["s", "pos"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("n_cm"))
+    )
+
+
+def cm_frequency_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """(key, n_exact, n_cm, overcount) for every distinct key — the
+    sketch estimate next to the truth, overcount >= 0 by construction."""
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cm_estimate(exact.select(key_col), cm_sketch(df, key_col), key_col)
+    return exact.join(est, key_col).select(
+        key_col,
+        "n_exact",
+        "n_cm",
+        (F.col("n_cm") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+def cm_frequency_profile_sql(from_sql: str, key_col: str) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    pos = (
+        "("
+        + portable_hash64_sql(
+            f"CAST({key_col} AS VARCHAR)", "('cm' || CAST(s AS VARCHAR))"
+        )
+        + f") % {CM_W}"
+    )
+    return f"""
+        WITH seeds AS (SELECT unnest(range(0, {CM_D})) AS s),
+        sketch AS (
+            SELECT s, {pos} AS pos, count(*) AS c
+            FROM ({from_sql}) CROSS JOIN seeds
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT {key_col}, count(*) AS n_exact
+            FROM ({from_sql}) GROUP BY 1
+        ),
+        est AS (
+            SELECT {key_col}, min(c) AS n_cm
+            FROM (
+                SELECT e.{key_col}, s, {pos.replace(key_col, f'e.{key_col}')} AS pos
+                FROM exact e CROSS JOIN seeds
+            ) k
+            JOIN sketch USING (s, pos)
+            GROUP BY 1
+        )
+        SELECT {key_col}, n_exact, n_cm, n_cm - n_exact AS overcount
+        FROM exact JOIN est USING ({key_col})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered-step conversion over the event stream)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_counts(events: DataFrame, steps=FUNNEL_STEPS, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts") -> DataFrame:
+    """(stage, step, n_users): users reaching each funnel stage IN ORDER
+    — stage k counts users with an event of step k strictly after their
+    earliest qualifying step k-1 event.
+
+    Scale shape: one map-side-combinable min-agg per stage keyed by
+    user, chained by user-keyed equi-joins whose right side only ever
+    SHRINKS (stage-k survivors); no windows over the full stream, no
+    per-user event collection.
+    """
+    reached = None
+    out = []
+    for i, step in enumerate(steps):
+        stage_events = events.where(F.col(type_col) == step)
+        if reached is None:
+            cur = stage_events.groupBy(F.col(user_col).alias("u")).agg(
+                F.min(ts_col).alias("t")
+            )
+        else:
+            cur = (
+                stage_events.join(
+                    reached, F.col(user_col) == F.col("u"), "inner"
+                )
+                .where(F.col(ts_col) > F.col("t"))
+                .groupBy("u")
+                .agg(F.min(ts_col).alias("t2"))
+                .select("u", F.col("t2").alias("t"))
+            )
+        reached = cur.localCheckpoint(eager=False)
+        out.append(
+            reached.agg(
+                F.lit(i + 1).alias("stage"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def funnel_counts_sql(from_sql: str, steps=FUNNEL_STEPS) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id AS u, min(ts) AS t FROM ({from_sql}) "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id AS u, min(e.ts) AS t "
+            f"FROM ({from_sql}) e JOIN s{i} ON e.user_id = s{i}.u "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > s{i}.t GROUP BY 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{s}' AS step, count(*) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (first-seen cohort x activity offset)
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """(cohort_week, week_offset, n_active): users grouped by first-seen
+    week, counted distinct in each later week — the activity-retention
+    triangle. Integer week buckets (epoch // 604800) so both engines
+    bucket identically; two user-keyed aggs + one join, all map-side
+    combinable."""
+    weeks = events.select(
+        F.col(user_col).alias("u"),
+        (F.unix_timestamp(ts_col) / 604800).cast("bigint").alias("w"),
+    )
+    first = weeks.groupBy("u").agg(F.min("w").alias("w0"))
+    return (
+        weeks.dropDuplicates(["u", "w"])
+        .join(first, "u")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def retention_cohorts_sql(from_sql: str) -> str:
+    return f"""
+        WITH weeks AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+            FROM ({from_sql})
+        ),
+        first AS (SELECT u, min(w) AS w0 FROM weeks GROUP BY 1)
+        SELECT w0 AS cohort_week, w - w0 AS week_offset,
+               count(*) AS n_active
+        FROM weeks JOIN first USING (u)
+        GROUP BY 1, 2
     """

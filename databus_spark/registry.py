@@ -990,6 +990,48 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    stats.funnel_counts_sql("SELECT user_id, event_type, ts FROM events"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream (view -> click ->
+    purchase): stage k counts users with a step-k event strictly after
+    their earliest qualifying step k-1 event. Per-stage min-aggs
+    chained by shrinking user-keyed joins — no full-stream windows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return stats.funnel_counts(e)
+
+
+@query(
+    "retention_cohorts",
+    stats.retention_cohorts_sql("SELECT user_id, ts FROM events"),
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-week cohorts x weekly-activity offsets — the
+    retention triangle, in integer week buckets both engines compute
+    identically."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return stats.retention_cohorts(e)
+
+
+@query(
+    "cm_frequency_profile",
+    stats.cm_frequency_profile_sql(
+        "SELECT user_id FROM events WHERE user_id < 50", "user_id"
+    ),
+)
+def cm_frequency_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over the event stream's user keys
+    (first 50 ids): per-key estimates from a d x w integer counter
+    table next to the exact counts. Pure integer arithmetic on the
+    portable hash family — estimates AND the one-sided overcount are
+    bit-identical in both engines; counters ADD, so shard sketches
+    merge map-side."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50).select("user_id")
+    return stats.cm_frequency_profile(e, "user_id")
+
+
+@query(
     "hll_distinct_users",
     stats.hll_distinct_sql(
         "SELECT event_type, user_id FROM events", "user_id", "event_type"

@@ -101,3 +101,51 @@ def test_hll_estimate_error_bounded(spark, sf_dir):
     bound = 3 * 1.04 / (256 ** 0.5)
     for r in rows:
         assert r["rel_err"] <= bound, (r["event_type"], r["rel_err"], bound)
+
+
+def test_hll_registers_merge(spark, sf_dir):
+    """The sketch is mergeable: register-wise max over sketches of any
+    partition of the data equals the sketch of the whole — the property
+    that makes it streamable (max-merge per micro-batch) and unionable
+    across corpora. Estimates from merged registers are identical too."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.catalog import load_table
+    from databus_spark.operators.stats import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    whole = hll_registers(e, "user_id", "event_type")
+    part_a = hll_registers(e.where(F.col("user_id") % 2 == 0), "user_id", "event_type")
+    part_b = hll_registers(e.where(F.col("user_id") % 2 == 1), "user_id", "event_type")
+    merged = (
+        part_a.unionByName(part_b).groupBy("grp", "b").agg(F.max("r").alias("r"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+    est_m = {tuple(r) for r in hll_estimate(merged).collect()}
+    est_w = {tuple(r) for r in hll_estimate(whole).collect()}
+    assert est_m == est_w
+
+
+def test_cm_sketch_one_sided_and_mergeable(spark, sf_dir):
+    """Count-Min never undercounts (overcount >= 0 on every key), and
+    counters ADD: sketches of disjoint halves summed per (s, pos) equal
+    the whole-data sketch."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.catalog import load_table
+    from databus_spark.operators.stats import cm_sketch
+    from databus_spark.registry import QUERIES
+
+    rows = QUERIES["cm_frequency_profile"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["overcount"] >= 0 for r in rows)
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    whole = cm_sketch(e, "user_id")
+    merged = (
+        cm_sketch(e.where(F.col("user_id") % 2 == 0), "user_id")
+        .unionByName(cm_sketch(e.where(F.col("user_id") % 2 == 1), "user_id"))
+        .groupBy("s", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}

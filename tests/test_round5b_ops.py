@@ -79,15 +79,20 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
 
 
 def test_ivfpq_candidates_respect_ivf_cells(spark, sf_dir):
-    """Every IVFPQ result pair must be an IVF candidate pair (the PQ
-    stage only re-scores, never widens, the IVF candidate set)."""
+    """Every IVFPQ result pair must be an IVF candidate pair AT THE
+    SAME PROBE WIDTH (the PQ stage only re-scores, never widens, the
+    IVF candidate set). IVFPQ's default nprobe is wider than plain
+    IVF's (r6), so the invariant is checked with nprobe matched."""
+    from databus_spark.operators.similarity import IVF_NPROBE
+
     emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     ivf_pairs = {
         (r["query_id"], r["neighbor_id"])
         for r in similarity.ivf_topk(emb, k=10**6).collect()
     }
     ivfpq_pairs = {
-        (r["query_id"], r["neighbor_id"]) for r in similarity.ivfpq_topk(emb).collect()
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(emb, nprobe=IVF_NPROBE).collect()
     }
     assert ivfpq_pairs, "ivfpq returned nothing"
     assert ivfpq_pairs <= ivf_pairs

@@ -24,6 +24,11 @@ HEADLINE = [
     ("dedup_span_windows", "substring-dup profile: one uniform window-text shuffle + stats join-back"),
     ("ann_ivfpq_topk", "IVF prune then PQ ADC: every dimension table broadcast, corpus never shuffles"),
     ("media_png_probe", "real PNG decode: pure mapInPandas chain, zero exchanges"),
+    ("hll_distinct_users", "HLL: (grp, register) partial-max shuffle, exact decimal harmonic sum"),
+    ("cm_frequency_profile", "Count-Min: d*w counter agg, broadcast sketch lookup"),
+    ("train_split_assign", "content-hash split: pure projection, zero exchanges"),
+    ("bpe_pair_counts", "BPE merge ranking: one count shuffle + TakeOrdered, no self-join"),
+    ("ann_filtered_topk", "filtered ANN: predicate on the index side before the cell join"),
 ]
 
 spark = build_session("plans", cpus=8)

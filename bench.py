@@ -53,6 +53,12 @@ def main() -> None:
     # Untimed warm-up: the first job in a fresh JVM pays JIT/codegen init
     # (~4-5 s) that would otherwise be billed to whichever query runs first.
     queries["max_scn_probe"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ... and the first Arrow/pandas-UDF job pays the Python-worker spawn
+    # (~1-3 s) — warm it too, or the first mapInPandas query in rotation
+    # order absorbs it (r6: media_features billed 1.4 s of worker spawn)
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # Pre-stage EVERY changelog variant (untimed). _staged writes the
     # parquet stage on a variant's first use, so without this the one-time

@@ -580,3 +580,129 @@ def retention_cohorts_sql(from_sql: str) -> str:
         FROM weeks JOIN first USING (u)
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile estimation — the deterministic approximate-percentile
+# ---------------------------------------------------------------------------
+# percentile_approx / t-digest style sketches are engine-private and
+# merge-order-sensitive, so they can only ever get a rows-only check
+# (the repo's approx_stats). This is the deterministic alternative: a
+# fixed-B equi-width histogram (built from a broadcast min/max probe),
+# cumulative counts, and within-bin linear interpolation — every step
+# an expression BOTH engines evaluate identically, so the estimate AND
+# its error against the exact percentile are hash-checked.
+#
+# 100 TB shape: one scalar min/max agg, one map-side-combinable
+# histogram agg (B rows out), then all quantile math happens on B rows.
+# The exact comparison column is the only full-sort-ish cost and exists
+# for the error report; production callers drop it.
+
+QB_BINS = 64
+
+
+def binned_quantiles(df: DataFrame, col: str, qs=(0.5, 0.9, 0.99)) -> DataFrame:
+    """(q, n_est, n_exact, abs_err): interpolated equi-width-histogram
+    quantile vs the exact interpolated percentile."""
+    mm = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+    span = F.col("_mx") - F.col("_mn")
+    binned = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor((F.col(col) - F.col("_mn")) * QB_BINS / span).cast("int"),
+                F.lit(QB_BINS - 1),
+            ).alias("bin"),
+            "_mn",
+            "_mx",
+        )
+    )
+    hist = binned.groupBy("bin", "_mn", "_mx").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as W
+
+    cum = hist.withColumn(
+        "cum", F.sum("n").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("total", F.sum("n").over(W.partitionBy()))
+    qdf = None
+    for q in qs:
+        one = (
+            cum.where(F.col("cum") >= F.lit(q) * F.col("total"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.round(
+                    F.col("_mn")
+                    + (
+                        F.col("bin")
+                        + (
+                            (F.lit(q) * F.col("total") - (F.col("cum") - F.col("n")))
+                            / F.col("n")
+                        )
+                    )
+                    * (F.col("_mx") - F.col("_mn"))
+                    / QB_BINS,
+                    4,
+                ).alias("n_est"),
+            )
+        )
+        qdf = one if qdf is None else qdf.unionByName(one)
+    exact = df.agg(
+        *[F.round(F.percentile(col, q), 4).alias(f"_p{i}") for i, q in enumerate(qs)]
+    )
+    exact_rows = None
+    for i, q in enumerate(qs):
+        row = exact.select(F.lit(q).alias("q"), F.col(f"_p{i}").alias("n_exact"))
+        exact_rows = row if exact_rows is None else exact_rows.unionByName(row)
+    return (
+        qdf.join(exact_rows, "q")
+        .select(
+            "q",
+            "n_est",
+            "n_exact",
+            F.round(F.abs(F.col("n_est") - F.col("n_exact")), 4).alias("abs_err"),
+        )
+    )
+
+
+def binned_quantiles_sql(from_sql: str, col: str, qs=(0.5, 0.9, 0.99)) -> str:
+    # CAST the q literals: DuckDB types bare 0.9 as DECIMAL(2,1) where
+    # Spark's lit(0.9) is DOUBLE — schema must match for the hash gate
+    q_union_est = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q" for q in qs
+    )
+    q_union_exact = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q,"
+        f" round(quantile_cont({col}, {q}), 4) AS n_exact"
+        f" FROM ({from_sql})"
+        for q in qs
+    )
+    return f"""
+        WITH mm AS (SELECT min({col}) AS mn, max({col}) AS mx FROM ({from_sql})),
+        binned AS (
+            SELECT least(CAST(floor(({col} - mn) * {QB_BINS} / (mx - mn)) AS INT),
+                         {QB_BINS - 1}) AS bin, mn, mx
+            FROM ({from_sql}) CROSS JOIN mm
+        ),
+        hist AS (SELECT bin, mn, mx, count(*) AS n FROM binned GROUP BY 1, 2, 3),
+        cum AS (
+            SELECT bin, mn, mx, n,
+                   sum(n) OVER (ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(n) OVER () AS total
+            FROM hist
+        ),
+        est AS (
+            SELECT q,
+                   round(mn + (bin + ((q * total - (cum - n)) / n))
+                             * (mx - mn) / {QB_BINS}, 4) AS n_est
+            FROM ({q_union_est}) qs
+            CROSS JOIN LATERAL (
+                SELECT bin, mn, mx, n, cum, total FROM cum
+                WHERE cum >= qs.q * total ORDER BY bin LIMIT 1
+            )
+        )
+        SELECT q, n_est, n_exact,
+               round(abs(n_est - n_exact), 4) AS abs_err
+        FROM est JOIN ({q_union_exact}) e USING (q)
+    """

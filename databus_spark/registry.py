@@ -990,6 +990,21 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_quantiles_binned",
+    stats.binned_quantiles_sql("SELECT value FROM events", "value"),
+)
+def approx_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic approximate percentiles (p50/p90/p99 of event
+    value): fixed-64-bin equi-width histogram + within-bin linear
+    interpolation, reported against the exact percentile with the
+    realized error — the oracle-checkable alternative to the
+    engine-private percentile_approx sketch (which approx_stats keeps,
+    rows-only)."""
+    e = load_table(spark, sf_dir, "events").select("value")
+    return stats.binned_quantiles(e, "value")
+
+
+@query(
     "funnel_conversion",
     stats.funnel_counts_sql("SELECT user_id, event_type, ts FROM events"),
 )

@@ -711,3 +711,60 @@ def bpe_pair_counts_sql(from_sql: str, top_n: int = 50) -> str:
         ORDER BY n DESC, pair ASC
         LIMIT {top_n}
     """
+
+
+# ---------------------------------------------------------------------------
+# Document structure profile (layout-level curation signals)
+# ---------------------------------------------------------------------------
+# Length/token stats say nothing about SHAPE: a wall of unbroken text,
+# a bullet-list dump, and well-paragraphed prose all score the same.
+# These are the standard layout signals (line/paragraph counts, mean
+# line length, bullet and short-line ratios) used to separate prose
+# from navigation dumps and code listings. Pure per-row split/filter
+# expressions — zero shuffle, exact DuckDB twins.
+
+def structure_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, n_paras, mean_line_len, bullet_ratio,
+    short_line_ratio): newline-structure features per document."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    non_empty = F.filter(lines, lambda ln: F.trim(ln) != "")
+    n_paras = F.size(F.filter(F.split(F.col(text_col), "\n\n+"), lambda p: F.trim(p) != ""))
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike("^([-*•]|[0-9]+[.)])\\s"))
+    )
+    short = F.size(F.filter(lines, lambda ln: (F.length(F.trim(ln)) > 0) & (F.length(F.trim(ln)) < 20)))
+    mean_len = F.when(
+        F.size(non_empty) > 0,
+        F.aggregate(non_empty, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln))
+        / F.size(non_empty),
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_paras.alias("n_paras"),
+        F.round(mean_len, 4).alias("mean_line_len"),
+        F.round(bullet / F.greatest(n_lines, F.lit(1)), 4).alias("bullet_ratio"),
+        F.round(short / F.greatest(n_lines, F.lit(1)), 4).alias("short_line_ratio"),
+    )
+
+
+def structure_profile_sql(from_sql: str) -> str:
+    lines = "string_split(text, chr(10))"
+    nonempty = f"list_filter({lines}, ln -> trim(ln) <> '')"
+    return f"""
+        SELECT doc_id,
+               len({lines}) AS n_lines,
+               len(list_filter(regexp_split_to_array(text, '\n\n+'),
+                               p -> trim(p) <> '')) AS n_paras,
+               round(CASE WHEN len({nonempty}) > 0 THEN
+                   CAST(list_sum(list_transform({nonempty}, ln -> length(ln)))
+                        AS DOUBLE) / len({nonempty}) END, 4) AS mean_line_len,
+               round(CAST(len(list_filter({lines},
+                   ln -> regexp_matches(trim(ln), '^([-*•]|[0-9]+[.)])\\s')))
+                   AS DOUBLE) / greatest(len({lines}), 1), 4) AS bullet_ratio,
+               round(CAST(len(list_filter({lines},
+                   ln -> length(trim(ln)) > 0 AND length(trim(ln)) < 20))
+                   AS DOUBLE) / greatest(len({lines}), 1), 4) AS short_line_ratio
+        FROM ({from_sql})
+    """

@@ -990,6 +990,18 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "structure_profile",
+    text.structure_profile_sql("SELECT doc_id, text FROM documents"),
+)
+def structure_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-level curation signals (line/paragraph counts, mean line
+    length, bullet + short-line ratios) that separate prose from
+    navigation dumps and code listings — pure per-row expressions,
+    zero shuffle."""
+    return text.structure_profile(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "approx_quantiles_binned",
     stats.binned_quantiles_sql("SELECT value FROM events", "value"),
 )
@@ -1875,8 +1887,11 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) + approx percentiles — the true
     analogs of the reference's mergeable sketches (UnifiedClientStats
-    decaying reservoir, A4; distinct accounting, A7). Driver records a
-    rows-only check; tests assert error bounds vs exact."""
+    decaying reservoir, A4; distinct accounting, A7). Spark's built-in
+    sketches are engine-private, so the driver records a rows-only
+    check (tests assert error bounds vs exact); for FULLY oracle-
+    checked sketch estimates see the engine's own implementations:
+    hll_distinct_users, cm_frequency_profile, approx_quantiles_binned."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),

@@ -149,3 +149,49 @@ def test_cm_sketch_one_sided_and_mergeable(spark, sf_dir):
         .agg(F.sum("c").alias("c"))
     )
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_funnel_strictly_ordered_semantics(spark):
+    """Funnel stages require strict temporal order: a user whose
+    'click' precedes their first 'view' does NOT reach stage 2; equal
+    timestamps do not count (strictly after)."""
+    from databus_spark.operators.stats import funnel_counts
+
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, "view", "2026-01-01 10:00:00"),
+        (1, "click", "2026-01-01 10:01:00"),
+        (1, "purchase", "2026-01-01 10:02:00"),
+        # u2: click BEFORE first view -> stalls at stage 1
+        (2, "click", "2026-01-01 09:00:00"),
+        (2, "view", "2026-01-01 10:00:00"),
+        # u3: click at the SAME instant as view -> not strictly after
+        (3, "view", "2026-01-01 10:00:00"),
+        (3, "click", "2026-01-01 10:00:00"),
+        # u4: view only
+        (4, "view", "2026-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, event_type STRING, ts STRING").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert got == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_structure_profile_shapes(spark):
+    """Bullet lists, walls of text, and paragraphed prose separate on
+    the layout features."""
+    from databus_spark.operators.text import structure_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "- apples\n- oranges\n- pears"),
+            (2, "one long unbroken wall of text with many words in a single line"),
+            (3, "First paragraph here.\n\nSecond paragraph there.\n\nThird one."),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in structure_profile(docs).collect()}
+    assert got[1]["bullet_ratio"] == 1.0
+    assert got[2]["n_lines"] == 1 and got[2]["n_paras"] == 1
+    assert got[3]["n_paras"] == 3 and got[3]["bullet_ratio"] == 0.0

@@ -425,12 +425,16 @@ def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            # cast the (exact) decimal sum to double BEFORE dividing:
-            # decimal-division scale/rounding differs across engines,
-            # IEEE double division does not
-            F.round(F.sum("tok_nll").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_nll"
-            ),
+            # truncated-6dp mean via exact micro-unit floor-division
+            # (the novelty-ratio pattern): the scale-6 decimal sum is
+            # integral in micro-units, so the only float op is one IEEE
+            # divide — round(sum_as_double/count, 6) was one near-
+            # boundary quotient away from a cross-engine mismatch
+            # (proactive r6 fix; the bigram scorer DID hit it)
+            F.expr(
+                "cast(cast(sum(tok_nll) * 1000000 as bigint) div count(1) as double)"
+                " / 1000000.0"
+            ).alias("avg_nll"),
         )
     )
 
@@ -450,7 +454,8 @@ def lm_quality_score_sql(from_sql: str) -> str:
             FROM tf, total
         )
         SELECT doc_id, count(*) AS n_tokens,
-               round(CAST(sum(tok_nll) AS DOUBLE) / count(*), 6) AS avg_nll
+               CAST(CAST(sum(tok_nll) * 1000000 AS BIGINT) // count(*) AS DOUBLE)
+                   / 1000000.0 AS avg_nll
         FROM toks JOIN nll USING (tok)
         GROUP BY 1
     """
@@ -767,4 +772,127 @@ def structure_profile_sql(from_sql: str) -> str:
                    ln -> length(trim(ln)) > 0 AND length(trim(ln)) < 20))
                    AS DOUBLE) / greatest(len({lines}), 1), 4) AS short_line_ratio
         FROM ({from_sql})
+    """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM quality score (the unigram filter's upgrade)
+# ---------------------------------------------------------------------------
+# lm_quality_score ranks documents by unigram surprisal — blind to word
+# ORDER ("the the the the" scores as well as prose). The standard cheap
+# upgrade is an interpolated bigram model: p(w|v) = L*p2(w|v) +
+# (1-L)*p1(w), which penalizes improbable transitions while unigram
+# smoothing keeps unseen bigrams finite. Same determinism engineering
+# as the unigram scorer: every per-token NLL rounds to 6dp and sums as
+# DECIMAL; the probability arithmetic is one fixed IEEE expression both
+# engines evaluate identically.
+#
+# 100 TB shape: two count aggregations (unigrams; adjacent pairs — the
+# bpe_pair_counts stream) and two token-keyed equi-joins. First tokens
+# score by p1 alone, later tokens by the interpolation.
+
+LM2_LAMBDA = 0.7
+
+
+def lm2_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_nll2): mean interpolated-bigram NLL."""
+    toks_arr = tokens_col(text_col)
+    base = docs.select("doc_id", toks_arr.alias("_t")).localCheckpoint(eager=False)
+
+    unis = base.select("doc_id", F.explode("_t").alias("w"))
+    tf = unis.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("n_total"))
+    tf = tf.crossJoin(F.broadcast(total))
+
+    pair_arr = F.zip_with(
+        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+        F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+        lambda v, w: F.struct(v.alias("v"), w.alias("w")),
+    )
+    pairs = base.select("doc_id", F.explode(pair_arr).alias("p")).select(
+        "doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w")
+    )
+    tf2 = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("tf2"))
+
+    lam = F.lit(LM2_LAMBDA)
+    p_interp = (
+        lam * (F.col("tf2") / F.col("tf_v"))
+        + (F.lit(1.0) - lam) * (F.col("tf_w") / F.col("n_total"))
+    )
+    pair_nll = (
+        pairs.join(tf2, ["v", "w"])
+        .join(tf.select(F.col("w").alias("v"), F.col("tf").alias("tf_v")), "v")
+        .join(tf.select("w", F.col("tf").alias("tf_w"), "n_total"), "w")
+        .select(
+            "doc_id",
+            F.round(-F.log(p_interp), 6).cast("decimal(18,6)").alias("nll"),
+        )
+    )
+    first_nll = (
+        base.select("doc_id", F.element_at("_t", 1).alias("w"))
+        .where(F.col("w").isNotNull())
+        .join(tf.select("w", "tf", "n_total"), "w")
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("tf") / F.col("n_total")), 6)
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return (
+        first_nll.unionByName(pair_nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # the novelty-ratio pattern: the decimal sum is integral in
+            # micro-units (scale 6), so truncated-6dp mean = exact bigint
+            # floor-division then ONE IEEE divide — round(double, 6)
+            # diverges across engines on near-boundary quotients (the
+            # r5 text_novelty bug class; this query HIT it at sf0.001)
+            F.expr(
+                "cast(cast(sum(nll) * 1000000 as bigint) div count(1) as double)"
+                " / 1000000.0"
+            ).alias("avg_nll2"),
+        )
+    )
+
+
+def lm2_quality_score_sql(from_sql: str) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    lam = LM2_LAMBDA
+    return f"""
+        WITH base AS (SELECT doc_id, {toks} AS t FROM ({from_sql})),
+        unis AS (SELECT doc_id, unnest(t) AS w FROM base),
+        tf AS (SELECT w, count(*) AS tf FROM unis GROUP BY 1),
+        total AS (SELECT sum(tf) AS n_total FROM tf),
+        pairs AS (
+            SELECT doc_id, t[i] AS v, t[i + 1] AS w
+            FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+                  FROM base)
+        ),
+        tf2 AS (SELECT v, w, count(*) AS tf2 FROM pairs GROUP BY 1, 2),
+        pair_nll AS (
+            SELECT doc_id,
+                   CAST(round(-ln({lam} * (CAST(tf2 AS DOUBLE) / tv.tf)
+                              + {1.0 - lam} * (CAST(tw.tf AS DOUBLE) / n_total)), 6)
+                        AS DECIMAL(18,6)) AS nll
+            FROM pairs
+            JOIN tf2 USING (v, w)
+            JOIN tf tv ON tv.w = pairs.v
+            JOIN tf tw ON tw.w = pairs.w
+            CROSS JOIN total
+        ),
+        first_nll AS (
+            SELECT doc_id,
+                   CAST(round(-ln(CAST(tf AS DOUBLE) / n_total), 6)
+                        AS DECIMAL(18,6)) AS nll
+            FROM (SELECT doc_id, t[1] AS w FROM base WHERE len(t) >= 1)
+            JOIN tf USING (w)
+            CROSS JOIN total
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(CAST(sum(nll) * 1000000 AS BIGINT) // count(*) AS DOUBLE)
+                   / 1000000.0 AS avg_nll2
+        FROM (SELECT * FROM first_nll UNION ALL SELECT * FROM pair_nll)
+        GROUP BY 1
     """

@@ -990,6 +990,18 @@ def key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm2_quality_score",
+    text.lm2_quality_score_sql("SELECT doc_id, text FROM documents"),
+)
+def lm2_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring: p(w|v) = 0.7*p2 + 0.3*p1 —
+    penalizes improbable word TRANSITIONS the unigram filter can't see
+    ('the the the the'), with unigram smoothing keeping unseen bigrams
+    finite. Two count aggs + token-keyed joins; decimal-summed NLLs."""
+    return text.lm2_quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "structure_profile",
     text.structure_profile_sql("SELECT doc_id, text FROM documents"),
 )

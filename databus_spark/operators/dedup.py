@@ -1100,3 +1100,166 @@ def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
         FROM occ JOIN firsts USING (seg)
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# 9. Incremental NEAR-dup dedup against a reference corpus
+# ---------------------------------------------------------------------------
+# incremental_dedup() catches exact copies; a rolling crawl mostly
+# delivers EDITED copies (boilerplate swaps, timestamp churn). Same
+# production constraint: the base corpus is NEVER re-deduplicated —
+# only the delta is probed. At 100 TB the base's band index (band,
+# band_key, doc_id) is materialized once at ingest and appended per
+# batch, so a delta probe is one equi-join against an index keyed
+# exactly like the join — the incremental complement of
+# minhash_lsh_pairs' in-corpus pair-gen.
+
+def incremental_near_dedup(
+    incoming: DataFrame, base: DataFrame, k: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """(doc_id, matched_base, est_jaccard, is_new) per incoming doc:
+    the lowest-id base doc whose minhash signature agrees >= threshold
+    (candidates generated by banded LSH against the base band index).
+    Degenerate base buckets (> MAX_BAND_DOCS) are dropped from probing,
+    mirroring every pair generator's hot-bucket cap."""
+    rows_per_band = N_HASHES // N_BANDS
+
+    def _bands(sig: DataFrame, id_out: str) -> DataFrame:
+        parts = []
+        for b in range(N_BANDS):
+            cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            parts.append(
+                sig.select(
+                    F.col("doc_id").alias(id_out),
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    in_sig = minhash_signatures(incoming, k).localCheckpoint(eager=False)
+    base_sig = minhash_signatures(base, k).localCheckpoint(eager=False)
+
+    base_bands = _bands(base_sig, "base_doc")
+    ok = (
+        base_bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= MAX_BAND_DOCS)
+        .select("band", "band_key")
+    )
+    base_bands = base_bands.join(ok, ["band", "band_key"])
+    cand = (
+        _bands(in_sig, "in_doc")
+        .join(base_bands, ["band", "band_key"])
+        .select("in_doc", "base_doc")
+        .distinct()
+    )
+    sa, sb = in_sig.alias("sa"), base_sig.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    matches = (
+        cand.join(sa, cand["in_doc"] == F.col("sa.doc_id"))
+        .join(sb, cand["base_doc"] == F.col("sb.doc_id"))
+        .select("in_doc", "base_doc", F.round(eq / F.lit(N_HASHES), 6).alias("ej"))
+        .where(F.col("ej") >= threshold)
+        .groupBy("in_doc")
+        .agg(
+            F.min_by("base_doc", F.struct((-F.col("ej")).alias("nej"), F.col("base_doc"))).alias(
+                "matched_base"
+            ),
+            F.max("ej").alias("est_jaccard"),
+        )
+    )
+    return (
+        incoming.select("doc_id")
+        .join(matches, incoming["doc_id"] == matches["in_doc"], "left")
+        .select(
+            "doc_id",
+            "matched_base",
+            "est_jaccard",
+            F.col("matched_base").isNull().alias("is_new"),
+        )
+    )
+
+
+def incremental_near_dedup_sql(
+    incoming_sql: str, base_sql: str, k: int = 5, threshold: float = 0.5
+) -> str:
+    rows_per_band = N_HASHES // N_BANDS
+
+    h = portable_hash64_sql("shingle")
+
+    def sig_cte(name: str, src: str) -> str:
+        # mirrors minhash_lsh_sql exactly: the 60-bit portable hash is
+        # split 30/30 so the affine combos stay inside INT64
+        mh_cols = ", ".join(
+            f"min(({_MH_A[i]} * lo + {_MH_B[i]} * hi + {_MH_C[i]}) % {_MH_MOD}) AS mh_{i}"
+            for i in range(N_HASHES)
+        )
+        return f"""{name} AS (
+            SELECT doc_id, {mh_cols}
+            FROM (
+                SELECT doc_id, (h & {_MH_MASK30}) AS lo, (h >> 30) AS hi
+                FROM (SELECT doc_id, {h} AS h
+                      FROM ({_shingles_sql_over(src, k)}))
+            ) GROUP BY doc_id
+        )"""
+
+    def bands_cte(name: str, sig: str, id_out: str) -> str:
+        parts = []
+        for b in range(N_BANDS):
+            cols = ", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            parts.append(
+                f"SELECT doc_id AS {id_out}, {b} AS band,"
+                f" md5(concat_ws('|', {cols})) AS band_key FROM {sig}"
+            )
+        return f"{name} AS ({' UNION ALL '.join(parts)})"
+
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+        WITH {sig_cte("in_sig", incoming_sql)},
+        {sig_cte("base_sig", base_sql)},
+        {bands_cte("in_bands", "in_sig", "in_doc")},
+        {bands_cte("base_bands_all", "base_sig", "base_doc")},
+        ok AS (
+            SELECT band, band_key FROM base_bands_all
+            GROUP BY 1, 2 HAVING count(*) <= {MAX_BAND_DOCS}
+        ),
+        base_bands AS (
+            SELECT b.* FROM base_bands_all b JOIN ok USING (band, band_key)
+        ),
+        cand AS (
+            SELECT DISTINCT in_doc, base_doc
+            FROM in_bands JOIN base_bands USING (band, band_key)
+        ),
+        matches AS (
+            SELECT in_doc, base_doc AS matched_base, ej AS est_jaccard
+            FROM (
+                SELECT in_doc, base_doc, ej,
+                       row_number() OVER (PARTITION BY in_doc
+                                          ORDER BY ej DESC, base_doc ASC) AS rn
+                FROM (
+                    SELECT in_doc, base_doc,
+                           round(CAST(({eq}) AS DOUBLE) / {N_HASHES}, 6) AS ej
+                    FROM cand
+                    JOIN in_sig sa ON sa.doc_id = cand.in_doc
+                    JOIN base_sig sb ON sb.doc_id = cand.base_doc
+                )
+                WHERE ej >= {threshold}
+            )
+            WHERE rn = 1
+        )
+        SELECT i.doc_id, m.matched_base, m.est_jaccard,
+               m.matched_base IS NULL AS is_new
+        FROM (SELECT doc_id FROM ({incoming_sql})) i
+        LEFT JOIN matches m ON m.in_doc = i.doc_id
+    """

@@ -470,6 +470,26 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(incoming, base)
 
 
+@query(
+    "dedup_incremental_near",
+    dedup.incremental_near_dedup_sql(
+        f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",
+        "SELECT * FROM documents",
+    ),
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingestion NEAR-dup check: the incoming delta probed
+    against the base corpus's banded-LSH index — catches the EDITED
+    copies (first-token-dropped) the exact-hash incremental check
+    misses, without ever re-deduplicating the base. The base band
+    index is the materialize-at-ingest artifact at scale."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    base = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_near_dedup(incoming, base)
+
+
 @query("dedup_span_windows", dedup.span_dedup_sql(dedup.DOCS_WITH_DUPS_SQL))
 def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication profile: per-doc fraction of

@@ -1,0 +1,126 @@
+"""Data-expectation checks — the pipeline guardrail layer.
+
+A 100 TB ingest without automated expectations fails silently: a
+producer schema drift or a torn extract shows up weeks later as bad
+training data. This is the Deequ/Great-Expectations shape restated as
+plain aggregations: each check is one declarative measurement
+(anti-join for referential integrity, groupBy for uniqueness, a
+predicate aggregate for ranges) reduced to a one-row summary, so a
+whole expectation suite over a 100 TB table costs one pass per
+distinct input + a union of scalar rows.
+
+Check results are (check, n_rows, n_violations, pass) — exact
+integers, trivially oracle-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fk_integrity(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str
+) -> DataFrame:
+    """Referential integrity: child keys missing from the parent.
+    Anti-join keyed on the FK — broadcast the parent's distinct keys
+    when the dimension is small, shuffle otherwise (Catalyst/AQE
+    decides from sizes)."""
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    viol = (
+        child.select(F.col(child_key))
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    return total.crossJoin(viol).select(
+        F.lit(name).alias("check"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def uniqueness(df: DataFrame, key: str, name: str) -> DataFrame:
+    """Key uniqueness: rows beyond the first per key value count as
+    violations. One map-side-combinable count agg."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    return per_key.agg(
+        F.lit(name).alias("check"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum(F.col("_n") - 1).cast("long").alias("n_violations"),
+    ).select(
+        "check", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("pass")
+    )
+
+
+def predicate_check(df: DataFrame, predicate, name: str) -> DataFrame:
+    """Row-level expectation: rows violating `predicate` (a boolean
+    Column; NULL counts as a violation)."""
+    return df.agg(
+        F.lit(name).alias("check"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.coalesce(predicate, F.lit(False)), 0).otherwise(1))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(
+        "check", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("pass")
+    )
+
+
+def expectation_suite(checks: list[DataFrame]) -> DataFrame:
+    """Union of one-row check results — the suite report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _one_check_sql(name: str, n_rows_sql: str, n_viol_sql: str) -> str:
+    return f"""
+        SELECT '{name}' AS check,
+               CAST(({n_rows_sql}) AS BIGINT) AS n_rows,
+               CAST(({n_viol_sql}) AS BIGINT) AS n_violations,
+               ({n_viol_sql}) = 0 AS pass
+    """
+
+
+def tpch_expectations_sql() -> str:
+    """The oracle for the registry's TPC-H expectation suite."""
+    checks = [
+        _one_check_sql(
+            "orders.custkey->customer",
+            "SELECT count(*) FROM orders",
+            "SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey"
+            " FROM customer) c ON o.o_custkey = c.c_custkey"
+            " WHERE c.c_custkey IS NULL",
+        ),
+        _one_check_sql(
+            "lineitem.orderkey->orders",
+            "SELECT count(*) FROM lineitem",
+            "SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey"
+            " FROM orders) o ON l.l_orderkey = o.o_orderkey"
+            " WHERE o.o_orderkey IS NULL",
+        ),
+        _one_check_sql(
+            "orders.orderkey unique",
+            "SELECT count(*) FROM orders",
+            "SELECT sum(n - 1) FROM (SELECT count(*) AS n FROM orders"
+            " GROUP BY o_orderkey)",
+        ),
+        _one_check_sql(
+            "orders.totalprice > 0",
+            "SELECT count(*) FROM orders",
+            "SELECT count(*) FROM orders"
+            " WHERE NOT coalesce(o_totalprice > 0, FALSE)",
+        ),
+        _one_check_sql(
+            "events.ts not null",
+            "SELECT count(*) FROM events",
+            "SELECT count(*) FROM events WHERE ts IS NULL",
+        ),
+    ]
+    return " UNION ALL ".join(f"({c})" for c in checks)

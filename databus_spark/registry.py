@@ -401,7 +401,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data operators: dedup family (beyond-reference, SURVEY §7 Phase 6)
 # --------------------------------------------------------------------------
 
-from databus_spark.operators import dedup, multimodal, shards, similarity, text  # noqa: E402
+from databus_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    shards,
+    similarity,
+    text,
+    validate,
+)
 
 
 @query("dedup_exact", dedup.EXACT_DEDUP_SQL)
@@ -468,6 +475,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = load_table(spark, sf_dir, "documents")
     return dedup.incremental_dedup(incoming, base)
+
+
+@query("data_expectations", validate.tpch_expectations_sql())
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline guardrails: a Deequ-style expectation suite over the
+    warehouse tables — referential integrity (orders->customer,
+    lineitem->orders, via anti-joins), key uniqueness, a range check,
+    and a null check, each reduced to a one-row exact-integer verdict
+    and unioned into the suite report."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    return validate.expectation_suite(
+        [
+            validate.fk_integrity(
+                orders, customer, "o_custkey", "c_custkey", "orders.custkey->customer"
+            ),
+            validate.fk_integrity(
+                lineitem, orders, "l_orderkey", "o_orderkey", "lineitem.orderkey->orders"
+            ),
+            validate.uniqueness(orders, "o_orderkey", "orders.orderkey unique"),
+            validate.predicate_check(
+                orders, F.col("o_totalprice") > 0, "orders.totalprice > 0"
+            ),
+            validate.predicate_check(
+                events, F.col("ts").isNotNull(), "events.ts not null"
+            ),
+        ]
+    )
 
 
 @query(

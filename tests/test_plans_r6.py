@@ -195,3 +195,22 @@ def test_structure_profile_shapes(spark):
     assert got[1]["bullet_ratio"] == 1.0
     assert got[2]["n_lines"] == 1 and got[2]["n_paras"] == 1
     assert got[3]["n_paras"] == 3 and got[3]["bullet_ratio"] == 0.0
+
+
+def test_expectations_catch_injected_violations(spark):
+    """The guardrails must actually fire: planted FK orphans, duplicate
+    keys, out-of-range and NULL rows are counted, and pass flips."""
+    from databus_spark.operators import validate
+
+    parent = spark.createDataFrame([(1,), (2,)], "k LONG")
+    child = spark.createDataFrame([(1,), (2,), (3,), (3,)], "fk LONG")
+    fk = validate.fk_integrity(child, parent, "fk", "k", "fk").collect()[0]
+    assert (fk["n_rows"], fk["n_violations"], fk["pass"]) == (4, 2, False)
+
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "k LONG")
+    u = validate.uniqueness(dup, "k", "u").collect()[0]
+    assert (u["n_violations"], u["pass"]) == (1, False)
+
+    vals = spark.createDataFrame([(5.0,), (-1.0,), (None,)], "v DOUBLE")
+    p = validate.predicate_check(vals, F.col("v") > 0, "pos").collect()[0]
+    assert (p["n_rows"], p["n_violations"], p["pass"]) == (3, 2, False)

@@ -29,6 +29,10 @@ HEADLINE = [
     ("train_split_assign", "content-hash split: pure projection, zero exchanges"),
     ("bpe_pair_counts", "BPE merge ranking: one count shuffle + TakeOrdered, no self-join"),
     ("ann_filtered_topk", "filtered ANN: predicate on the index side before the cell join"),
+    ("semdedup_survivors", "SemDeDup: map-side cell assignment, capped within-cell pair join"),
+    ("dedup_incremental_near", "delta vs base LSH index: one band-key equi-join, base never re-deduped"),
+    ("data_expectations", "guardrail suite: anti-joins + aggs reduced to one-row verdicts"),
+    ("approx_quantiles_binned", "binned quantiles: scalar min/max broadcast, 64-row quantile math"),
 ]
 
 spark = build_session("plans", cpus=8)

@@ -82,6 +82,11 @@ def main() -> None:
         "trail_file_seek",
         "avro_ocf_roundtrip",
         "jsonl_ingest_audit",
+        # stage-once artifacts (content-fingerprinted /tmp dirs): the
+        # z-table and the base near-dup index — their queries measure
+        # the serving path, not the one-time ingest materialization
+        "zorder_box_read",
+        "dedup_incremental_near",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

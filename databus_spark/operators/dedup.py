@@ -1114,36 +1114,57 @@ def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
 # exactly like the join — the incremental complement of
 # minhash_lsh_pairs' in-corpus pair-gen.
 
+def _sig_bands(sig: DataFrame, id_out: str) -> DataFrame:
+    """Banded LSH keys of a signature frame: (id_out, band, band_key)."""
+    rows_per_band = N_HASHES // N_BANDS
+    parts = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts.append(
+            sig.select(
+                F.col("doc_id").alias(id_out),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_near_index(base: DataFrame, k: int = 5):
+    """(signatures, bands) of the base corpus — the materialize-at-
+    ingest artifact incremental_near_dedup probes. Persist both frames
+    (parquet, appended per ingest batch) so a delta probe never
+    re-signs the base; bands are keyed exactly like the probe join."""
+    sig = minhash_signatures(base, k)
+    return sig, _sig_bands(sig, "base_doc")
+
+
 def incremental_near_dedup(
-    incoming: DataFrame, base: DataFrame, k: int = 5, threshold: float = 0.5
+    incoming: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    threshold: float = 0.5,
+    base_index=None,
 ) -> DataFrame:
     """(doc_id, matched_base, est_jaccard, is_new) per incoming doc:
     the lowest-id base doc whose minhash signature agrees >= threshold
     (candidates generated by banded LSH against the base band index).
     Degenerate base buckets (> MAX_BAND_DOCS) are dropped from probing,
-    mirroring every pair generator's hot-bucket cap."""
-    rows_per_band = N_HASHES // N_BANDS
+    mirroring every pair generator's hot-bucket cap.
 
-    def _bands(sig: DataFrame, id_out: str) -> DataFrame:
-        parts = []
-        for b in range(N_BANDS):
-            cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            parts.append(
-                sig.select(
-                    F.col("doc_id").alias(id_out),
-                    F.lit(b).alias("band"),
-                    F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
+    ``base_index`` — the (signatures, bands) pair from build_near_index,
+    normally read back from ingest-materialized parquet — skips
+    re-signing the base corpus; without it the index is derived inline
+    (the compatibility path for ad-hoc runs)."""
     in_sig = minhash_signatures(incoming, k).localCheckpoint(eager=False)
-    base_sig = minhash_signatures(base, k).localCheckpoint(eager=False)
-
-    base_bands = _bands(base_sig, "base_doc")
+    if base_index is not None:
+        base_sig, base_bands = base_index
+    else:
+        base_sig = minhash_signatures(base, k).localCheckpoint(eager=False)
+        base_bands = _sig_bands(base_sig, "base_doc")
     ok = (
         base_bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1152,7 +1173,7 @@ def incremental_near_dedup(
     )
     base_bands = base_bands.join(ok, ["band", "band_key"])
     cand = (
-        _bands(in_sig, "in_doc")
+        _sig_bands(in_sig, "in_doc")
         .join(base_bands, ["band", "band_key"])
         .select("in_doc", "base_doc")
         .distinct()

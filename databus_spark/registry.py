@@ -2096,6 +2096,41 @@ def media_png_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_png_probe(media)
 
 
+def media_png_resize_q_sql() -> str:
+    # downsampled pixel (R, C) of the synthesized 8x8 image: integer
+    # box-mean of its 2x2 block, pixels p(r, c) = (doc_id*7 + r*8 + c) % 256
+    block = (
+        "((doc_id * 7 + (i // 4) * 16 + (i % 4) * 2) % 256"
+        " + (doc_id * 7 + (i // 4) * 16 + (i % 4) * 2 + 1) % 256"
+        " + (doc_id * 7 + (i // 4) * 16 + 8 + (i % 4) * 2) % 256"
+        " + (doc_id * 7 + (i // 4) * 16 + 8 + (i % 4) * 2 + 1) % 256) // 4"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(4 AS INT) AS out_width, CAST(4 AS INT) AS out_height,
+           CAST(list_sum(list_transform(range(0, 16), i -> {block}))
+                AS BIGINT) AS ds_pixel_sum,
+           CAST(list_min(list_transform(range(0, 16), i -> {block}))
+                AS INT) AS ds_min,
+           CAST(list_max(list_transform(range(0, 16), i -> {block}))
+                AS INT) AS ds_max
+    FROM documents
+    """
+
+
+@query("media_png_resize", media_png_resize_q_sql())
+def media_png_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal RESIZE step driver-checked on REAL pixels: the
+    synthesized PNGs are decoded (inflate + defilter), 2x2 box-averaged
+    with integer floor division, and the thumbnail's exact stats
+    matched against their closed form — decode AND transform verified
+    end-to-end, not just plumbing."""
+    from databus_spark.operators.multimodal import png_resize_probe, synth_png_corpus
+
+    media = synth_png_corpus(load_table(spark, sf_dir, "documents"))
+    return png_resize_probe(media)
+
+
 @query(
     "jsonl_ingest_audit",
     """

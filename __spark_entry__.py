@@ -88,12 +88,13 @@ _PRIORITY = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_rerank_topk",
-    # (c) oldest green rows (r4) — refresh before they go stale
+    # (c) oldest green rows (r4) — refresh before they go stale;
+    # bootstrap_snapshot_catchup leads (its scan fused this round)
+    "bootstrap_snapshot_catchup",
     "snapshot_orders",
     "snapshot_customer",
     "filter_keyrange",
     "filter_composite_json",
-    "bootstrap_snapshot_catchup",
     "keyset_page",
     "max_scn_probe",
     "per_source_stats",

@@ -80,7 +80,11 @@ def portable_hash64(col: Column | str, seed: int | Column = 0) -> Column:
     return F.conv(F.substring(F.md5(F.concat_ws("|", s, c)), 1, 15), 16, 10).cast("long")
 
 
-PORTABLE_HASH64_SQL = "(('0x' || substr(md5(concat({seed}, '|', {col})), 1, 15))::BIGINT)"
+# concat_ws, NOT concat: both engines' concat_ws SKIPS NULL arguments
+# (verified: DuckDB concat_ws('|','0',NULL) = '0', same as Spark), while
+# DuckDB's concat('0','|',NULL) = '0|' — a NULL key would hash to a
+# different bucket/register in the two engines under the concat form.
+PORTABLE_HASH64_SQL = "(('0x' || substr(md5(concat_ws('|', {seed}, {col})), 1, 15))::BIGINT)"
 
 
 def portable_hash64_sql(col_expr: str, seed: int | str = 0) -> str:

@@ -127,6 +127,8 @@ def zorder_layout(
 #   interval list), so the driver never sees data rows; it collects
 #   only the distinct set of touched file ids.
 
+import contextlib as _contextlib
+import fcntl as _fcntl
 import json as _json
 import os as _os
 import uuid as _uuid
@@ -147,6 +149,23 @@ class ZorderTable:
         self.x_col, self.y_col, self.bits = x_col, y_col, bits
         self.rows_per_file = rows_per_file
         _os.makedirs(path, exist_ok=True)
+
+    # -- writer mutual exclusion -------------------------------------------
+    @_contextlib.contextmanager
+    def _write_lock(self):
+        """Cross-process flock over every mutating operation. These
+        tables live in shared /tmp paths across test/bench processes
+        (the registry staging blocks flock for the same reason):
+        without it, vacuum racing an append can delete the in-flight
+        version's data files or its freshly-committed manifest, and two
+        appends can both claim v+1."""
+        lp = self.path.rstrip("/") + ".lock"
+        with open(lp, "w") as f:
+            _fcntl.flock(f, _fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                _fcntl.flock(f, _fcntl.LOCK_UN)
 
     # -- manifest / version plumbing ---------------------------------------
     def _version(self) -> int:
@@ -230,6 +249,10 @@ class ZorderTable:
 
     # -- public API ---------------------------------------------------------
     def write_initial(self, df: DataFrame) -> None:
+        with self._write_lock():
+            self._write_initial_locked(df)
+
+    def _write_initial_locked(self, df: DataFrame) -> None:
         mm = df.agg(
             F.min(self.x_col), F.max(self.x_col),
             F.min(self.y_col), F.max(self.y_col),
@@ -249,6 +272,10 @@ class ZorderTable:
         """Incrementally cluster a new batch: only files whose
         z-interval the batch touches are rewritten; disjoint appends
         rewrite nothing. Returns {'rewritten': n, 'kept': m}."""
+        with self._write_lock():
+            return self._append_locked(df)
+
+    def _append_locked(self, df: DataFrame) -> dict:
         man, v = self.manifest(), self._version()
         bounds = man["bounds"]
         keyed = self._keyed(df, bounds).localCheckpoint(eager=False)
@@ -297,8 +324,17 @@ class ZorderTable:
         absent from the manifest that ``_VERSION`` points at, and never
         touches ``_VERSION`` or the live manifest — a crash mid-vacuum
         leaves the table fully readable with some garbage remaining,
-        which the next vacuum collects. Returns removal counts.
+        which the next vacuum collects. Concurrency-safe too: it runs
+        under the same writer flock as append (so it can never observe
+        a half-committed version) and additionally skips manifests and
+        version dirs NEWER than _VERSION — a crashed append's orphans
+        are collected only once a later commit supersedes them.
+        Returns removal counts.
         """
+        with self._write_lock():
+            return self._vacuum_locked()
+
+    def _vacuum_locked(self) -> dict:
         v = self._version()
         man = self.manifest()
         referenced = {
@@ -324,13 +360,18 @@ class ZorderTable:
                     mv = int(name[len("_manifest_v"):-len(".json")])
                 except ValueError:
                     continue
-                if mv != v:
+                # mv < v, not mv != v: a manifest NEWER than _VERSION is
+                # an in-flight or crashed append's commit-in-progress —
+                # never collect ahead of the version pointer
+                if mv < v:
                     _os.remove(full)
                     removed["manifests"] += 1
         for name in _os.listdir(self.path):
             full = _os.path.join(self.path, name)
             if not (name.startswith("v") and name[1:].isdigit() and _os.path.isdir(full)):
                 continue
+            if int(name[1:]) > v:
+                continue  # in-flight version dir — same rule as manifests
             for root, dirs, files in _os.walk(full, topdown=False):
                 for f in files:
                     fp = _os.path.normpath(_os.path.join(root, f))

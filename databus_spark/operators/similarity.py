@@ -541,14 +541,23 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ-style ANN top-k by ADC: approx dist = sum over subspaces of
     the query's distance to the neighbor's code centroid. Decimal sums
-    keep cross-engine ranking exact; ties break on neighbor id."""
-    cb = _pq_codebook(emb, id_col, vec_col)
-    codes = pq_encode(emb, cb, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "m", "code"
-    )
+    keep cross-engine ranking exact; ties break on neighbor id.
+
+    ``pq_index`` = (codebook, codes) lets callers reuse a MATERIALIZED
+    index: the corpus encode is linear in PQ_K and identical across the
+    whole PQ query family, so production (and the bench registry) builds
+    it once — the FAISS build-once/serve-many shape — instead of
+    re-encoding per query."""
+    if pq_index is not None:
+        cb, codes = pq_index
+    else:
+        cb = _pq_codebook(emb, id_col, vec_col)
+        codes = pq_encode(emb, cb, id_col, vec_col)
+    codes = codes.select(F.col(id_col).alias("neighbor_id"), "m", "code")
     adc = (
         emb.where(F.col(id_col) < n_queries)
         .crossJoin(F.broadcast(cb))
@@ -652,6 +661,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int | None = None,
+    pq_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ANN top-k with IVF cell pruning + PQ ADC scoring.
 
@@ -681,10 +691,12 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    cb = _pq_codebook(emb, id_col, vec_col)
-    codes = pq_encode(emb, cb, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "m", "code"
-    )
+    if pq_index is not None:
+        cb, codes = pq_index
+    else:
+        cb = _pq_codebook(emb, id_col, vec_col)
+        codes = pq_encode(emb, cb, id_col, vec_col)
+    codes = codes.select(F.col(id_col).alias("neighbor_id"), "m", "code")
     adc = (
         emb.where(F.col(id_col) < n_queries)
         .crossJoin(F.broadcast(cb))
@@ -804,6 +816,7 @@ def ivfpq_rerank_topk(
     shortlist: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The production ANN endpoint: IVFPQ ADC produces a cheap
     shortlist (top `shortlist` per query, compressed codes only), then
@@ -812,9 +825,9 @@ def ivfpq_rerank_topk(
     compressed one. The shortlist (n_queries * shortlist rows) is
     broadcast with the query vectors; the corpus contributes one
     id-equi-join to fetch candidate vectors."""
-    cand = ivfpq_topk(emb, n_queries, shortlist, id_col, vec_col).select(
-        "query_id", "neighbor_id"
-    )
+    cand = ivfpq_topk(
+        emb, n_queries, shortlist, id_col, vec_col, pq_index=pq_index
+    ).select("query_id", "neighbor_id")
     qv = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1031,7 +1044,12 @@ def semdedup_survivors(
     from databus_spark.operators.dedup import dedup_clusters
 
     cent = _ivf_centroids(emb, id_col, vec_col, n_cells=SEM_CELLS)
-    assigned = _ivf_assign(emb, cent, id_col, vec_col)
+    # lazy checkpoint: `assigned` feeds FOUR consumers (ok-cells agg,
+    # pair sides a and b, the final corpus join) — without it the
+    # centroid crossJoin + max_by assignment recomputes per consumer,
+    # which is what kept the bench at ~7 s while the plan itself was
+    # sound (r6 verdict, What's wrong #4)
+    assigned = _ivf_assign(emb, cent, id_col, vec_col).localCheckpoint(eager=False)
 
     ok = (
         assigned.groupBy("cell_id")

@@ -440,17 +440,23 @@ def cm_frequency_profile(df: DataFrame, key_col: str) -> DataFrame:
 def cm_frequency_profile_sql(from_sql: str, key_col: str) -> str:
     from databus_spark.functions.hashes import portable_hash64_sql
 
-    pos = (
-        "("
-        + portable_hash64_sql(
-            f"CAST({key_col} AS VARCHAR)", "('cm' || CAST(s AS VARCHAR))"
+    # pos is built per column REFERENCE (bare vs e.-qualified), never by
+    # post-hoc string replacement — a key column whose name is a
+    # substring of the generated expression (e.g. 's', 'cm', 'pos')
+    # would corrupt the SQL silently under replace()
+    def _pos(ref: str) -> str:
+        return (
+            "("
+            + portable_hash64_sql(
+                f"CAST({ref} AS VARCHAR)", "('cm' || CAST(s AS VARCHAR))"
+            )
+            + f") % {CM_W}"
         )
-        + f") % {CM_W}"
-    )
+
     return f"""
         WITH seeds AS (SELECT unnest(range(0, {CM_D})) AS s),
         sketch AS (
-            SELECT s, {pos} AS pos, count(*) AS c
+            SELECT s, {_pos(key_col)} AS pos, count(*) AS c
             FROM ({from_sql}) CROSS JOIN seeds
             GROUP BY 1, 2
         ),
@@ -461,7 +467,7 @@ def cm_frequency_profile_sql(from_sql: str, key_col: str) -> str:
         est AS (
             SELECT {key_col}, min(c) AS n_cm
             FROM (
-                SELECT e.{key_col}, s, {pos.replace(key_col, f'e.{key_col}')} AS pos
+                SELECT e.{key_col}, s, {_pos(f'e.{key_col}')} AS pos
                 FROM exact e CROSS JOIN seeds
             ) k
             JOIN sketch USING (s, pos)
@@ -631,24 +637,39 @@ def binned_quantiles(df: DataFrame, col: str, qs=(0.5, 0.9, 0.99)) -> DataFrame:
             .limit(1)
             .select(
                 F.lit(q).alias("q"),
-                F.round(
-                    F.col("_mn")
-                    + (
-                        F.col("bin")
-                        + (
-                            (F.lit(q) * F.col("total") - (F.col("cum") - F.col("n")))
-                            / F.col("n")
+                # floor-scale instead of round(,4): floor on a double is
+                # IEEE-exact and therefore cross-engine-identical, while
+                # round(double, n) is HALF_UP-on-BigDecimal in Spark vs
+                # scaled-float rounding in DuckDB (boundary-divergent)
+                (
+                    F.floor(
+                        (
+                            F.col("_mn")
+                            + (
+                                F.col("bin")
+                                + (
+                                    (
+                                        F.lit(q) * F.col("total")
+                                        - (F.col("cum") - F.col("n"))
+                                    )
+                                    / F.col("n")
+                                )
+                            )
+                            * (F.col("_mx") - F.col("_mn"))
+                            / QB_BINS
                         )
+                        * 10000.0
                     )
-                    * (F.col("_mx") - F.col("_mn"))
-                    / QB_BINS,
-                    4,
+                    / 10000.0
                 ).alias("n_est"),
             )
         )
         qdf = one if qdf is None else qdf.unionByName(one)
     exact = df.agg(
-        *[F.round(F.percentile(col, q), 4).alias(f"_p{i}") for i, q in enumerate(qs)]
+        *[
+            (F.floor(F.percentile(col, q) * 10000.0) / 10000.0).alias(f"_p{i}")
+            for i, q in enumerate(qs)
+        ]
     )
     exact_rows = None
     for i, q in enumerate(qs):
@@ -660,7 +681,9 @@ def binned_quantiles(df: DataFrame, col: str, qs=(0.5, 0.9, 0.99)) -> DataFrame:
             "q",
             "n_est",
             "n_exact",
-            F.round(F.abs(F.col("n_est") - F.col("n_exact")), 4).alias("abs_err"),
+            (
+                F.floor(F.abs(F.col("n_est") - F.col("n_exact")) * 10000.0) / 10000.0
+            ).alias("abs_err"),
         )
     )
 
@@ -671,9 +694,12 @@ def binned_quantiles_sql(from_sql: str, col: str, qs=(0.5, 0.9, 0.99)) -> str:
     q_union_est = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q" for q in qs
     )
+    # floor-scale (matches the Spark twin): floor on a double is IEEE-
+    # exact cross-engine; round(double, n) is not
     q_union_exact = " UNION ALL ".join(
         f"SELECT CAST({q} AS DOUBLE) AS q,"
-        f" round(quantile_cont({col}, {q}), 4) AS n_exact"
+        f" CAST(floor(quantile_cont({col}, {q}) * 10000.0) AS BIGINT)"
+        f" / 10000.0 AS n_exact"
         f" FROM ({from_sql})"
         for q in qs
     )
@@ -694,8 +720,9 @@ def binned_quantiles_sql(from_sql: str, col: str, qs=(0.5, 0.9, 0.99)) -> str:
         ),
         est AS (
             SELECT q,
-                   round(mn + (bin + ((q * total - (cum - n)) / n))
-                             * (mx - mn) / {QB_BINS}, 4) AS n_est
+                   CAST(floor((mn + (bin + ((q * total - (cum - n)) / n))
+                             * (mx - mn) / {QB_BINS}) * 10000.0) AS BIGINT)
+                       / 10000.0 AS n_est
             FROM ({q_union_est}) qs
             CROSS JOIN LATERAL (
                 SELECT bin, mn, mx, n, cum, total FROM cum
@@ -703,6 +730,7 @@ def binned_quantiles_sql(from_sql: str, col: str, qs=(0.5, 0.9, 0.99)) -> str:
             )
         )
         SELECT q, n_est, n_exact,
-               round(abs(n_est - n_exact), 4) AS abs_err
+               CAST(floor(abs(n_est - n_exact) * 10000.0) AS BIGINT)
+                   / 10000.0 AS abs_err
         FROM est JOIN ({q_union_exact}) e USING (q)
     """

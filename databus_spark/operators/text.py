@@ -554,8 +554,12 @@ def novelty_profile_sql(from_sql: str, k: int = 5) -> str:
     return f"""
         WITH grams AS ({_shingles_sql_over(from_sql, k)}),
         df AS (SELECT shingle, count(DISTINCT doc_id) AS gram_df FROM grams GROUP BY 1)
-        SELECT doc_id, count(*) AS n_grams,
-               sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS n_unique_grams,
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               -- CAST: DuckDB types a bare integer sum() HUGEINT, which the
+               -- driver's arrow/pandas fetch renders float64 while Spark emits
+               -- bigint — the values hash-mismatch even when bit-identical.
+               CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique_grams,
                CAST((sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) * 1000000)
                     // count(*) AS DOUBLE) / 1000000.0 AS novelty
         FROM grams JOIN df USING (shingle)
@@ -739,18 +743,39 @@ def structure_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(lines, lambda ln: F.trim(ln).rlike("^([-*•]|[0-9]+[.)])\\s"))
     )
     short = F.size(F.filter(lines, lambda ln: (F.length(F.trim(ln)) > 0) & (F.length(F.trim(ln)) < 20)))
-    mean_len = F.when(
-        F.size(non_empty) > 0,
-        F.aggregate(non_empty, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln))
-        / F.size(non_empty),
+    sum_len = F.aggregate(
+        non_empty, F.lit(0).cast("long"), lambda a, ln: a + F.length(ln)
     )
-    return docs.select(
+    # Integer-ratio outputs use the micro-unit floor-division pattern
+    # (bigint (num*10^4) div den, then ONE IEEE divide) instead of
+    # round(double, 4): Spark rounds the binary double via BigDecimal
+    # HALF_UP while DuckDB rounds the scaled float, so near-boundary
+    # quotients (e.g. 9/160 = 0.05625) hash-mismatch data-dependently.
+    base = docs.select(
         "doc_id",
         n_lines.alias("n_lines"),
         n_paras.alias("n_paras"),
-        F.round(mean_len, 4).alias("mean_line_len"),
-        F.round(bullet / F.greatest(n_lines, F.lit(1)), 4).alias("bullet_ratio"),
-        F.round(short / F.greatest(n_lines, F.lit(1)), 4).alias("short_line_ratio"),
+        F.size(non_empty).alias("_ne"),
+        sum_len.alias("_sumlen"),
+        bullet.cast("long").alias("_bullet"),
+        short.cast("long").alias("_short"),
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_paras",
+        F.expr(
+            "CASE WHEN _ne > 0 THEN"
+            " cast((_sumlen * 10000L) div _ne as double) / 10000.0 END"
+        ).alias("mean_line_len"),
+        F.expr(
+            "cast((_bullet * 10000L) div greatest(cast(n_lines as long), 1L)"
+            " as double) / 10000.0"
+        ).alias("bullet_ratio"),
+        F.expr(
+            "cast((_short * 10000L) div greatest(cast(n_lines as long), 1L)"
+            " as double) / 10000.0"
+        ).alias("short_line_ratio"),
     )
 
 
@@ -762,15 +787,24 @@ def structure_profile_sql(from_sql: str) -> str:
                len({lines}) AS n_lines,
                len(list_filter(regexp_split_to_array(text, '\n\n+'),
                                p -> trim(p) <> '')) AS n_paras,
-               round(CASE WHEN len({nonempty}) > 0 THEN
-                   CAST(list_sum(list_transform({nonempty}, ln -> length(ln)))
-                        AS DOUBLE) / len({nonempty}) END, 4) AS mean_line_len,
-               round(CAST(len(list_filter({lines},
+               -- micro-unit floor division (see the Spark twin): bigint
+               -- (num*10^4) // den then ONE IEEE divide — round(double,4)
+               -- of an integer ratio diverges cross-engine near .5 ulps
+               CASE WHEN len({nonempty}) > 0 THEN
+                   CAST((CAST(list_sum(list_transform({nonempty},
+                             ln -> length(ln))) AS BIGINT) * 10000)
+                        // len({nonempty}) AS DOUBLE) / 10000.0
+               END AS mean_line_len,
+               CAST((CAST(len(list_filter({lines},
                    ln -> regexp_matches(trim(ln), '^([-*•]|[0-9]+[.)])\\s')))
-                   AS DOUBLE) / greatest(len({lines}), 1), 4) AS bullet_ratio,
-               round(CAST(len(list_filter({lines},
+                   AS BIGINT) * 10000)
+                   // greatest(len({lines}), 1) AS DOUBLE) / 10000.0
+                   AS bullet_ratio,
+               CAST((CAST(len(list_filter({lines},
                    ln -> length(trim(ln)) > 0 AND length(trim(ln)) < 20))
-                   AS DOUBLE) / greatest(len({lines}), 1), 4) AS short_line_ratio
+                   AS BIGINT) * 10000)
+                   // greatest(len({lines}), 1) AS DOUBLE) / 10000.0
+                   AS short_line_ratio
         FROM ({from_sql})
     """
 

@@ -142,7 +142,7 @@ class ParquetSnapshotStore:
         )
 
     # -- MERGE ----------------------------------------------------------------
-    def merge(self, batch: DataFrame) -> int:
+    def merge(self, batch: DataFrame, precheckpointed: bool = False) -> int:
         """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.
 
         Only buckets containing batch keys are rewritten; untouched
@@ -155,11 +155,15 @@ class ParquetSnapshotStore:
         pre-compacting the batch only added a second shuffle per
         micro-batch. The batch is checkpointed eagerly so the bucket
         probe and the merged write evaluate the (streaming-source) plan
-        once, not twice.
+        once, not twice. ``precheckpointed=True`` tells merge the caller
+        ALREADY materialized the batch (the streaming applier eager-
+        checkpoints for its stats pass): re-checkpointing then would copy
+        every batch a second time, and the _bucket projection re-derived
+        from the caller's cached blocks is nearly free.
         """
-        batch = batch.withColumn("_bucket", self._bucket_col()).localCheckpoint(
-            eager=True
-        )
+        batch = batch.withColumn("_bucket", self._bucket_col())
+        if not precheckpointed:
+            batch = batch.localCheckpoint(eager=True)
         touched = sorted(
             r["_bucket"] for r in batch.select("_bucket").distinct().collect()
         )

@@ -265,3 +265,26 @@ def test_schema_key_struct_store_merge(spark, tmp_path):
         canonical_key("key_struct", ["a", "b"]).alias("c")
     )
     assert {r["c"] for r in c.collect()} == {"1:23", "12:3"}
+
+
+def test_portable_hash64_null_parity_with_oracle(spark):
+    """NULL inputs must hash identically in both engines: Spark's
+    concat_ws skips NULL while DuckDB's concat renders it as '' — the
+    oracle macro therefore uses concat_ws too (r6 advice)."""
+    import duckdb
+
+    from databus_spark.functions.hashes import portable_hash64, portable_hash64_sql
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("",), ("split|x",)], "s string"
+    ).select("s", portable_hash64(F.col("s"), 7).alias("h"))
+    got = {r["s"]: r["h"] for r in df.collect()}
+
+    con = duckdb.connect()
+    expr = portable_hash64_sql("s", 7)
+    want = dict(
+        con.execute(
+            f"SELECT s, {expr} AS h FROM (VALUES ('a'), (NULL), (''), ('split|x')) t(s)"
+        ).fetchall()
+    )
+    assert got == want

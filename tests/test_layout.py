@@ -294,3 +294,41 @@ def test_zorder_table_vacuum(spark, tmp_path):
     t.vacuum()
     got = sorted(r["row_id"] for r in t.read().select("row_id").collect())
     assert got == list(range(0, 2300))
+
+
+def test_zorder_vacuum_spares_inflight_version(spark, tmp_path):
+    """vacuum never collects AHEAD of _VERSION: a manifest or v-dir
+    newer than the version pointer is an in-flight (or crashed) append's
+    commit-in-progress and must survive, so a writer that crashed
+    between writing _manifest_v{v+1} and flipping _VERSION can always be
+    re-driven. Mutating ops also hold the <path>.lock flock (r6 advice:
+    these tables live in shared /tmp paths across processes)."""
+    import json
+    import os
+
+    from databus_spark.operators.layout import ZorderTable
+
+    base = spark.range(0, 500).selectExpr(
+        "id AS row_id", "CAST(id % 16 AS LONG) AS x", "CAST(id % 23 AS LONG) AS y"
+    )
+    t = ZorderTable(spark, str(tmp_path / "ztif"), "x", "y", rows_per_file=200)
+    t.write_initial(base)
+    v = t._version()
+
+    # simulate an append that crashed between manifest write and the
+    # _VERSION flip: a NEWER manifest + data dir exist but aren't live
+    nm = os.path.join(t.path, f"_manifest_v{v + 1}.json")
+    with open(nm, "w") as f:
+        json.dump({"bounds": t.manifest()["bounds"], "files": []}, f)
+    nd = os.path.join(t.path, f"v{v + 1}")
+    os.makedirs(nd, exist_ok=True)
+    inflight = os.path.join(nd, "part-inflight.parquet")
+    with open(inflight, "w") as f:
+        f.write("not yet committed")
+
+    t.vacuum()
+    assert os.path.exists(nm), "newer manifest must survive vacuum"
+    assert os.path.exists(inflight), "in-flight data files must survive vacuum"
+
+    # writer lock file exists and is flock-able (cross-process guard)
+    assert os.path.exists(t.path.rstrip("/") + ".lock")

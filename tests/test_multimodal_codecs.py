@@ -181,3 +181,107 @@ def test_png_decode_short_ihdr_is_value_error():
     good = png_encode(np.zeros((4, 4), dtype="uint8"))
     with _pytest.raises(ValueError):
         png_decode(good[:20])  # signature + cut-short IHDR
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """Constant 8x8 blocks have a DC-only DCT, so under the flat q=1
+    table the baseline-JPEG round trip is bit-exact — the property the
+    oracle's closed-form pixel stats rely on."""
+    import numpy as np
+
+    from databus_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    for d in (0, 1, 42, 255, 1000):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (d * 7 + b * 31) % 256
+        assert np.array_equal(jpeg_decode(jpeg_encode(img)), img)
+
+
+def test_jpeg_ac_path_differential_idct():
+    """The general (AC-coefficient) path: encode arbitrary patterns,
+    decode, and compare against an INDEPENDENT reference decode that
+    re-derives each block with an explicit double-loop cos IDCT from the
+    encoder's own quantized coefficients — a different code path than
+    jpeg_decode's matrix IDCT, so a symmetric encoder/decoder bug can't
+    hide. Also asserts the q=1 round trip stays within the +-1 DCT
+    rounding envelope of the source."""
+    import math
+
+    import numpy as np
+
+    from databus_spark.operators.multimodal import (
+        _dct_matrix,
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    patterns = [
+        ((np.arange(256).reshape(16, 16) * 13 + 7) % 256).astype(np.uint8),
+        np.fromfunction(lambda r, c: (r * 16 + c * 3) % 256, (16, 24)).astype(np.uint8),
+        (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8),  # checkerboard
+    ]
+    m = _dct_matrix()
+    for img in patterns:
+        got = jpeg_decode(jpeg_encode(img))
+        assert got.shape == img.shape
+        # +-1 envelope vs the source (flat q=1: only DCT rounding error)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
+
+        # independent reference: quantized coeffs -> explicit cos IDCT
+        h, w = img.shape
+        ref = np.zeros_like(img)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = img[by*8:(by+1)*8, bx*8:(bx+1)*8].astype(np.float64) - 128.0
+                q = np.rint(m @ blk @ m.T)
+                rec = np.zeros((8, 8))
+                for x in range(8):
+                    for y in range(8):
+                        s = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                                s += (cu * cv / 4) * q[u, v] \
+                                    * math.cos((2*x+1)*u*math.pi/16) \
+                                    * math.cos((2*y+1)*v*math.pi/16)
+                        rec[x, y] = s
+                ref[by*8:(by+1)*8, bx*8:(bx+1)*8] = np.clip(
+                    np.rint(rec) + 128, 0, 255
+                ).astype(np.uint8)
+        assert np.array_equal(got, ref)
+
+
+def test_jpeg_decode_rejects_unsupported_and_torn():
+    import numpy as np
+    import pytest as _pytest
+
+    from databus_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    good = jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        jpeg_decode(good[:30])  # cut before SOS
+    # progressive marker (SOF2) must be rejected, not mis-decoded
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        jpeg_decode(bytes(prog))
+
+
+def test_jpeg_probe_distributed(spark):
+    """The Arrow-batched probe over a synthesized corpus: closed-form
+    stats per doc (what the driver's oracle checks at sf0.01)."""
+    from databus_spark.operators.multimodal import media_jpeg_probe, synth_jpeg_corpus
+
+    docs = spark.range(0, 40).selectExpr("id AS doc_id")
+    got = {r["doc_id"]: r for r in media_jpeg_probe(synth_jpeg_corpus(docs)).collect()}
+    assert len(got) == 40
+    for d, r in got.items():
+        vs = [(d * 7 + b * 31) % 256 for b in range(4)]
+        assert (r["width"], r["height"]) == (16, 16)
+        assert r["pixel_sum"] == 64 * sum(vs)
+        assert r["px_min"] == min(vs) and r["px_max"] == max(vs)

@@ -163,11 +163,23 @@ def test_event_rate_anomaly_partial_aggs(spark, sf_dir):
 
 
 def test_pq_ann_broadcast_and_partial_agg(spark, sf_dir):
-    """PQ encoding must reduce the codebook fan-out map-side (min_by
-    partials) and join the broadcast ADC table — a SortMergeJoin would
-    shuffle the whole encoded corpus at 100 TB."""
+    """PQ ENCODE (the index build) must reduce the codebook fan-out
+    map-side (min_by partials); PQ SERVE (the registry query, which
+    reads the staged codes index since r7) must join the broadcast ADC
+    table — a SortMergeJoin would shuffle the whole encoded corpus at
+    100 TB."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity._pq_codebook(emb, "vec_id", "embedding")
+    enc_plan = (
+        similarity.pq_encode(emb, cb, "vec_id", "embedding")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min_by" in enc_plan, "PQ code assignment lost map-side combine"
+
     plan = _plan(spark, "ann_pq_topk", sf_dir)
-    assert "partial_min_by" in plan, "PQ code assignment lost map-side combine"
     assert "BroadcastHashJoin" in plan, "ADC table not broadcast"
     assert "SortMergeJoin" not in plan, "PQ scoring fell back to sort-merge"
 

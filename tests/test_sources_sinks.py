@@ -66,25 +66,31 @@ def test_file_logging_consumer_tee(spark, sf_dir, tmp_path):
 
 
 def test_approx_stats_error_bounds(spark, sf_dir):
+    """approx_stats now emits the bound VERDICT itself (r7: its oracle
+    hashes the booleans) — every sketch must land inside its documented
+    error bound, and the exact counts must really be exact."""
+    from databus_spark.catalog import load_table
     from databus_spark.registry import QUERIES
 
-    approx = {r["event_type"]: r for r in QUERIES["approx_stats"](spark, sf_dir).collect()}
-    from databus_spark.catalog import load_table
-
+    rows = {r["event_type"]: r for r in QUERIES["approx_stats"](spark, sf_dir).collect()}
     e = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r
         for r in e.groupBy("event_type")
         .agg(
+            F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("users"),
-            F.percentile("value", 0.5).alias("p50"),
         )
         .collect()
     }
-    for et, a in approx.items():
+    assert rows.keys() == exact.keys()
+    for et, a in rows.items():
         x = exact[et]
-        assert abs(a["approx_users"] - x["users"]) <= max(2, 0.1 * x["users"])
-        assert abs(a["p50_value"] - x["p50"]) <= 0.2 * max(1.0, abs(x["p50"]))
+        assert a["n"] == x["n"]
+        assert a["exact_users"] == x["users"]
+        assert a["hll_within_bound"] is True
+        assert a["p50_within_bound"] is True
+        assert a["p99_within_bound"] is True
 
 
 def test_multimodal_frame_sample_plan_shape(spark, sf_dir):

@@ -70,6 +70,14 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
 
 
 def sources_registry(spark: SparkSession) -> DataFrame:
-    """Small dimension table: source_id <-> source name (broadcast side of J2/J5)."""
-    rows = [(sid, name) for name, sid in SOURCE_IDS.items()]
-    return spark.createDataFrame(rows, "source_id INT, source STRING")
+    """Small dimension table: source_id <-> source name (broadcast side
+    of J2/J5). Built as a pure-JVM LocalRelation (SQL VALUES), NOT
+    createDataFrame over Python rows: the latter plans as a
+    pickle-serialized Python RDD whose first evaluation spawns a
+    non-Arrow Python worker (~1.2 s billed to whichever query touches
+    the dim first — the r6 source_registry_join 'regression'), and its
+    UnknownPartitioning scan blocks stats-based planning."""
+    rows_sql = ", ".join(f"({sid}, '{name}')" for name, sid in SOURCE_IDS.items())
+    return spark.sql(
+        f"SELECT col1 AS source_id, col2 AS source FROM (VALUES {rows_sql})"
+    )

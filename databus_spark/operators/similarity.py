@@ -1022,8 +1022,10 @@ SEM_THRESHOLD = 0.4  # same near-dup cosine bar as embedding_near_pairs
 SEM_CELLS = 32       # finer than the ANN N_CELLS: within-cell pair cost
                      # is quadratic, and semdedup pairs EVERY cell member
                      # (ANN only probes); 8 -> 32 cells cut the sf0.1
-                     # pair volume ~16x (8.4s -> 3.7s with the norm
-                     # precompute). Scale rule stays ~sqrt(n).
+                     # pair volume ~16x. Measured bench row at sf0.1:
+                     # 7.2 s in r6 (assigned recomputed per consumer),
+                     # 4.6 s in r7 after the lazy localCheckpoint on the
+                     # 4-consumer assignment. Scale rule stays ~sqrt(n).
 
 
 def semdedup_survivors(

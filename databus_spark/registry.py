@@ -2085,15 +2085,19 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_distinct_users / approx_quantiles_binned for the fully
     hash-checked sketch estimates)."""
     e = load_table(spark, sf_dir, "events")
+    # ONE sketch buffer and ONE exact-percentile sort buffer per group
+    # (array percentiles), not five independent aggregation buffers —
+    # the verdict rework initially quintupled this query's cost
     agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("_hll"),
-        F.percentile_approx("value", 0.5, 1000).alias("_p50a"),
-        F.percentile_approx("value", 0.99, 1000).alias("_p99a"),
-        F.percentile("value", 0.45).alias("_p45"),
-        F.percentile("value", 0.55).alias("_p55"),
-        F.percentile("value", 0.98).alias("_p98"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)), F.lit(1000)).alias(
+            "_pa"
+        ),
+        F.percentile("value", F.array(F.lit(0.45), F.lit(0.55), F.lit(0.98))).alias(
+            "_px"
+        ),
         F.max("value").alias("_vmax"),
     )
     return agg.select(
@@ -2104,8 +2108,12 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_hll") - F.col("exact_users"))
             <= F.lit(0.10) * F.col("exact_users")
         ).alias("hll_within_bound"),
-        F.col("_p50a").between(F.col("_p45"), F.col("_p55")).alias("p50_within_bound"),
-        F.col("_p99a").between(F.col("_p98"), F.col("_vmax")).alias("p99_within_bound"),
+        F.col("_pa")[0].between(F.col("_px")[0], F.col("_px")[1]).alias(
+            "p50_within_bound"
+        ),
+        F.col("_pa")[1].between(F.col("_px")[2], F.col("_vmax")).alias(
+            "p99_within_bound"
+        ),
     )
 
 

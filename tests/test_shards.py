@@ -154,3 +154,83 @@ def test_compressibility_matches_zlib_reference(spark, sf_dir):
     plan = compressibility(docs)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def _clustered_embeddings(spark, n=2000, d=64, n_clusters=8, spread=0.15):
+    """Deterministic mixture-of-clusters embedding fixture (hash-seeded,
+    NO RNG state — every value is a pure integer-hash function of its
+    indices, so regeneration is bit-stable): vec i = unit-normalized
+    (center[i % K] + spread * hash-uniform perturbation)."""
+    import numpy as np
+
+    def u(a: int, b: int) -> float:  # deterministic uniform in [-1, 1)
+        h = (a * 2654435761 + b * 40503 + 12345) % (2**32)
+        return h / (2**31) - 1.0
+
+    centers = np.array(
+        [[u(k, j) for j in range(d)] for k in range(n_clusters)], dtype=np.float64
+    )
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = centers[i % n_clusters] + spread * np.array(
+            [u(1000 + i, j) for j in range(d)]
+        )
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def test_ivf_pruning_pays_off_on_clustered_embeddings(spark, sf_dir):
+    """The isotropic synthetic corpus caps what IVF can show (cell
+    assignment carries little signal there — recall ~0.5 tracks probe
+    fraction). On CLUSTERED embeddings — the realistic case — co-cluster
+    vectors land in the same IVF cell, so probing nprobe cells must
+    deliver BOTH high recall AND a small scanned fraction. Pins the
+    claim in test_ivfpq_rerank_recall_floor_sf001's docstring."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark).localCheckpoint(eager=True)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(emb).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(emb).collect()}
+    clustered_recall = len(exact & got) / len(exact)
+
+    # scanned fraction: population of each query's nprobe probed cells
+    cent = similarity._ivf_centroids(emb, "vec_id", "embedding")
+    assigned = similarity._ivf_assign(emb, cent, "vec_id", "embedding")
+    pops = {r["cell_id"]: r["n"] for r in assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from pyspark.sql.window import Window as W
+
+    q_scored = similarity._ivf_scored(
+        emb.where(F.col("vec_id") < 10), cent, "vec_id", "embedding"
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        q_scored.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= similarity.IVF_NPROBE)
+        .collect()
+    )
+    per_query: dict = {}
+    for r in probes:
+        per_query.setdefault(r["vec_id"], 0)
+        per_query[r["vec_id"]] += pops.get(r["cell_id"], 0)
+    n_total = emb.count()
+    scan_fraction = sum(per_query.values()) / (len(per_query) * n_total)
+
+    # isotropic baseline for comparison (same operator, same constants)
+    iso = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    iso_exact = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.cosine_topk(iso).collect()
+    }
+    iso_got = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.ivf_topk(iso).collect()
+    }
+    iso_recall = len(iso_exact & iso_got) / len(iso_exact)
+
+    assert clustered_recall >= 0.8, (clustered_recall, iso_recall)
+    assert clustered_recall > iso_recall, (clustered_recall, iso_recall)
+    assert scan_fraction <= 0.6, scan_fraction

@@ -30,87 +30,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict order.
-# Round 6 rotation: (a) the 13 queries deferred from r5's window (some
-# have never had an external driver row), (b) everything whose engine
-# path changed this round (novelty ratio arithmetic, reflect-based Java
-# hashCode, canonical-orientation star components, curation scan
-# sharing, bloom gram identity, skew-profile tie-break, z-table staging
-# lock), (c) the oldest r4-green rows. The merge gate is still a FULL
-# local run over all registered queries at sf0.01, so rotation never
-# leaves a query locally unchecked.
+# Round 7 rotation: (a) queries NEW this round (first external driver
+# row), (b) everything whose engine or oracle path changed this round
+# (the HUGEINT-cast novelty oracle, micro-unit structure_profile,
+# floor-scaled binned quantiles, verdict-form approx_stats and
+# compressibility, the IPv4 redaction class, the staged PQ index, the
+# semdedup checkpoint, the LocalRelation source registry, the concat_ws
+# portable-hash oracle macro and its consumers, the re-fingerprinted
+# staged indexes), (c) the 16 queries deferred from r6's window —
+# external rows overdue, (d) oldest-green refresh. The merge gate is
+# still a FULL local run over all registered queries at sf0.01, so
+# rotation never leaves a query locally unchecked.
 _PRIORITY = [
-    # NEW this round (never had an external driver row) — always first
-    "media_png_resize",
-    "data_expectations",
-    "dedup_incremental_near",
-    "lm2_quality_score",
+    # (a) NEW this round — always first
+    "media_jpeg_probe",
+    "boilerplate_strip",
+    # (b) engine/oracle path changed in round 7
+    "text_novelty",
     "structure_profile",
     "approx_quantiles_binned",
-    "funnel_conversion",
-    "retention_cohorts",
     "cm_frequency_profile",
-    "hll_distinct_users",
-    "semdedup_survivors",
-    "ann_filtered_topk",
-    "train_split_assign",
-    "bpe_pair_counts",
-    # (a) deferred from round 5 — external row overdue
-    "dedup_cluster_survivors",
-    "topk_orders_per_segment",
-    "filter_payload_fields",
-    "cube_rollup",
-    "media_features",
-    "scalar_functions",
-    "dtail_json",
-    "checkpoint_mult_fetch",
     "approx_stats",
-    "xml_trail_parse",
-    "hash_sample",
-    "partition_router",
-    "pivot_events_daily",
-    # (b) engine path changed in round 6
-    "text_novelty",
-    "filter_keymod_strkey",
-    "filter_keymod_longkey",
-    "filter_keymod_subscribe",
-    "dedup_cluster_star",
-    "dedup_survivor_corpus",
-    "dedup_incremental",
-    "curation_decisions",
-    "curation_decisions_v2",
-    "decontaminate_bloom",
-    "key_skew_profile",
-    "zorder_box_read",
-    "repetition_filter",
-    "text_quality",
-    "text_lang_id",
-    "lm_quality_score",
+    "text_compressibility",
+    "pii_redact",
+    "semdedup_survivors",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_rerank_topk",
-    # (c) oldest green rows (r4) — refresh before they go stale;
-    # bootstrap_snapshot_catchup leads (its scan fused this round)
-    "bootstrap_snapshot_catchup",
-    "snapshot_orders",
-    "snapshot_customer",
-    "filter_keyrange",
-    "filter_composite_json",
-    "keyset_page",
-    "max_scn_probe",
-    "per_source_stats",
-    "lag_percentiles",
-    "value_histogram",
-    "event_rate_anomaly",
-    "txn_window_stats",
     "source_registry_join",
-    "pricing_summary",
-    "dedup_exact",
-    "decontaminate_vs_benchmark",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # deferred to next round's window (still verified locally):
+    "train_split_assign",
+    "hll_distinct_users",
+    "dedup_incremental_near",
+    "jsonl_ingest_audit",
+    "zorder_box_read",
+    # (c) deferred from round 6 — external row overdue
     "text_token_stats",
     "chunk_documents",
     "json_props_extract",
@@ -121,13 +74,81 @@ _PRIORITY = [
     "urgent_orders_shipped",
     "returned_items_topk",
     "supplier_profit_by_nation",
-    "pii_redact",
     "events_as_changelog_state",
     "running_account_balance",
     "opcode_transitions",
     "partition_spread_per_source",
     "null_rate_profile",
     "buffer_info",
+    # (d) oldest-green refresh (r5 rows now the stalest)
+    "schema_evolution_decode",
+    "event_metadata_extract",
+    "avro_ocf_roundtrip",
+    "avro_binary_decode",
+    "jdbc_txlog_pull",
+    "sql_txlog_pull",
+    "trail_file_seek",
+    "stream_fetch_bounded",
+    "schema_key_compaction",
+    "dedup_canonical",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_span_windows",
+    "sparse_tfidf_pairs",
+    # below the 50-row window this round (all still verified locally):
+    "media_png_resize",
+    "data_expectations",
+    "lm2_quality_score",
+    "funnel_conversion",
+    "retention_cohorts",
+    "ann_filtered_topk",
+    "bpe_pair_counts",
+    "dedup_cluster_survivors",
+    "dedup_cluster_star",
+    "dedup_survivor_corpus",
+    "dedup_incremental",
+    "curation_decisions",
+    "curation_decisions_v2",
+    "decontaminate_bloom",
+    "key_skew_profile",
+    "repetition_filter",
+    "text_quality",
+    "text_lang_id",
+    "lm_quality_score",
+    "bootstrap_snapshot_catchup",
+    "snapshot_orders",
+    "snapshot_customer",
+    "filter_keyrange",
+    "filter_composite_json",
+    "filter_keymod_strkey",
+    "filter_keymod_longkey",
+    "filter_keymod_subscribe",
+    "filter_payload_fields",
+    "keyset_page",
+    "max_scn_probe",
+    "per_source_stats",
+    "lag_percentiles",
+    "value_histogram",
+    "event_rate_anomaly",
+    "txn_window_stats",
+    "pricing_summary",
+    "dedup_exact",
+    "decontaminate_vs_benchmark",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "topk_orders_per_segment",
+    "cube_rollup",
+    "media_features",
+    "scalar_functions",
+    "dtail_json",
+    "checkpoint_mult_fetch",
+    "xml_trail_parse",
+    "hash_sample",
+    "partition_router",
+    "pivot_events_daily",
 ]
 
 

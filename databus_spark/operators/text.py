@@ -355,17 +355,22 @@ PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
     "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    # r7: IPv4 literals — the fourth crisp regex-expressible PII class.
+    # Runs LAST: the phone pattern cannot span dots, so order is safe.
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }
+
+_PII_ORDER = ("email", "ssn", "phone", "ip")
 
 
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Regex-based PII redaction: emails/phones/SSNs replaced with typed
-    placeholders; per-doc match counts kept for audit. Pure regexp
-    expressions — JVM-side, order: ssn before phone (ssn is a phone
-    substring otherwise)."""
+    """Regex-based PII redaction: emails/phones/SSNs/IPv4s replaced with
+    typed placeholders; per-doc match counts kept for audit. Pure regexp
+    expressions — JVM-side (Java-regex ∩ RE2 common dialect), order:
+    ssn before phone (ssn is a phone substring otherwise), ip last."""
     redacted = F.col(text_col)
     counts = []
-    for kind in ("email", "ssn", "phone"):
+    for kind in _PII_ORDER:
         pat = PII_PATTERNS[kind]
         counts.append(F.regexp_count(redacted, F.lit(pat)).alias(f"n_{kind}"))
         redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
@@ -373,17 +378,19 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def redact_pii_sql(source_sql: str) -> str:
-    e, s, p = PII_PATTERNS["email"], PII_PATTERNS["ssn"], PII_PATTERNS["phone"]
+    expr = "text"
+    counts = []
+    for kind in _PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            f"len(regexp_extract_all({expr}, '{pat}')) AS n_{kind}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind.upper()}>', 'g')"
+    cols = ",\n               ".join(counts)
     return f"""
         SELECT doc_id,
-               len(regexp_extract_all(text, '{e}')) AS n_email,
-               len(regexp_extract_all(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{s}')) AS n_ssn,
-               len(regexp_extract_all(
-                   regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'),
-                   '{p}')) AS n_phone,
-               regexp_replace(regexp_replace(regexp_replace(
-                   text, '{e}', '<EMAIL>', 'g'), '{s}', '<SSN>', 'g'), '{p}', '<PHONE>', 'g')
-                   AS redacted_text
+               {cols},
+               {expr} AS redacted_text
         FROM ({source_sql})
     """
 
@@ -930,3 +937,95 @@ def lm2_quality_score_sql(from_sql: str) -> str:
         FROM (SELECT * FROM first_nll UNION ALL SELECT * FROM pair_nll)
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line stripping (CCNet-style corpus-level line dedup)
+# ---------------------------------------------------------------------------
+# Web corpora carry navigation menus, cookie banners, and copyright
+# footers repeated across thousands of pages of the same site — noise
+# that survives document-level dedup because the BODY differs. The
+# CCNet recipe: hash every (whitespace-normalized) line, count how many
+# DISTINCT documents each line appears in, and strip lines above a
+# document-frequency threshold, preserving the order of what remains.
+#
+# 100 TB shape: one posexplode (map-side), ONE shuffle for the
+# line-df aggregation, and the boilerplate set — tiny by definition
+# (only lines repeated across >= min_docs documents) — broadcasts back
+# for a map-side mark; reassembly is a per-document sort of its own
+# surviving lines. No join ever carries the corpus against itself.
+
+BOILER_MIN_DOCS = 30
+
+
+def boilerplate_strip(
+    docs: DataFrame, text_col: str = "text", min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """(doc_id, n_lines, n_boiler, n_kept_chars, kept_md5): strip lines
+    whose trim-normalized form appears in >= min_docs distinct
+    documents; kept_md5 fingerprints the reassembled (order-preserved)
+    residual text. Empty lines are never boilerplate (they are
+    document structure, not content)."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    ).withColumn("_n", F.trim("line"))
+    boiler = (
+        lines.where(F.col("_n") != "")
+        .groupBy("_n")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_n", F.lit(True).alias("_b"))
+    )
+    marked = lines.join(F.broadcast(boiler), "_n", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_boiler"),
+        # collect_list drops NULLs, so boiler lines vanish here; the
+        # (idx, line) struct sort restores original document order
+        F.array_sort(
+            F.collect_list(F.when(F.col("_b").isNull(), F.struct("idx", "line")))
+        ).alias("_kept"),
+    )
+    kept_text = F.array_join(F.transform("_kept", lambda s: s["line"]), "\n")
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        F.length(kept_text).cast("long").alias("n_kept_chars"),
+        F.md5(kept_text).alias("kept_md5"),
+    )
+
+
+def boilerplate_strip_sql(from_sql: str, min_docs: int = BOILER_MIN_DOCS) -> str:
+    return f"""
+        WITH lines AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM ({from_sql})
+        ),
+        norm AS (SELECT doc_id, idx, line, trim(line) AS n FROM lines),
+        boiler AS (
+            SELECT n FROM norm WHERE n <> ''
+            GROUP BY n HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        marked AS (
+            SELECT norm.doc_id, norm.idx, norm.line,
+                   b.n IS NOT NULL AS is_b
+            FROM norm LEFT JOIN boiler b ON norm.n = b.n
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+               CAST(length(coalesce(
+                   string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT is_b),
+                   ''))
+                   AS BIGINT) AS n_kept_chars,
+               md5(coalesce(
+                   string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE NOT is_b),
+                   '')) AS kept_md5
+        FROM marked
+        GROUP BY 1
+    """
+
+

@@ -2131,6 +2131,36 @@ def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-line corpus with injected site boilerplate, built identically
+# in both engines: a universal nav header, a per-lang banner, the
+# document body, and a universal footer — so line-df has all three
+# regimes (global boiler, per-group boiler, unique body).
+BOILER_CORPUS_SQL = (
+    "SELECT doc_id, 'NAV MENU HOME' || chr(10) || 'site: ' || lang || chr(10)"
+    " || text || chr(10) || 'copyright 2026 example.com' AS text FROM documents"
+)
+
+
+@query("boilerplate_strip", text.boilerplate_strip_sql(BOILER_CORPUS_SQL))
+def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup: lines whose normalized form
+    repeats across >= 30 distinct documents (nav menus, per-site
+    banners, copyright footers) are stripped, body text survives in
+    order. One line-df shuffle; the boilerplate set broadcasts back —
+    the corpus never joins itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV MENU HOME"),
+            F.concat(F.lit("site: "), F.col("lang")),
+            F.col("text"),
+            F.lit("copyright 2026 example.com"),
+        ).alias("text"),
+    )
+    return text.boilerplate_strip(docs)
+
+
 @query(
     "text_novelty",
     text.novelty_profile_sql(dedup.DOCS_WITH_DUPS_SQL, k=5),
@@ -2930,6 +2960,8 @@ _PII_SOURCE_SQL = """
     SELECT doc_id,
            concat(text, ' contact user', CAST(doc_id AS VARCHAR),
                   '@example.com or (555) 012-', CAST(doc_id % 9000 + 1000 AS VARCHAR),
+                  ' from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                  '.', CAST(doc_id % 100 AS VARCHAR),
                   CASE WHEN doc_id % 5 = 0
                        THEN concat(' ssn 123-45-', CAST(doc_id % 9000 + 1000 AS VARCHAR))
                        ELSE '' END) AS text
@@ -2940,8 +2972,9 @@ _PII_SOURCE_SQL = """
 @query("pii_redact", text.redact_pii_sql(_PII_SOURCE_SQL))
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over a corpus with deterministic synthesized PII
-    (emails/phones/SSNs): typed placeholders + per-doc audit counts,
-    all JVM-side regexp expressions."""
+    (emails/phones/SSNs/IPv4s since r7): typed placeholders + per-doc
+    audit counts, all JVM-side regexp expressions — a pure per-row
+    projection, zero shuffle at any scale."""
     d = load_table(spark, sf_dir, "documents")
     with_pii = d.select(
         "doc_id",
@@ -2951,6 +2984,10 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@example.com or (555) 012-"),
             (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
             F.when(
                 F.col("doc_id") % 5 == 0,
                 F.concat(

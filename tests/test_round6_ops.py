@@ -99,3 +99,71 @@ def test_incremental_near_matches_batch_lsh_semantics(spark, sf_dir):
         for r in dedup.incremental_near_dedup(incoming, base).where(~F.col("is_new")).collect()
     }
     assert batch_matched <= inc
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Injected boilerplate (global header/footer, per-group banner) is
+    stripped; unique body lines survive in order; empty lines are never
+    boilerplate."""
+    from databus_spark.operators.text import boilerplate_strip
+
+    rows = []
+    for i in range(40):
+        body = f"unique body line {i}"
+        rows.append((i, f"HEADER\n\nsite: {'a' if i % 2 else 'b'}\n{body}\nFOOTER"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in boilerplate_strip(docs, min_docs=10).collect()}
+    assert len(out) == 40
+    import hashlib
+
+    for i, r in out.items():
+        assert r["n_lines"] == 5
+        # HEADER + site banner + FOOTER are boiler; body + empty survive
+        assert r["n_boiler"] == 3
+        kept = f"\nunique body line {i}"
+        assert r["n_kept_chars"] == len(kept)
+        assert r["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+
+def test_boilerplate_strip_below_threshold_kept(spark):
+    from databus_spark.operators.text import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [(0, "rare\nbody0"), (1, "rare\nbody1"), (2, "solo\nbody2")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r["n_boiler"] for r in boilerplate_strip(docs, min_docs=3).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}  # df=2 < 3: nothing stripped
+
+
+def test_pii_redact_ipv4_class(spark):
+    """r7 adds IPv4 to the redaction family: counted, replaced with
+    <IP>, and never confused with the phone pattern (dots break it)."""
+    from databus_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a@b.com and c.d+x@e-f.org from 192.168.0.1 done"),
+            (1, "no pii here"),
+            (2, "ip only 10.0.0.255"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_ip"]) == (2, 1)
+    assert (out[1]["n_email"], out[1]["n_ip"]) == (0, 0)
+    assert (out[2]["n_email"], out[2]["n_ip"]) == (0, 1)
+    assert out[0]["redacted_text"] == "mail <EMAIL> and <EMAIL> from <IP> done"
+    assert out[2]["redacted_text"] == "ip only <IP>"
+
+
+def test_pii_redact_zero_shuffle_plan(spark, sf_dir):
+    """PII redaction is a pure projection — a shuffle here would be a
+    plan regression (it must push down to a per-file scan at 100 TB)."""
+    from databus_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["pii_redact"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:600]

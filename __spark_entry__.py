@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # (a) NEW this round — always first
     "media_jpeg_probe",
+    "media_video_frames",
     "boilerplate_strip",
     # (b) engine/oracle path changed in round 7
     "text_novelty",

@@ -2270,6 +2270,42 @@ def media_jpeg_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_jpeg_probe(media)
 
 
+@query(
+    "media_video_frames",
+    """
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(64 * ((doc_id * 7 + f * 17) % 256
+                    + (doc_id * 7 + f * 17 + 31) % 256
+                    + (doc_id * 7 + f * 17 + 62) % 256
+                    + (doc_id * 7 + f * 17 + 93) % 256)
+                AS BIGINT) AS pixel_sum,
+           CAST(least((doc_id * 7 + f * 17) % 256,
+                      (doc_id * 7 + f * 17 + 31) % 256,
+                      (doc_id * 7 + f * 17 + 62) % 256,
+                      (doc_id * 7 + f * 17 + 93) % 256) AS INT) AS px_min,
+           CAST(greatest((doc_id * 7 + f * 17) % 256,
+                         (doc_id * 7 + f * 17 + 31) % 256,
+                         (doc_id * 7 + f * 17 + 62) % 256,
+                         (doc_id * 7 + f * 17 + 93) % 256) AS INT) AS px_max
+    FROM documents, (SELECT unnest(range(0, 3)) AS f)
+    """,
+)
+def media_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame extraction driver-checked end-to-end (the MJPEG
+    class — the stub narrows to inter-frame codecs): a deterministic
+    3-frame MJPEG AVI synthesized per document, demuxed by the
+    from-scratch RIFF/AVI chunk walk, each frame decoded by the
+    baseline-JPEG codec, and per-frame pixel statistics matched
+    against their closed forms (constant 8x8 blocks round-trip exactly
+    under the flat q=1 table — see media_jpeg_probe)."""
+    from databus_spark.operators.multimodal import synth_avi_corpus, video_frame_probe
+
+    media = synth_avi_corpus(load_table(spark, sf_dir, "documents"))
+    return video_frame_probe(media)
+
+
 def media_png_resize_q_sql() -> str:
     # downsampled pixel (R, C) of the synthesized 8x8 image: integer
     # box-mean of its 2x2 block, pixels p(r, c) = (doc_id*7 + r*8 + c) % 256

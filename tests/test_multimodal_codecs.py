@@ -285,3 +285,49 @@ def test_jpeg_probe_distributed(spark):
         assert (r["width"], r["height"]) == (16, 16)
         assert r["pixel_sum"] == 64 * sum(vs)
         assert r["px_min"] == min(vs) and r["px_max"] == max(vs)
+
+
+def test_avi_mjpeg_roundtrip_and_demux():
+    """The RIFF/AVI writer+demuxer agree on frame count, order, and
+    bytes; decoded frames are bit-exact for constant-block content."""
+    import numpy as np
+
+    from databus_spark.operators.multimodal import avi_encode, avi_frames, jpeg_decode
+
+    frames = []
+    for f in range(4):
+        img = np.full((16, 16), (f * 40 + 7) % 256, dtype=np.uint8)
+        frames.append(img)
+    blob = avi_encode(frames)
+    outs = avi_frames(blob)
+    assert len(outs) == 4
+    for i, fr in enumerate(outs):
+        assert np.array_equal(jpeg_decode(fr), frames[i])
+
+
+def test_avi_rejects_torn_and_foreign():
+    import numpy as np
+    import pytest as _pytest
+
+    from databus_spark.operators.multimodal import avi_encode, avi_frames
+
+    blob = avi_encode([np.zeros((8, 8), dtype=np.uint8)])
+    with _pytest.raises(ValueError):
+        avi_frames(b"RIFFxxxxWAVE")  # wrong RIFF kind
+    with _pytest.raises(ValueError):
+        avi_frames(blob[:60])  # torn mid-header
+
+
+def test_video_frame_probe_distributed(spark):
+    from databus_spark.operators.multimodal import synth_avi_corpus, video_frame_probe
+
+    docs = spark.range(0, 20).selectExpr("id AS doc_id")
+    rows = video_frame_probe(synth_avi_corpus(docs)).collect()
+    assert len(rows) == 60  # 20 docs x 3 frames
+    got = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    for d in range(20):
+        for f in range(3):
+            vs = [(d * 7 + f * 17 + b * 31) % 256 for b in range(4)]
+            r = got[(d, f)]
+            assert r["pixel_sum"] == 64 * sum(vs)
+            assert r["px_min"] == min(vs) and r["px_max"] == max(vs)

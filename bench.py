@@ -91,6 +91,9 @@ def main() -> None:
         # FAISS build-once shape); stage it untimed so the first PQ
         # query in rotation doesn't absorb the corpus encode
         "ann_pq_topk",
+        # the AVI corpus is a staged binary fixture: the measured path
+        # is demux + per-frame decode, not fixture encoding
+        "media_video_frames",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

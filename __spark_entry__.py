@@ -46,6 +46,7 @@ _PRIORITY = [
     "media_jpeg_probe",
     "media_video_frames",
     "boilerplate_strip",
+    "dedup_cdc_chunks",
     # (b) engine/oracle path changed in round 7
     "text_novelty",
     "structure_profile",

@@ -582,6 +582,18 @@ def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup_profile(dedup.documents_with_dups(spark, sf_dir))
 
 
+@query("dedup_cdc_chunks", dedup.cdc_chunk_profile_sql(dedup.DOCS_WITH_DUPS_SQL))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: variable rolling-hash chunk
+    boundaries (the rsync/LBFS trick) that RE-SYNCHRONIZE after an
+    edit, so the mirrored and first-token-dropped copies in the
+    duplicated corpus still share their unchanged tail chunks — the
+    property fixed token windows (dedup_span_windows) lose after one
+    insertion. Boundary discovery is per-row expression work; one
+    uniform shuffle on the chunk text."""
+    return dedup.cdc_chunk_profile(dedup.documents_with_dups(spark, sf_dir))
+
+
 @query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-shingle Jaccard >= 0.6 near-dup pairs via inverted-index join."""

@@ -102,3 +102,39 @@ def test_star_matches_label_propagation_on_real_pairs(spark, sf_dir):
     a = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup.dedup_clusters(pairs).collect()}
     b = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup.dedup_clusters_star(pairs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_cdc_chunks_resync_after_insertion(spark):
+    """THE content-defined-chunking property: a single token inserted at
+    the front shifts every fixed window, but CDC boundaries
+    re-synchronize — the edited copy still shares its unchanged tail
+    chunk with the original (both engines agree; the oracle pair runs
+    in test_registry_oracles)."""
+    from databus_spark.operators.dedup import cdc_chunk_profile
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    docs = spark.createDataFrame(
+        [(0, base), (1, "oops " + base), (2, "nothing in common here at all")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_profile(docs).collect()}
+    assert out[0]["n_dup_chunks"] >= 1, "original lost its shared tail chunk"
+    assert out[1]["n_dup_chunks"] >= 1, "edited copy lost its shared tail chunk"
+    assert out[2]["n_dup_chunks"] == 0
+    # dup_fraction is the micro-unit floor-divided ratio
+    r = out[0]
+    assert r["dup_fraction"] == (r["n_dup_chunks"] * 1_000_000 // r["n_chunks"]) / 1_000_000
+
+
+def test_cdc_chunks_short_and_tiny_docs(spark):
+    """Docs shorter than the rolling window produce exactly one chunk
+    (the whole document) instead of throwing on the ANSI element_at."""
+    from databus_spark.operators.dedup import cdc_chunk_profile
+
+    docs = spark.createDataFrame(
+        [(0, "one"), (1, "two words"), (2, "a b c")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r["n_chunks"] for r in cdc_chunk_profile(docs).collect()}
+    assert out[0] == 1 and out[1] == 1 and out[2] >= 1

@@ -47,6 +47,7 @@ _PRIORITY = [
     "media_video_frames",
     "boilerplate_strip",
     "dedup_cdc_chunks",
+    "bpe_learn_merges",
     # (b) engine/oracle path changed in round 7
     "text_novelty",
     "structure_profile",

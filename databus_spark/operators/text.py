@@ -730,6 +730,130 @@ def bpe_pair_counts_sql(from_sql: str, top_n: int = 50) -> str:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge LEARNING (k greedy rounds — actual tokenizer training)
+# ---------------------------------------------------------------------------
+# bpe_pair_counts ranks ONE round's candidates; learning a vocabulary
+# is the iterative loop: count adjacent pairs -> adopt the most
+# frequent as a merge rule -> rewrite the corpus -> repeat. The
+# cross-engine trick that keeps this oracle-exact: the corpus lives as
+# a chr(1)-delimited token string and a merge applies as a LITERAL
+# string replace of '<d>a<d>b<d>' with '<d>a b<d>', run TWICE —
+# replace() is left-to-right non-overlapping in BOTH engines, and a
+# single pass misses an occurrence whose leading delimiter was
+# consumed by the immediately preceding match; after one pass no two
+# unmerged occurrences are adjacent, so the second pass completes the
+# maximal disjoint matching. This equals greedy BPE everywhere except
+# inside odd-length runs of a SELF-pair rule like (a,a), where the
+# second pass merges right-anchored instead of left — a documented,
+# deterministic deviation identical in both engines.
+#
+# 100 TB shape per round: one map-side-combinable pair count (the
+# bpe_pair_counts aggregation), one O(1) driver scalar (the adopted
+# rule — this is model state, not data), one map-side rewrite. k
+# rounds = k such passes; the corpus never joins itself.
+
+BPE_D = "\x01"  # token delimiter: never appears in whitespace-split tokens
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 3, text_col: str = "text") -> DataFrame:
+    """(rank, pair, n): the first n_merges BPE merge rules learned
+    greedily over the corpus (count DESC, pair ASC tie-break), each
+    with its count at adoption time."""
+    spark = docs.sparkSession
+    d = BPE_D
+    s = docs.select(
+        F.concat(
+            F.lit(d), F.array_join(tokens_col(text_col), d), F.lit(d)
+        ).alias("s")
+    ).localCheckpoint(eager=False)
+
+    rules = []
+    for rank in range(1, n_merges + 1):
+        toks = F.expr(f"split(substring(s, 2, length(s) - 2), '{d}')")
+        # rules are (a, b) STRUCTS, never a joined display string: after
+        # round 1 a merged token itself contains a space, so splitting a
+        # "a b c" pair string back into its two sides is ambiguous
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        top = (
+            s.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        rules.append((rank, a + " " + b, int(n)))
+        pat, rep = F.lit(d + a + d + b + d), F.lit(d + a + " " + b + d)
+        s = s.select(
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s")
+        ).localCheckpoint(eager=False)
+    if not rules:
+        return spark.sql(
+            "SELECT CAST(1 AS INT) AS rank, '' AS pair,"
+            " CAST(0 AS BIGINT) AS n WHERE false"
+        )
+    rows_sql = ", ".join(
+        "({}, '{}', {})".format(r, p.replace("'", "''"), n) for r, p, n in rules
+    )
+    # LocalRelation, not createDataFrame-from-rows (no Python RDD)
+    return spark.sql(
+        f"SELECT CAST(col1 AS INT) AS rank, col2 AS pair,"
+        f" CAST(col3 AS BIGINT) AS n FROM (VALUES {rows_sql})"
+    )
+
+
+def bpe_learn_merges_sql(from_sql: str, n_merges: int = 3) -> str:
+    """Unrolled k-round DuckDB twin: each round's corpus is the
+    previous round's after replace()-applying the previous rule."""
+    toks = TOKENS_SQL.format(col="text")
+    d = "chr(1)"
+    ctes = [
+        f"t1 AS (SELECT {d} || array_to_string({toks}, {d}) || {d} AS s"
+        f" FROM ({from_sql}))"
+    ]
+    selects = []
+    for r in range(1, n_merges + 1):
+        # (a, b) kept as separate columns — see the Spark twin for why a
+        # joined pair string cannot be decomposed after round 1
+        ctes.append(
+            f"p{r} AS (SELECT p.a AS a, p.b AS b, count(*) AS n FROM ("
+            f"SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),"
+            f" i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS p FROM ("
+            f"SELECT string_split(s[2:length(s) - 1], {d}) AS tk FROM t{r})"
+            f") GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"r{r} AS (SELECT a, b, n FROM p{r}"
+            f" ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if r < n_merges:
+            pat = (
+                f"{d} || (SELECT a FROM r{r}) || {d}"
+                f" || (SELECT b FROM r{r}) || {d}"
+            )
+            rep = (
+                f"{d} || (SELECT a FROM r{r}) || ' '"
+                f" || (SELECT b FROM r{r}) || {d}"
+            )
+            ctes.append(
+                f"t{r + 1} AS (SELECT replace(replace(s, {pat}, {rep}),"
+                f" {pat}, {rep}) AS s FROM t{r})"
+            )
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS rank, a || ' ' || b AS pair,"
+            f" CAST(n AS BIGINT) AS n FROM r{r}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
 # Document structure profile (layout-level curation signals)
 # ---------------------------------------------------------------------------
 # Length/token stats say nothing about SHAPE: a wall of unbroken text,

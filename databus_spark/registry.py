@@ -2153,6 +2153,23 @@ BOILER_CORPUS_SQL = (
 )
 
 
+@query(
+    "bpe_learn_merges",
+    text.bpe_learn_merges_sql("SELECT doc_id, text FROM documents", n_merges=3),
+)
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge LEARNING (3 greedy rounds — actual tokenizer training,
+    upgrading bpe_pair_counts' single-round ranking): count adjacent
+    pairs, adopt the most frequent as a merge rule, rewrite the corpus,
+    repeat. Per round: one map-side-combinable aggregation + one O(1)
+    driver scalar (the rule is model state) + one map-side rewrite; the
+    corpus never joins itself. Rules carry (a, b) structurally so
+    merged-token spaces can't corrupt later rounds."""
+    return text.bpe_learn_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=3
+    )
+
+
 @query("boilerplate_strip", text.boilerplate_strip_sql(BOILER_CORPUS_SQL))
 def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup: lines whose normalized form

@@ -167,3 +167,41 @@ def test_pii_redact_zero_shuffle_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan[:600]
+
+
+def test_bpe_learn_merges_semantics(spark):
+    """Greedy merge learning: rule 1 is the modal pair; later rounds
+    count pairs over the REWRITTEN corpus, so a rule can chain onto an
+    earlier merged token (the structural (a,b) representation — a
+    joined pair string could not be decomposed once tokens contain
+    spaces)."""
+    from databus_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [
+            (0, "new york city has new york style pizza in new york"),
+            (1, "the new york subway and the new york harbor"),
+            (2, "tok tok tok tok tok"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["rank"]: (r["pair"], r["n"]) for r in bpe_learn_merges(docs, 3).collect()}
+    assert got[1] == ("new york", 5)
+    assert got[2] == ("tok tok", 4)  # run of 5: four adjacent pairs at adoption
+    assert got[3] == ("the new york", 2)  # chains onto round-1's merged token
+
+
+def test_bpe_learn_merges_two_pass_application(spark):
+    """The delimited-replace application reaches the maximal disjoint
+    matching: in 'a b a b a b' every (a, b) pair merges even though a
+    single replace pass would skip the occurrence whose leading
+    delimiter the previous match consumed."""
+    from databus_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y x y x y")], "doc_id BIGINT, text STRING"
+    )
+    got = {r["rank"]: (r["pair"], r["n"]) for r in bpe_learn_merges(docs, 2).collect()}
+    assert got[1] == ("x y", 4)
+    # all four (x,y) pairs merged -> round 2 sees [xy, xy, xy, xy]
+    assert got[2] == ("x y x y", 3)

@@ -1,0 +1,60 @@
+"""Physical-plan pins for the round-7 operators: the plan SHAPE is the
+scale contract — these fail when a rewrite silently turns a broadcast
+into a sort-merge join, adds a shuffle to a projection, or drops the
+map-side combine."""
+
+from __future__ import annotations
+
+
+def _plan(spark, name, sf_dir):
+    from databus_spark.registry import QUERIES
+
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_boilerplate_strip_broadcasts_boiler_set(spark, sf_dir):
+    """The boilerplate set is tiny by definition (lines repeated across
+    >= min_docs docs) — it must broadcast back to the corpus; a
+    sort-merge join would shuffle every line of a 100 TB corpus a
+    second time."""
+    plan = _plan(spark, "boilerplate_strip", sf_dir)
+    assert "BroadcastHashJoin" in plan, "boiler set lost its broadcast"
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_cdc_chunks_single_uniform_shuffle_no_python(spark, sf_dir):
+    """Boundary discovery is per-row expression work: no Python in the
+    plan, no cartesian product; the only joins pair chunk occurrences
+    with the chunk-df aggregate (uniform content keys)."""
+    plan = _plan(spark, "dedup_cdc_chunks", sf_dir)
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_probes_python_stage_budget(spark, sf_dir):
+    """Payloads cross to Python a bounded number of times and are never
+    shuffled before extraction. media_video_frames reads its STAGED
+    binary corpus, so its plan has exactly one Python stage (the
+    probe); media_jpeg_probe synthesizes its fixture inline (the encode
+    is itself part of the demonstrated codec), so it gets synth +
+    probe = two — a third stage or a pre-extraction Exchange is a
+    regression in either."""
+    expect = {"media_jpeg_probe": 2, "media_video_frames": 1}
+    for name, n in expect.items():
+        plan = _plan(spark, name, sf_dir)
+        assert plan.count("MapInPandas") == n, (name, plan[:500])
+        assert "Exchange" not in plan.split("MapInPandas")[0], (
+            name,
+            "payloads shuffled before extraction",
+        )
+
+
+def test_pq_family_reads_staged_index(spark, sf_dir):
+    """All three PQ queries serve from the staged codes parquet — the
+    corpus encode must NOT appear in the serve plan (that is the
+    build-once index's whole point)."""
+    for name in ("ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_rerank_topk"):
+        plan = _plan(spark, name, sf_dir)
+        assert "partial_min_by" not in plan, (name, "encode leaked into serve plan")
+        assert "databus_pqidx" in plan, (name, "staged index not read")

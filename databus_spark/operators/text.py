@@ -1080,6 +1080,13 @@ def lm2_quality_score_sql(from_sql: str) -> str:
 # surviving lines. No join ever carries the corpus against itself.
 
 BOILER_MIN_DOCS = 30
+# Broadcast safety valve (the MAX_BAND_DOCS pattern): the boiler set is
+# tiny in healthy corpora, but a pathological corpus of near-identical
+# pages could push "every line repeated everywhere" past broadcast
+# limits — cap at the top-K most-repeated lines (df DESC, line ASC
+# tie-break so the cap itself is deterministic). Far above any test-SF
+# population; results unchanged until degeneracy.
+BOILER_MAX_LINES = 100_000
 
 
 def boilerplate_strip(
@@ -1098,6 +1105,8 @@ def boilerplate_strip(
         .groupBy("_n")
         .agg(F.count_distinct("doc_id").alias("_df"))
         .where(F.col("_df") >= min_docs)
+        .orderBy(F.desc("_df"), F.asc("_n"))
+        .limit(BOILER_MAX_LINES)
         .select("_n", F.lit(True).alias("_b"))
     )
     marked = lines.join(F.broadcast(boiler), "_n", "left")
@@ -1130,8 +1139,11 @@ def boilerplate_strip_sql(from_sql: str, min_docs: int = BOILER_MIN_DOCS) -> str
         ),
         norm AS (SELECT doc_id, idx, line, trim(line) AS n FROM lines),
         boiler AS (
-            SELECT n FROM norm WHERE n <> ''
-            GROUP BY n HAVING count(DISTINCT doc_id) >= {min_docs}
+            SELECT n FROM (
+                SELECT n, count(DISTINCT doc_id) AS df FROM norm
+                WHERE n <> '' GROUP BY n
+                HAVING count(DISTINCT doc_id) >= {min_docs}
+            ) ORDER BY df DESC, n ASC LIMIT {BOILER_MAX_LINES}
         ),
         marked AS (
             SELECT norm.doc_id, norm.idx, norm.line,

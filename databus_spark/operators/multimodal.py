@@ -738,9 +738,20 @@ def jpeg_decode(payload: bytes):
     unstuffing, DC prediction, dequantize, de-zigzag, IDCT, level shift.
     Supports 8-bit baseline GRAYSCALE (1 component, no subsampling, no
     restart markers); anything else raises ValueError (caller
-    quarantines). Returns an (h, w) uint8 array."""
+    quarantines). Returns an (h, w) uint8 array.
+
+    Quarantine contract: EVERY malformed input fails as ValueError —
+    parse-layer struct.error/IndexError on torn bytes are converted
+    (fuzz-pinned), so executor tasks never crash on hostile payloads."""
     import struct
 
+    try:
+        return _jpeg_decode_inner(payload, struct)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"torn JPEG: {e}") from e
+
+
+def _jpeg_decode_inner(payload: bytes, struct):
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":

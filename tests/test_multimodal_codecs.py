@@ -331,3 +331,47 @@ def test_video_frame_probe_distributed(spark):
             r = got[(d, f)]
             assert r["pixel_sum"] == 64 * sum(vs)
             assert r["px_min"] == min(vs) and r["px_max"] == max(vs)
+
+
+def test_decoders_quarantine_contract_under_fuzz():
+    """Every malformed payload must fail as ValueError — any other
+    exception class escaping a decoder would crash the executor task
+    instead of landing in the quarantine leg. Deterministic fuzz:
+    byte flips, truncations, and garbage tails over valid JPEG/AVI/PNG
+    payloads (this caught struct.error and IndexError escapes in
+    jpeg_decode)."""
+    import random
+
+    import numpy as np
+
+    from databus_spark.operators.multimodal import (
+        avi_encode,
+        avi_frames,
+        jpeg_decode,
+        jpeg_encode,
+        png_decode,
+        png_encode,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    seeds = [jpeg_encode(img), avi_encode([img]), png_encode(img)]
+    rng = random.Random(7)
+    escapes = []
+    for trial in range(3000):
+        b = bytearray(seeds[trial % 3])
+        for _ in range(rng.randint(1, 6)):
+            op = rng.random()
+            if op < 0.4 and len(b) > 4:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.7 and len(b) > 2:
+                b = bytearray(b[: rng.randrange(1, len(b))])
+            else:
+                b += bytes(rng.randrange(8))
+        for fn in (jpeg_decode, avi_frames, png_decode):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                escapes.append((fn.__name__, type(e).__name__, str(e)[:80]))
+    assert not escapes, escapes[:5]

@@ -133,9 +133,13 @@ def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "string":
         n, pos = _read_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("torn Avro string (bad length)")
         return buf[pos : pos + n].decode("utf-8"), pos + n
     if t == "bytes":
         n, pos = _read_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("torn Avro bytes (bad length)")
         return bytes(buf[pos : pos + n]), pos + n
     if t == "record":
         rec = {}
@@ -169,7 +173,21 @@ def decode_record(
 
     With return_consumed=True also returns the byte length consumed —
     what a container-file block reader needs to walk concatenated
-    records (sources/avro_ocf.py)."""
+    records (sources/avro_ocf.py).
+
+    Quarantine contract (fuzz-pinned, like the media codecs): every
+    malformed buffer fails as ValueError — wire-level struct.error /
+    IndexError on torn bytes are converted so a poisoned payload lands
+    in the caller's quarantine leg, never as an executor task crash."""
+    try:
+        return _decode_record_inner(buf, writer, reader, return_consumed)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"torn Avro record: {e}") from e
+
+
+def _decode_record_inner(
+    buf: bytes, writer: dict, reader: dict, return_consumed: bool
+):
     reader_fields = {f["name"]: f for f in reader["fields"]}
     rec: dict[str, Any] = {}
     pos = 0

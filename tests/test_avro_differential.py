@@ -104,3 +104,42 @@ def test_spark_avro_encode_matches_python_decode(spark, rows):
         {"id": i, "name": n, "score": s, "tag": t} for i, n, s, t in rows
     ]
     assert via_python == expect
+
+
+def test_avro_decode_quarantine_contract_under_fuzz():
+    """Every torn/corrupt buffer fails as ValueError (fuzz caught
+    struct.error and IndexError escapes — an executor-task crash class,
+    not a quarantined row)."""
+    import random
+
+    from databus_spark.functions.avro_codec import decode_record, encode_record
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "double"]},
+        ],
+    }
+    good = encode_record({"a": 42, "b": "hello", "c": 1.5}, schema)
+    rng = random.Random(11)
+    escapes = []
+    for _ in range(4000):
+        b = bytearray(good)
+        for _m in range(rng.randint(1, 5)):
+            op = rng.random()
+            if op < 0.4 and len(b) > 0:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.7 and len(b) > 1:
+                b = bytearray(b[: rng.randrange(1, len(b))])
+            else:
+                b += bytes(rng.randrange(6))
+        try:
+            decode_record(bytes(b), schema, schema)
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 — the assertion target
+            escapes.append((type(e).__name__, str(e)[:80]))
+    assert not escapes, escapes[:5]

@@ -79,8 +79,17 @@ def decode_media(payload: bytes) -> object:
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload)) as wf:
-            return wf.readframes(wf.getnframes())
+        try:
+            with wave.open(io.BytesIO(payload)) as wf:
+                return wf.readframes(wf.getnframes())
+        except ValueError:
+            raise
+        except Exception as e:
+            # stdlib wave raises wave.Error, EOFError, struct.error and
+            # even bare RuntimeError on torn containers — all of it is
+            # DATA here, so the whole parse branch converts to the
+            # ValueError quarantine contract
+            raise ValueError(f"torn WAV: {e}") from e
     if not _REAL_CODECS_AVAILABLE:
         raise NotImplementedError(
             "inter-frame-predicted video (H.264/VP9/AV1) unavailable in "

@@ -94,6 +94,10 @@ def main() -> None:
         # the AVI corpus is a staged binary fixture: the measured path
         # is demux + per-frame decode, not fixture encoding
         "media_video_frames",
+        # the cluster family shares one staged LSH candidate-pair index
+        # (dedup_minhash_lsh itself stays unstaged so pair-generation
+        # cost remains a visible row)
+        "dedup_cluster_survivors",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

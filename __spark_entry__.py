@@ -48,6 +48,7 @@ _PRIORITY = [
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",
+    "dedup_decision_log",
     # (b) engine/oracle path changed in round 7
     "text_novelty",
     "structure_profile",

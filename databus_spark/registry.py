@@ -2857,6 +2857,71 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters_star(_staged_lsh_pairs(spark, sf_dir))
 
 
+def _decision_log_oracle() -> str:
+    clusters = dedup_clusters_sql(dedup.minhash_lsh_sql(k=5, threshold=0.5))
+    return f"""
+        WITH d AS ({dedup.DOCS_WITH_DUPS_SQL}),
+        exact_s AS (
+            SELECT md5(text) AS h, min(doc_id) AS s FROM d GROUP BY 1
+        ),
+        near AS (SELECT doc_id, cluster_id, is_survivor FROM ({clusters}))
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id <> e.s THEN 'drop_exact'
+                    WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
+                        THEN 'drop_near'
+                    ELSE 'keep' END AS decision,
+               CASE WHEN d.doc_id <> e.s THEN e.s
+                    WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
+                        THEN n.cluster_id
+                    ELSE d.doc_id END AS survivor_id
+        FROM d
+        JOIN exact_s e ON md5(d.text) = e.h
+        LEFT JOIN near n ON n.doc_id = d.doc_id
+    """
+
+
+@query("dedup_decision_log", _decision_log_oracle())
+def dedup_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auditable per-document dedup provenance — what data governance
+    asks of the pipeline: EVERY document gets a decision
+    ('keep' | 'drop_exact' | 'drop_near') and the id of the survivor
+    that keeps its content (itself when kept; the min-id of its md5
+    group or near-dup cluster when dropped). Exact dedup outranks near
+    (a byte-identical copy is 'drop_exact' even if it also clusters).
+    Composition of the already-proven stages: one md5 groupBy, the
+    staged LSH pair index + label-prop clusters, two keyed joins —
+    nothing here scales worse than its standalone query."""
+    docs = dedup.documents_with_dups(spark, sf_dir)
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    exact_s = hashes.join(
+        hashes.groupBy("h").agg(F.min("doc_id").alias("s")), "h"
+    ).select("doc_id", "s")
+    near = dedup_clusters(_staged_lsh_pairs(spark, sf_dir)).select(
+        F.col("doc_id").alias("n_doc"), "cluster_id", "is_survivor"
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_s, "doc_id")
+        .join(near, F.col("doc_id") == F.col("n_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("s"), "drop_exact")
+            .when(
+                F.col("n_doc").isNotNull() & ~F.col("is_survivor"), "drop_near"
+            )
+            .otherwise("keep")
+            .alias("decision"),
+            F.when(F.col("doc_id") != F.col("s"), F.col("s"))
+            .when(
+                F.col("n_doc").isNotNull() & ~F.col("is_survivor"),
+                F.col("cluster_id"),
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("survivor_id"),
+        )
+    )
+
+
 def _survivor_corpus_oracle() -> str:
     clusters = dedup_clusters_sql(dedup.minhash_lsh_sql(k=5, threshold=0.5))
     return f"""

@@ -138,3 +138,26 @@ def test_cdc_chunks_short_and_tiny_docs(spark):
     )
     out = {r["doc_id"]: r["n_chunks"] for r in cdc_chunk_profile(docs).collect()}
     assert out[0] == 1 and out[1] == 1 and out[2] >= 1
+
+
+def test_decision_log_consistent_with_survivor_corpus(spark, sf_dir):
+    """The decision log's 'keep' set must equal the survivor corpus
+    exactly (two independent compositions of the same stages), and
+    every dropped doc must point at a survivor that is itself kept."""
+    from databus_spark.registry import QUERIES
+
+    dl = {r["doc_id"]: r for r in QUERIES["dedup_decision_log"](spark, sf_dir).collect()}
+    kept = {d for d, r in dl.items() if r["decision"] == "keep"}
+    sc = {r["doc_id"] for r in QUERIES["dedup_survivor_corpus"](spark, sf_dir).collect()}
+    assert kept == sc
+    for d, r in dl.items():
+        if r["decision"] == "keep":
+            assert r["survivor_id"] == d
+        else:
+            s = r["survivor_id"]
+            assert s != d
+            # the survivor a dropped doc points to is kept... unless it
+            # was itself exact-dropped while also being a near-cluster
+            # min (exact outranks near) — then follow one hop
+            if dl[s]["decision"] != "keep":
+                assert dl[dl[s]["survivor_id"]]["decision"] == "keep"

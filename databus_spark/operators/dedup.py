@@ -1354,17 +1354,23 @@ def cdc_chunk_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         f"array_sort(array_distinct(concat(array(0), "
         f"transform({cuts}, s -> s.pos), array(size(_toks)))))"
     )
+    # stage bounds as a COLUMN behind a second barrier: the chunks
+    # expression references it three times and interpreted HOFs re-run
+    # the sort(distinct(concat(cuts))) subtree per reference
+    base2 = base.select(
+        "doc_id", "_toks", F.expr(bounds).alias("_bounds")
+    ).localCheckpoint(eager=False)
     # empty-doc guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
     # element_at past the array end throws under ANSI mode — a
     # zero-token document must short-circuit to zero chunks
     chunks = (
-        f"CASE WHEN size(_toks) = 0 THEN array() ELSE "
-        f"filter(transform(sequence(1, size({bounds}) - 1), "
-        f"k -> array_join(slice(_toks, element_at({bounds}, k) + 1, "
-        f"element_at({bounds}, k + 1) - element_at({bounds}, k)), ' ')), "
-        f"c -> c <> '') END"
+        "CASE WHEN size(_toks) = 0 THEN array() ELSE "
+        "filter(transform(sequence(1, size(_bounds) - 1), "
+        "k -> array_join(slice(_toks, element_at(_bounds, k) + 1, "
+        "element_at(_bounds, k + 1) - element_at(_bounds, k)), ' ')), "
+        "c -> c <> '') END"
     )
-    ch = base.select(
+    ch = base2.select(
         "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk")
     ).localCheckpoint(eager=False)
     df_counts = ch.groupBy("chunk").agg(

@@ -1059,8 +1059,13 @@ def semdedup_survivors(
         .where((F.col("_n") >= 2) & (F.col("_n") <= MAX_BUCKET_VECS))
         .select("cell_id")
     )
-    paired = assigned.join(F.broadcast(ok), "cell_id").withColumn(
-        "_nrm", _norm(F.col(vec_col))
+    # lazy checkpoint: both pair sides (a, b) derive from `paired` — the
+    # per-vector norm fold is interpreted HOF work and would run twice
+    # per vector without the barrier
+    paired = (
+        assigned.join(F.broadcast(ok), "cell_id")
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+        .localCheckpoint(eager=False)
     )
     a = paired.select(
         "cell_id", F.col(id_col).alias("ida"), F.col(vec_col).alias("va"),

@@ -400,7 +400,12 @@ MAX_BUCKET_VECS = 5000
 
 def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Pairs sharing a bucket in ANY hash table, with cosine >= threshold."""
-    banded = _multi_table_buckets(emb, "vec_id", "embedding", "vec")
+    # lazy checkpoint: banded feeds THREE consumers (the bucket-pop agg
+    # and both self-join sides) — the N_TABLES interpreted sign-fold
+    # bucket expressions would otherwise run 3x per vector
+    banded = _multi_table_buckets(emb, "vec_id", "embedding", "vec").localCheckpoint(
+        eager=False
+    )
     ok = (
         banded.groupBy("table_id", "bucket")
         .agg(F.count(F.lit(1)).alias("_n"))

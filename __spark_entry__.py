@@ -67,6 +67,10 @@ _PRIORITY = [
     "dedup_incremental_near",
     "jsonl_ingest_audit",
     "zorder_box_read",
+    "dedup_cluster_survivors",
+    "dedup_cluster_star",
+    "dedup_survivor_corpus",
+    "dedup_embedding_cosine",
     # (c) deferred from round 6 — external row overdue
     "text_token_stats",
     "chunk_documents",
@@ -108,9 +112,6 @@ _PRIORITY = [
     "retention_cohorts",
     "ann_filtered_topk",
     "bpe_pair_counts",
-    "dedup_cluster_survivors",
-    "dedup_cluster_star",
-    "dedup_survivor_corpus",
     "dedup_incremental",
     "curation_decisions",
     "curation_decisions_v2",
@@ -139,7 +140,6 @@ _PRIORITY = [
     "pricing_summary",
     "dedup_exact",
     "decontaminate_vs_benchmark",
-    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -96,6 +96,8 @@ _PRIORITY = [
     "jdbc_txlog_pull",
     "sql_txlog_pull",
     "trail_file_seek",
+    # below the 50-row window this round (all still verified locally;
+    # count above this marker is EXACTLY 50 — checked by test):
     "stream_fetch_bounded",
     "schema_key_compaction",
     "dedup_canonical",
@@ -104,7 +106,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_span_windows",
     "sparse_tfidf_pairs",
-    # below the 50-row window this round (all still verified locally):
     "media_png_resize",
     "data_expectations",
     "lm2_quality_score",
@@ -153,6 +154,25 @@ _PRIORITY = [
     "hash_sample",
     "partition_router",
     "pivot_events_daily",
+    "snapshot_diff",
+    "contamination_fraction",
+    "simhash_sketch",
+    "oov_rate",
+    "length_histogram",
+    "quality_topk_per_lang",
+    "text_fingerprint",
+    "stratified_sample",
+    "per_group_quota",
+    "mixture_temperature_sample",
+    "sequence_packing",
+    "zorder_events_key",
+    "schema_key_filter",
+    "skew_salted_agg",
+    "media_wav_probe",
+    "media_png_probe",
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "as_of_join_events",
 ]
 
 

@@ -1321,7 +1321,11 @@ def cdc_chunk_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     chunks whose text occurs in >= 2 distinct documents count as
     duplicated. Boundary = token positions i where the Horner hash of
     token codes (i-w, i] satisfies h % CDC_MASK == 0 (plus the document
-    end); chunk text = the tokens between consecutive boundaries."""
+    end); chunk text = the tokens between consecutive boundaries.
+
+    Like span_dedup_profile, only documents with >= 1 non-empty token
+    appear in the output (an empty/whitespace-only doc has no chunks
+    to profile — identical in both engines)."""
     mask, mod = CDC_MASK, CDC_MOD
     # Stage 1 behind a lazy-checkpoint barrier: _toks and the md5-derived
     # 16-bit _codes are computed ONCE per row. Interpreted HOFs have no
@@ -1360,15 +1364,16 @@ def cdc_chunk_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base2 = base.select(
         "doc_id", "_toks", F.expr(bounds).alias("_bounds")
     ).localCheckpoint(eager=False)
-    # empty-doc guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) and
-    # element_at past the array end throws under ANSI mode — a
-    # zero-token document must short-circuit to zero chunks
+    # no zero-size guard needed: split() never returns an empty array
+    # (an empty string tokenizes to ['']), so _bounds is always at
+    # least [0, n] with n >= 1 and sequence(1, size-1) is ascending;
+    # ''-chunks from whitespace-only docs are filtered below, so such
+    # docs simply have no rows (documented contract)
     chunks = (
-        "CASE WHEN size(_toks) = 0 THEN array() ELSE "
         "filter(transform(sequence(1, size(_bounds) - 1), "
         "k -> array_join(slice(_toks, element_at(_bounds, k) + 1, "
         "element_at(_bounds, k + 1) - element_at(_bounds, k)), ' ')), "
-        "c -> c <> '') END"
+        "c -> c <> '')"
     )
     ch = base2.select(
         "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk")

@@ -1031,22 +1031,30 @@ def avi_frames(payload: bytes) -> list[bytes]:
     end = min(8 + riff_len, len(payload))
     frames: list[bytes] = []
 
-    def walk(i: int, stop: int) -> None:
+    # ITERATIVE chunk-tree walk (explicit stack): a hostile payload of
+    # thousands of nested LIST chunks would blow Python's recursion
+    # limit, and RecursionError escapes the ValueError quarantine
+    # contract (caught by review, not by byte-flip fuzz — flips can't
+    # synthesize deep nesting)
+    stack: list[tuple[int, int]] = [(12, end)]
+    while stack:
+        i, stop = stack.pop()
         while i + 8 <= stop:
             fourcc = payload[i:i + 4]
             (length,) = struct.unpack("<I", payload[i + 4:i + 8])
             body_start = i + 8
             if body_start + length > stop:
                 raise ValueError("torn AVI chunk")
+            next_i = body_start + length + (length % 2)
             if fourcc == b"LIST":
                 kind = payload[body_start:body_start + 4]
                 if kind in (b"movi", b"hdrl", b"strl", b"rec "):
-                    walk(body_start + 4, body_start + length)
+                    stack.append((next_i, stop))
+                    i, stop = body_start + 4, body_start + length
+                    continue
             elif fourcc[2:4] in (b"dc", b"db"):
                 frames.append(payload[body_start:body_start + length])
-            i = body_start + length + (length % 2)
-
-    walk(12, end)
+            i = next_i
     return frames
 
 

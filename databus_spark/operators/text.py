@@ -799,8 +799,15 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3, text_col: str = "text")
             "SELECT CAST(1 AS INT) AS rank, '' AS pair,"
             " CAST(0 AS BIGINT) AS n WHERE false"
         )
+    def _sql_str(p: str) -> str:
+        # Spark parses string literals with backslash escapes
+        # (escapedStringLiterals=false): a corpus token containing a
+        # backslash must be doubled BEFORE quote-doubling, or '\t'
+        # silently becomes a TAB and a trailing '\' escapes the quote
+        return p.replace("\\", "\\\\").replace("'", "''")
+
     rows_sql = ", ".join(
-        "({}, '{}', {})".format(r, p.replace("'", "''"), n) for r, p, n in rules
+        "({}, '{}', {})".format(r, _sql_str(p), n) for r, p, n in rules
     )
     # LocalRelation, not createDataFrame-from-rows (no Python RDD)
     return spark.sql(

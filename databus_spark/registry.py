@@ -65,6 +65,44 @@ def _dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
 
 
+def _staged_artifact(prefix: str, sf_dir: str, fingerprint: str, build) -> str:
+    """THE staging protocol, in one place (five sites previously
+    copy-pasted it): a /tmp artifact directory keyed on the fixture
+    path, guarded by an exclusive flock (these dirs are shared across
+    test/bench processes), rebuilt iff the content fingerprint in its
+    _COMPLETE marker mismatches, with the marker written via tmp+rename
+    so a crash can only ever look 'stale', never half-written.
+    ``build(dir)`` materializes the artifact contents; returns the
+    artifact directory."""
+    import fcntl
+    import hashlib
+    import shutil
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    art_dir = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
+    marker = os.path.join(art_dir, "_COMPLETE")
+    lock_path = art_dir + ".lock"
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    with open(lock_path, "w") as lock_f:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        try:
+            stale = True
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    stale = f.read().strip() != fingerprint
+            if stale:
+                shutil.rmtree(art_dir, ignore_errors=True)
+                build(art_dir)
+                mtmp = marker + ".tmp"
+                with open(mtmp, "w") as f:
+                    f.write(fingerprint)
+                os.replace(mtmp, marker)
+        finally:
+            fcntl.flock(lock_f, fcntl.LOCK_UN)
+    return art_dir
+
+
 def _content_fingerprint(df: DataFrame, *num_cols: str) -> str:
     """Cheap content digest for fixture-reuse markers: row count plus
     exact decimal sum and max of the named numeric columns. A regenerated
@@ -520,23 +558,13 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies (first-token-dropped) the exact-hash incremental check
     misses, without ever re-deduplicating the base. The base index
     (signatures + band keys) is the materialize-at-ingest artifact:
-    staged ONCE here (content-fingerprinted, file-locked) and read
-    back as parquet, so the measured cost is the real delta-probe
-    path, not a base re-sign."""
-    import fcntl
-    import hashlib
-    import os as _os
-    import shutil
-    import tempfile
-
+    staged ONCE here (content-fingerprinted, file-locked via the shared
+    staging protocol) and read back as parquet, so the measured cost is
+    the real delta-probe path, not a base re-sign."""
     incoming = dedup.documents_with_dups(spark, sf_dir).where(
         F.col("doc_id") >= 1_000_000
     )
     base = load_table(spark, sf_dir, "documents")
-
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    idx_dir = _os.path.join(tempfile.gettempdir(), f"databus_nearidx_{digest}")
-    marker = _os.path.join(idx_dir, "_COMPLETE")
     # the cached signatures/band keys depend on the TEXT content, not
     # just (doc_id, n_chars) — a regenerated fixture with identical ids
     # and lengths but different text must invalidate the index
@@ -546,29 +574,16 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "_tcrc",
     )
-    lock_path = idx_dir + ".lock"
-    _os.makedirs(_os.path.dirname(lock_path), exist_ok=True)
-    with open(lock_path, "w") as lock_f:
-        fcntl.flock(lock_f, fcntl.LOCK_EX)
-        try:
-            stale = True
-            if _os.path.exists(marker):
-                with open(marker) as f:
-                    stale = f.read().strip() != fingerprint
-            if stale:
-                shutil.rmtree(idx_dir, ignore_errors=True)
-                sig, bands = dedup.build_near_index(base)
-                sig.write.parquet(_os.path.join(idx_dir, "sig"))
-                bands.write.parquet(_os.path.join(idx_dir, "bands"))
-                mtmp = marker + ".tmp"
-                with open(mtmp, "w") as f:
-                    f.write(fingerprint)
-                _os.replace(mtmp, marker)
-        finally:
-            fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+    def build(d: str) -> None:
+        sig, bands = dedup.build_near_index(base)
+        sig.write.parquet(os.path.join(d, "sig"))
+        bands.write.parquet(os.path.join(d, "bands"))
+
+    idx_dir = _staged_artifact("databus_nearidx", sf_dir, fingerprint, build)
     base_index = (
-        spark.read.parquet(_os.path.join(idx_dir, "sig")),
-        spark.read.parquet(_os.path.join(idx_dir, "bands")),
+        spark.read.parquet(os.path.join(idx_dir, "sig")),
+        spark.read.parquet(os.path.join(idx_dir, "bands")),
     )
     return dedup.incremental_near_dedup(incoming, base, base_index=base_index)
 
@@ -668,46 +683,30 @@ def _staged_pq_index(spark: SparkSession, sf_dir: str):
     linear in PQ_K, identical across pq/ivfpq/ivfpq_rerank, and in
     production IS the serialized index (FAISS builds once, serves many);
     re-encoding per query was what let the r6 PQ_K 8->32 recall win tax
-    all three PQ bench rows ~1.3-2.2x. Content-fingerprinted (ids +
-    first embedding component) and PQ-geometry-stamped so a fixture or
-    constant change invalidates the cache; file-locked like the near-dup
-    index staging."""
-    import fcntl
-    import hashlib
-    import shutil
-    import tempfile
-
+    all three PQ bench rows ~1.3-2.2x. Content-fingerprinted over the
+    FULL vector content (crc32 of the rendered array — a first-
+    component-only probe would miss a re-seed that preserves e[0]) and
+    PQ-geometry-stamped so a fixture or constant change invalidates the
+    cache; file-locked via the shared staging protocol."""
     emb = load_table(spark, sf_dir, "embeddings")
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"databus_pqidx_{digest}")
-    marker = os.path.join(idx_dir, "_COMPLETE")
     fingerprint = (
         _content_fingerprint(
-            emb.withColumn("_e0", F.element_at("embedding", 1)), "vec_id", "_e0"
+            emb.withColumn(
+                "_ecrc", F.crc32(F.col("embedding").cast("string").cast("binary"))
+            ),
+            "vec_id",
+            "_ecrc",
         )
         + f"|k{similarity.PQ_K}m{similarity.M_SUB}d{similarity.SUB_DIM}"
     )
-    lock_path = idx_dir + ".lock"
-    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
-    with open(lock_path, "w") as lock_f:
-        fcntl.flock(lock_f, fcntl.LOCK_EX)
-        try:
-            stale = True
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    stale = f.read().strip() != fingerprint
-            if stale:
-                shutil.rmtree(idx_dir, ignore_errors=True)
-                cb = similarity._pq_codebook(emb, "vec_id", "embedding")
-                codes = similarity.pq_encode(emb, cb, "vec_id", "embedding")
-                cb.write.parquet(os.path.join(idx_dir, "cb"))
-                codes.write.parquet(os.path.join(idx_dir, "codes"))
-                mtmp = marker + ".tmp"
-                with open(mtmp, "w") as f:
-                    f.write(fingerprint)
-                os.replace(mtmp, marker)
-        finally:
-            fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+    def build(d: str) -> None:
+        cb = similarity._pq_codebook(emb, "vec_id", "embedding")
+        codes = similarity.pq_encode(emb, cb, "vec_id", "embedding")
+        cb.write.parquet(os.path.join(d, "cb"))
+        codes.write.parquet(os.path.join(d, "codes"))
+
+    idx_dir = _staged_artifact("databus_pqidx", sf_dir, fingerprint, build)
     return (
         spark.read.parquet(os.path.join(idx_dir, "cb")),
         spark.read.parquet(os.path.join(idx_dir, "codes")),
@@ -2147,9 +2146,13 @@ def sparse_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in both engines: a universal nav header, a per-lang banner, the
 # document body, and a universal footer — so line-df has all three
 # regimes (global boiler, per-group boiler, unique body).
+# concat_ws, not ||: a NULL lang/text must degrade to a shorter doc in
+# BOTH engines (|| would NULL the whole document in DuckDB while
+# Spark's concat_ws skips the field — the cross-engine NULL class the
+# portable-hash macro fix covered)
 BOILER_CORPUS_SQL = (
-    "SELECT doc_id, 'NAV MENU HOME' || chr(10) || 'site: ' || lang || chr(10)"
-    " || text || chr(10) || 'copyright 2026 example.com' AS text FROM documents"
+    "SELECT doc_id, concat_ws(chr(10), 'NAV MENU HOME', 'site: ' || lang,"
+    " text, 'copyright 2026 example.com') AS text FROM documents"
 )
 
 
@@ -2331,42 +2334,20 @@ def media_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the flat q=1 table — see media_jpeg_probe).
 
     The AVI corpus is a STAGED fixture (content-fingerprinted,
-    file-locked — the near-dup-index pattern): a video pipeline's
+    file-locked — the shared staging protocol): a video pipeline's
     input is stored containers, so the measured path is demux +
     per-frame decode over a binary parquet scan, not per-query
     re-encoding of the fixture."""
-    import fcntl
-    import hashlib
-    import shutil
-    import tempfile
-
     from databus_spark.operators.multimodal import synth_avi_corpus, video_frame_probe
 
     docs = load_table(spark, sf_dir, "documents")
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    avi_dir = os.path.join(tempfile.gettempdir(), f"databus_avi_{digest}")
-    marker = os.path.join(avi_dir, "_COMPLETE")
     fingerprint = _content_fingerprint(docs, "doc_id") + "|f3v1"
-    lock_path = avi_dir + ".lock"
-    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
-    with open(lock_path, "w") as lock_f:
-        fcntl.flock(lock_f, fcntl.LOCK_EX)
-        try:
-            stale = True
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    stale = f.read().strip() != fingerprint
-            if stale:
-                shutil.rmtree(avi_dir, ignore_errors=True)
-                synth_avi_corpus(docs).write.parquet(os.path.join(avi_dir, "media"))
-                mtmp = marker + ".tmp"
-                with open(mtmp, "w") as f:
-                    f.write(fingerprint)
-                os.replace(mtmp, marker)
-        finally:
-            fcntl.flock(lock_f, fcntl.LOCK_UN)
-    media = spark.read.parquet(os.path.join(avi_dir, "media"))
-    return video_frame_probe(media)
+
+    def build(d: str) -> None:
+        synth_avi_corpus(docs).write.parquet(os.path.join(d, "media"))
+
+    avi_dir = _staged_artifact("databus_avi", sf_dir, fingerprint, build)
+    return video_frame_probe(spark.read.parquet(os.path.join(avi_dir, "media")))
 
 
 def media_png_resize_q_sql() -> str:
@@ -2417,10 +2398,6 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines plus a poison file (3 unparseable lines, 2 schema-violating
     records); the PERMISSIVE reader must land every clean row and
     quarantine exactly the poison, by reason — nothing silently dropped."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from databus_spark.sources.jsonl import read_jsonl
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2431,16 +2408,9 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "_tcrc",
     )
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    jl_dir = os.path.join(tempfile.gettempdir(), f"databus_jsonl_{digest}")
-    marker = os.path.join(jl_dir, "_COMPLETE")
-    stale = True
-    if os.path.exists(marker):
-        with open(marker) as f:
-            stale = f.read().strip() != fingerprint
-    if stale:
-        shutil.rmtree(jl_dir, ignore_errors=True)
-        docs.write.json(os.path.join(jl_dir, "data"))
+
+    def build(d: str) -> None:
+        docs.write.json(os.path.join(d, "data"))
         poison = [
             '{"doc_id": 1, "text": "torn',                     # json
             "not json at all",                                  # json
@@ -2448,10 +2418,12 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             '{"doc_id": null, "text": "no id", "lang": "en"}',  # shape
             '{"doc_id": 99000001, "lang": "en"}',               # shape (no text)
         ]
-        with open(os.path.join(jl_dir, "data", "poison.json"), "w") as f:
+        with open(os.path.join(d, "data", "poison.json"), "w") as f:
             f.write("\n".join(poison) + "\n")
-        with open(marker, "w") as f:
-            f.write(fingerprint)
+
+    # the shared staging protocol also closes the flock gap this site
+    # had (it was the one staging block without cross-process locking)
+    jl_dir = _staged_artifact("databus_jsonl", sf_dir, fingerprint, build)
     clean, quarantine = read_jsonl(spark, os.path.join(jl_dir, "data", "*.json"))
     a = clean.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("clean").alias("kind"), "n"
@@ -2791,16 +2763,8 @@ def _staged_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus per consumer measured ~2.5 s per query of pure repetition.
     dedup_minhash_lsh itself stays UNstaged so pair-generation cost
     remains a visible bench row. Content-fingerprinted (text crc32)
-    and file-locked like every staged artifact."""
-    import fcntl
-    import hashlib
-    import shutil
-    import tempfile
-
+    and file-locked via the shared staging protocol."""
     docs = load_table(spark, sf_dir, "documents")
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"databus_lshpairs_{digest}")
-    marker = os.path.join(idx_dir, "_COMPLETE")
     fingerprint = (
         _content_fingerprint(
             docs.withColumn("_tcrc", F.crc32(F.col("text").cast("binary"))),
@@ -2809,27 +2773,13 @@ def _staged_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + "|k5t0.5"
     )
-    lock_path = idx_dir + ".lock"
-    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
-    with open(lock_path, "w") as lock_f:
-        fcntl.flock(lock_f, fcntl.LOCK_EX)
-        try:
-            stale = True
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    stale = f.read().strip() != fingerprint
-            if stale:
-                shutil.rmtree(idx_dir, ignore_errors=True)
-                pairs = dedup.minhash_lsh_pairs(
-                    dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5
-                )
-                pairs.write.parquet(os.path.join(idx_dir, "pairs"))
-                mtmp = marker + ".tmp"
-                with open(mtmp, "w") as f:
-                    f.write(fingerprint)
-                os.replace(mtmp, marker)
-        finally:
-            fcntl.flock(lock_f, fcntl.LOCK_UN)
+
+    def build(d: str) -> None:
+        dedup.minhash_lsh_pairs(
+            dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5
+        ).write.parquet(os.path.join(d, "pairs"))
+
+    idx_dir = _staged_artifact("databus_lshpairs", sf_dir, fingerprint, build)
     return spark.read.parquet(os.path.join(idx_dir, "pairs"))
 
 

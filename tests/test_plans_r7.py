@@ -58,3 +58,31 @@ def test_pq_family_reads_staged_index(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         assert "partial_min_by" not in plan, (name, "encode leaked into serve plan")
         assert "databus_pqidx" in plan, (name, "staged index not read")
+
+
+def test_rotation_window_bookkeeping():
+    """The driver's correctness gate checks the FIRST 50 queries; the
+    '(below the 50-row window)' marker in _PRIORITY must sit at exactly
+    position 50, every name must exist in the registry exactly once,
+    and every registered query must be listed (r7 review caught 58
+    entries above the marker — 8 rows silently outside the gate while
+    the rotation plan claimed them in-window)."""
+    import inspect
+
+    import __spark_entry__ as E
+    from databus_spark.registry import ORACLES, QUERIES
+
+    pr = E._PRIORITY
+    assert len(pr) == len(set(pr)), "duplicate names in _PRIORITY"
+    assert not [n for n in pr if n not in QUERIES], "unknown names in _PRIORITY"
+    assert not [n for n in QUERIES if n not in pr], "registry queries unlisted"
+    src = inspect.getsource(E)
+    marker_line = next(
+        line for line in src.splitlines() if "below the 50-row window" in line
+    )
+    # names above the marker == the window the rotation comment claims
+    above = src.split(marker_line)[0]
+    n_above = sum(1 for name in pr if f'"{name}"' in above)
+    assert n_above == 50, f"{n_above} names above the 50-row marker"
+    # and every query has an oracle (the zero-rows-only state)
+    assert set(QUERIES) == set(ORACLES)

@@ -119,6 +119,12 @@ def encode_record(record: dict, schema: dict) -> bytes:
 def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
     if isinstance(schema, list):
         idx, pos = _read_long(buf, pos)
+        # validate BEFORE indexing: a torn/hostile union index decodes
+        # as a negative zigzag long, and Python's negative indexing
+        # would silently pick schema[-1] and misdecode garbage as clean
+        # data instead of quarantining
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"torn Avro union index {idx}")
         return _decode_value(buf, pos, schema[idx])
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "null":

@@ -761,10 +761,13 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3, text_col: str = "text")
     with its count at adoption time."""
     spark = docs.sparkSession
     d = BPE_D
+    # strip the delimiter char from the corpus FIRST (both engines): a
+    # token containing \\x01 would otherwise read as a spurious token
+    # boundary in the delimited string, and merge rules would be
+    # learned over tokens that don't exist in the corpus
+    clean = F.expr(f"translate({text_col}, chr(1), '')")
     s = docs.select(
-        F.concat(
-            F.lit(d), F.array_join(tokens_col(text_col), d), F.lit(d)
-        ).alias("s")
+        F.concat(F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d)).alias("s")
     ).localCheckpoint(eager=False)
 
     rules = []
@@ -819,7 +822,8 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3, text_col: str = "text")
 def bpe_learn_merges_sql(from_sql: str, n_merges: int = 3) -> str:
     """Unrolled k-round DuckDB twin: each round's corpus is the
     previous round's after replace()-applying the previous rule."""
-    toks = TOKENS_SQL.format(col="text")
+    # mirror the Spark side's delimiter strip (translate)
+    toks = TOKENS_SQL.format(col="replace(text, chr(1), '')")
     d = "chr(1)"
     ctes = [
         f"t1 AS (SELECT {d} || array_to_string({toks}, {d}) || {d} AS s"

@@ -569,7 +569,11 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just (doc_id, n_chars) — a regenerated fixture with identical ids
     # and lengths but different text must invalidate the index
     fingerprint = _content_fingerprint(
-        base.withColumn("_tcrc", F.crc32(F.col("text").cast("binary"))),
+        base.withColumn("_tcrc", F.crc32(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).cast(
+                    "binary"
+                )
+            )),
         "doc_id",
         "n_chars",
         "_tcrc",
@@ -692,7 +696,13 @@ def _staged_pq_index(spark: SparkSession, sf_dir: str):
     fingerprint = (
         _content_fingerprint(
             emb.withColumn(
-                "_ecrc", F.crc32(F.col("embedding").cast("string").cast("binary"))
+                "_ecrc", F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("vec_id").cast("string"),
+                        F.col("embedding").cast("string"),
+                    ).cast("binary")
+                )
             ),
             "vec_id",
             "_ecrc",
@@ -2403,7 +2413,11 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # staged JSONL carries the text itself — fingerprint the content too
     fingerprint = _content_fingerprint(
-        docs.withColumn("_tcrc", F.crc32(F.col("text").cast("binary"))),
+        docs.withColumn("_tcrc", F.crc32(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).cast(
+                    "binary"
+                )
+            )),
         "doc_id",
         "n_chars",
         "_tcrc",
@@ -2767,7 +2781,11 @@ def _staged_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fingerprint = (
         _content_fingerprint(
-            docs.withColumn("_tcrc", F.crc32(F.col("text").cast("binary"))),
+            docs.withColumn("_tcrc", F.crc32(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).cast(
+                    "binary"
+                )
+            )),
             "doc_id",
             "_tcrc",
         )
@@ -2812,7 +2830,8 @@ def _decision_log_oracle() -> str:
     return f"""
         WITH d AS ({dedup.DOCS_WITH_DUPS_SQL}),
         exact_s AS (
-            SELECT md5(text) AS h, min(doc_id) AS s FROM d GROUP BY 1
+            SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS s
+            FROM d GROUP BY 1
         ),
         near AS (SELECT doc_id, cluster_id, is_survivor FROM ({clusters}))
         SELECT d.doc_id,
@@ -2825,7 +2844,7 @@ def _decision_log_oracle() -> str:
                         THEN n.cluster_id
                     ELSE d.doc_id END AS survivor_id
         FROM d
-        JOIN exact_s e ON md5(d.text) = e.h
+        JOIN exact_s e ON md5(coalesce(d.text, '')) = e.h
         LEFT JOIN near n ON n.doc_id = d.doc_id
     """
 
@@ -2840,9 +2859,14 @@ def dedup_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a byte-identical copy is 'drop_exact' even if it also clusters).
     Composition of the already-proven stages: one md5 groupBy, the
     staged LSH pair index + label-prop clusters, two keyed joins —
-    nothing here scales worse than its standalone query."""
+    nothing here scales worse than its standalone query. NULL text
+    hashes as '' (coalesce in BOTH engines) so 'EVERY document gets a
+    decision' holds even for degenerate rows — an md5 join on a raw
+    NULL would silently drop the doc from the audit log."""
     docs = dedup.documents_with_dups(spark, sf_dir)
-    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    hashes = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
     exact_s = hashes.join(
         hashes.groupBy("h").agg(F.min("doc_id").alias("s")), "h"
     ).select("doc_id", "s")
@@ -2878,8 +2902,9 @@ def _survivor_corpus_oracle() -> str:
         WITH d AS ({dedup.DOCS_WITH_DUPS_SQL}),
         exact_losers AS (
             SELECT d.doc_id FROM d
-            JOIN (SELECT md5(text) AS h, min(doc_id) AS s FROM d GROUP BY 1) e
-              ON md5(d.text) = e.h AND d.doc_id <> e.s
+            JOIN (SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS s
+                  FROM d GROUP BY 1) e
+              ON md5(coalesce(d.text, '')) = e.h AND d.doc_id <> e.s
         ),
         near_losers AS (
             SELECT doc_id FROM ({clusters}) WHERE NOT is_survivor
@@ -2900,7 +2925,11 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stage is the scale shape already proven for its standalone
     query."""
     docs = dedup.documents_with_dups(spark, sf_dir)
-    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    # coalesce: NULL text hashes as '' in BOTH engines (matches the
+    # decision log, whose keep-set is test-pinned equal to this corpus)
+    hashes = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
+    )
     exact_losers = (
         hashes.join(
             hashes.groupBy("h").agg(F.min("doc_id").alias("s")), "h"

@@ -44,7 +44,12 @@ def test_media_probes_python_stage_budget(spark, sf_dir):
     for name, n in expect.items():
         plan = _plan(spark, name, sf_dir)
         assert plan.count("MapInPandas") == n, (name, plan[:500])
-        assert "Exchange" not in plan.split("MapInPandas")[0], (
+        # Spark prints the plan ROOT-first: operators BELOW (before) the
+        # Python stage — the pre-extraction path — appear AFTER the last
+        # MapInPandas occurrence in the string (r7 review: the [0] side
+        # holds post-extraction operators and could never catch this)
+        below_python = plan.rsplit("MapInPandas", 1)[1]
+        assert "Exchange" not in below_python, (
             name,
             "payloads shuffled before extraction",
         )
@@ -67,8 +72,6 @@ def test_rotation_window_bookkeeping():
     and every registered query must be listed (r7 review caught 58
     entries above the marker — 8 rows silently outside the gate while
     the rotation plan claimed them in-window)."""
-    import inspect
-
     import __spark_entry__ as E
     from databus_spark.registry import ORACLES, QUERIES
 
@@ -76,13 +79,9 @@ def test_rotation_window_bookkeeping():
     assert len(pr) == len(set(pr)), "duplicate names in _PRIORITY"
     assert not [n for n in pr if n not in QUERIES], "unknown names in _PRIORITY"
     assert not [n for n in QUERIES if n not in pr], "registry queries unlisted"
-    src = inspect.getsource(E)
-    marker_line = next(
-        line for line in src.splitlines() if "below the 50-row window" in line
-    )
-    # names above the marker == the window the rotation comment claims
-    above = src.split(marker_line)[0]
-    n_above = sum(1 for name in pr if f'"{name}"' in above)
-    assert n_above == 50, f"{n_above} names above the 50-row marker"
+    # the window boundary is STRUCTURAL (two lists), not a comment
+    # convention — no source-text scanning needed
+    assert len(E._WINDOW) == E._WINDOW_SIZE == 50, len(E._WINDOW)
+    assert pr[: E._WINDOW_SIZE] == E._WINDOW
     # and every query has an oracle (the zero-rows-only state)
     assert set(QUERIES) == set(ORACLES)

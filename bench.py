@@ -17,10 +17,32 @@ import sys
 import time
 
 
+def _calibration_probe_s() -> float:
+    """Fixed-work CPU probe (numpy matmul, deterministic size): its
+    wall time depends only on box contention, never on the engine, so a
+    drifted value flags a loaded-box record. Idle-box reference on the
+    round-8 hardware: ~0.5 s."""
+    import numpy as np
+
+    a = np.arange(640_000, dtype=np.float64).reshape(800, 800) % 251
+    t0 = time.time()
+    for _ in range(8):
+        a = (a @ a) % 251
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    # Validity guard (round-7 post-mortem: a loaded box drifted ~120
+    # untouched queries +0.3-0.6 s and tanked two throughput records by
+    # 30% — the record itself must carry the evidence to tell noise from
+    # regression). Load average at start, again at end, plus a
+    # fixed-work calibration probe at both ends.
+    load_start = os.getloadavg()
+    calib_start_s = _calibration_probe_s()
 
     # Stage each synthetic changelog to parquet ONCE and let every query
     # read the staged copy (envelope._staged) — queries then time the
@@ -224,6 +246,13 @@ def main() -> None:
         "stream_apply_rows_per_sec": round(applier.rows_applied / max(stream_apply_s, 1e-9), 1),
         "microbatch_p50_ms": p50_batch_ms,
         "n_microbatches": applier.batches_applied,
+        # validity guard: 1-min load avg should be ~0 at start on an idle
+        # box; calibration probe should match its idle-box reference
+        # (~0.25-0.45 s) at BOTH ends, or the record is contended
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "calibration_probe_start_s": calib_start_s,
+        "calibration_probe_end_s": _calibration_probe_s(),
     }
     # Full result (all per-query timings) goes to a file AND one full JSON
     # line; the LAST stdout line is a compact (<1 KB) headline so the

@@ -1,8 +1,8 @@
 """Command-line tools: the engine's dtail / snapshot / serve utilities.
 
 Parity with the reference's operator tooling (SURVEY §2.2 K7: dtail
-CLI with JSON / EVENT_INFO printers, databus-tools/databus-dtail-impl/
-.../DtailCliBase.java:57-64):
+CLI with all five output formats — JSON / AVRO_JSON / AVRO_BIN / NOOP /
+EVENT_INFO, databus-tools/databus-dtail-impl/.../DtailCliBase.java:57-64):
 
     python -m databus_spark dtail    --source orders --n 20 --printer json
     python -m databus_spark snapshot --source orders --out /tmp/orders_state
@@ -22,6 +22,50 @@ def _spark(cpus: int):
     from databus_spark.session import build_session
 
     return build_session("databus_spark_cli", cpus=cpus)
+
+
+# Writer schema for the dtail AVRO printer modes: the event envelope as
+# an Avro record (the reference's AvroJson/AvroBinaryDtailPrinter
+# re-serialize each event's GenericRecord; DtailCliBase.java:57-64).
+# ts is epoch-millis (Avro has no bare timestamp primitive here).
+DTAIL_EVENT_AVRO = json.dumps({
+    "type": "record",
+    "name": "databus_event",
+    "fields": [
+        {"name": "scn", "type": "long"},
+        {"name": "ts_ms", "type": ["null", "long"], "default": None},
+        {"name": "opcode", "type": "string"},
+        {"name": "source", "type": "string"},
+        {"name": "source_id", "type": "int"},
+        {"name": "part_id", "type": "int"},
+        {"name": "key_num", "type": ["null", "long"], "default": None},
+        {"name": "key_str", "type": ["null", "string"], "default": None},
+        {"name": "txn_end", "type": "boolean"},
+    ],
+})
+
+
+def _event_record(r) -> dict:
+    import datetime
+
+    ts = r["ts"]
+    if isinstance(ts, (datetime.date, datetime.datetime)):
+        if not isinstance(ts, datetime.datetime):
+            ts = datetime.datetime(ts.year, ts.month, ts.day)
+        ts_ms = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    else:
+        ts_ms = None if ts is None else int(ts)
+    return {
+        "scn": r["scn"],
+        "ts_ms": ts_ms,
+        "opcode": r["opcode"],
+        "source": r["source"],
+        "source_id": r["source_id"],
+        "part_id": r["part_id"],
+        "key_num": r["key_num"],
+        "key_str": r["key_str"],
+        "txn_end": bool(r["txn_end"]),
+    }
 
 
 def cmd_dtail(args) -> int:
@@ -44,6 +88,24 @@ def cmd_dtail(args) -> int:
                 f"scn={r['scn']} op={r['opcode']} src={r['source']} "
                 f"part={r['part_id']} key={r['key_str']}"
             )
+    elif args.printer == "avro_json":
+        from databus_spark.functions.avro_codec import avro_json_render
+
+        schema = json.loads(DTAIL_EVENT_AVRO)
+        for r in tail.collect():
+            print(avro_json_render(_event_record(r), schema))
+    elif args.printer == "avro_bin":
+        # standard Avro binary serialization, concatenated records to
+        # the raw byte stream (AvroBinaryDtailPrinter writes to its
+        # OutputStream the same way); decode by walking the stream with
+        # decode_record(return_consumed=True)
+        from databus_spark.functions.avro_codec import encode_record
+
+        schema = json.loads(DTAIL_EVENT_AVRO)
+        out = sys.stdout.buffer
+        for r in tail.collect():
+            out.write(encode_record(_event_record(r), schema))
+        out.flush()
     else:  # noop — counts only (NOOP printer analog)
         print(tail.count())
     return 0
@@ -87,7 +149,11 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dtail", help="tail the multi-source change stream")
     d.add_argument("--source", default=None)
     d.add_argument("--n", type=int, default=20)
-    d.add_argument("--printer", choices=["json", "event_info", "noop"], default="json")
+    d.add_argument(
+        "--printer",
+        choices=["json", "event_info", "noop", "avro_json", "avro_bin"],
+        default="json",
+    )
     d.set_defaults(fn=cmd_dtail)
 
     s = sub.add_parser("snapshot", help="materialize a source's current state")

@@ -261,6 +261,34 @@ def avro_decode_udf(writer_schemas: dict[str, str], reader_schema_json: str, rea
     return dec
 
 
+def _avro_json_value(value: Any, schema: Any) -> Any:
+    """Avro JSON-encoding rules (spec 'JSON Encoding'): union values are
+    wrapped in a one-key object named by the branch type, null stays
+    bare null, bytes render as ISO-8859-1 text."""
+    if isinstance(schema, list):  # union
+        if value is None:
+            return None
+        branch = next(s for s in schema if s != "null")
+        t = branch["type"] if isinstance(branch, dict) else branch
+        name = branch.get("name", t) if isinstance(branch, dict) else t
+        return {name: _avro_json_value(value, branch)}
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "record":
+        return {
+            f["name"]: _avro_json_value(value.get(f["name"]), f["type"])
+            for f in schema["fields"]
+        }
+    if t == "bytes":
+        return bytes(value).decode("latin-1")
+    return value
+
+
+def avro_json_render(record: dict, schema: dict) -> str:
+    """One Avro-JSON-encoded line for a record (AvroJsonDtailPrinter
+    renders each event the same way; DtailCliBase.java:57-64)."""
+    return json.dumps(_avro_json_value(record, schema), separators=(",", ":"))
+
+
 def schema_id_of(schema_json: str) -> str:
     """MD5 digest of the schema text (SchemaId.java:59)."""
     import hashlib

@@ -77,6 +77,7 @@ def decode_media(payload: bytes) -> object:
         return [jpeg_decode(fr) for fr in avi_frames(payload)]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import io
+        import struct as _struct
         import wave
 
         try:
@@ -84,11 +85,11 @@ def decode_media(payload: bytes) -> object:
                 return wf.readframes(wf.getnframes())
         except ValueError:
             raise
-        except Exception as e:
-            # stdlib wave raises wave.Error, EOFError, struct.error and
-            # even bare RuntimeError on torn containers — all of it is
-            # DATA here, so the whole parse branch converts to the
-            # ValueError quarantine contract
+        except (wave.Error, EOFError, _struct.error, RuntimeError) as e:
+            # stdlib wave raises exactly these parse-layer types on torn
+            # containers — only THOSE are data; genuine programming bugs
+            # (AttributeError, NameError, ...) must propagate, not be
+            # quarantined as bad input
             raise ValueError(f"torn WAV: {e}") from e
     if not _REAL_CODECS_AVAILABLE:
         raise NotImplementedError(
@@ -282,6 +283,12 @@ def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # need libjpeg/ffmpeg).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# Decode-side allocation cap: headers are attacker-controlled DATA, so a
+# declared geometry (PNG IHDR w*h, JPEG SOF h*w) must be bounded BEFORE
+# any allocation sized from it.  16.7M px (= 4096x4096) is far above any
+# fixture and far below the ~4.3 GB a 16-bit dim field can demand.
+_MAX_DECODE_PIXELS = 1 << 24
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
 
@@ -368,6 +375,14 @@ def png_decode(payload: bytes):
             )
             if depth != 8 or color_type not in _PNG_CHANNELS or interlace:
                 raise ValueError("unsupported PNG variant")
+            # IHDR geometry is DATA: cap before any allocation sized
+            # from it (a small zlib-bomb IDAT could otherwise inflate
+            # to h*(w*ch+1) bytes of our choosing)
+            if w * h > _MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"declared dimensions {w}x{h} exceed decode cap "
+                    f"({_MAX_DECODE_PIXELS} px)"
+                )
             meta = (w, h, _PNG_CHANNELS[color_type])
         elif tag == b"IDAT":
             idat.extend(body)
@@ -378,11 +393,15 @@ def png_decode(payload: bytes):
         raise ValueError("missing IHDR")
     w, h, ch = meta
     stride = w * ch
+    expected = h * (stride + 1)
     try:
-        data = zlib.decompress(bytes(idat))
+        # decompressobj + max_length bounds the inflate to the declared
+        # geometry: a zlib bomb cannot allocate past expected+1 bytes
+        dec = zlib.decompressobj()
+        data = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:  # torn/corrupt stream is DATA, not a crash
         raise ValueError(f"corrupt IDAT: {e}") from e
-    if len(data) != h * (stride + 1):
+    if len(data) != expected or dec.unconsumed_tail:
         raise ValueError("truncated IDAT")
     out = np.zeros((h, stride), dtype=np.int32)
     prior = np.zeros(stride, dtype=np.int32)
@@ -804,6 +823,22 @@ def _jpeg_decode_inner(payload: bytes, struct):
             if body[7] != 0x11:
                 raise ValueError("subsampling unsupported")
             comp_q = body[8]
+            # Hostile-input guard: a ~100-byte payload can declare
+            # h=w=65528 and force a ~4.3 GB allocation + 67M block
+            # decodes before the bitstream runs dry.  Cap total pixels,
+            # and reject dimensions implausible versus the payload size
+            # (every 8x8 block consumes >=2 huffman codes >=2 bits, so
+            # more blocks than 4*len(payload) cannot be a real image).
+            if h * w > _MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"declared dimensions {w}x{h} exceed decode cap "
+                    f"({_MAX_DECODE_PIXELS} px)"
+                )
+            if (h // 8) * (w // 8) > 4 * len(payload):
+                raise ValueError(
+                    f"declared dimensions {w}x{h} implausible for "
+                    f"{len(payload)}-byte payload"
+                )
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

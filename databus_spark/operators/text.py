@@ -819,6 +819,179 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3, text_col: str = "text")
     )
 
 
+BPE_CAND_CAP = 512  # per-round candidate window both engines rank over
+
+
+def bpe_learn_merges_batched(
+    docs: DataFrame,
+    n_merges: int = 64,
+    k_per_round: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, pair, n): batched-greedy BPE — the standard parallel-BPE
+    trick that makes realistic rule counts tractable. The serial loop
+    (bpe_learn_merges) pays one full pair-count + one driver round-trip
+    PER RULE; at production merge counts (30k) that round structure is
+    the bottleneck, not the counting. Here each round counts once and
+    adopts up to k_per_round TOKEN-DISJOINT rules from one snapshot:
+    rules sharing no token (and no rule's output colliding with
+    another's input) have count-invariant applications, so the adopted
+    counts are exact and application order within a round cannot
+    change the result.
+
+    Determinism spec (both engines implement it exactly): per round,
+    rank pairs by (n DESC, a ASC, b ASC); walk the top BPE_CAND_CAP in
+    rank order adopting a candidate iff its a, b AND merged output
+    'a b' are all absent from the round's used-token set; stop at
+    k_per_round (or n_merges total); apply adopted rules in adoption
+    order (double-replace for self-overlap); rounds are fixed at
+    ceil(n_merges / k_per_round) so both engines run the same shape
+    even when a round adopts fewer than k rules.
+
+    Scale: rounds are O(n_merges / k) Spark jobs; per round one
+    map-side pair explode + count shuffle and ONE bounded driver
+    collect (BPE_CAND_CAP rows). The replace-fold is a single
+    projection pass over the corpus per round, all JVM-side."""
+    spark = docs.sparkSession
+    d = BPE_D
+    clean = F.expr(f"translate({text_col}, chr(1), '')")
+    s = docs.select(
+        F.concat(F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d)).alias("s")
+    ).localCheckpoint(eager=False)
+
+    n_rounds = -(-n_merges // k_per_round)
+    rules: list[tuple[int, str, int]] = []
+    for _round in range(n_rounds):
+        k_round = min(k_per_round, n_merges - len(rules))
+        if k_round <= 0:
+            break
+        toks = F.expr(f"split(substring(s, 2, length(s) - 2), '{d}')")
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        cand = (
+            s.select(F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(BPE_CAND_CAP)
+            .collect()
+        )
+        if not cand:
+            break
+        used: set[str] = set()
+        adopted: list[tuple[str, str, int]] = []
+        for row in cand:
+            if len(adopted) >= k_round:
+                break
+            a, b, n = row["a"], row["b"], int(row["n"])
+            merged = a + " " + b
+            if a in used or b in used or merged in used:
+                continue
+            used.update((a, b, merged))
+            adopted.append((a, b, n))
+        expr = F.col("s")
+        for a, b, n in adopted:
+            rules.append((len(rules) + 1, a + " " + b, n))
+            pat, rep = F.lit(d + a + d + b + d), F.lit(d + a + " " + b + d)
+            expr = F.replace(F.replace(expr, pat, rep), pat, rep)
+        s = s.select(expr.alias("s")).localCheckpoint(eager=False)
+
+    if not rules:
+        return spark.sql(
+            "SELECT CAST(1 AS INT) AS rank, '' AS pair,"
+            " CAST(0 AS BIGINT) AS n WHERE false"
+        )
+
+    def _sql_str(p: str) -> str:
+        return p.replace("\\", "\\\\").replace("'", "''")
+
+    rows_sql = ", ".join(
+        "({}, '{}', {})".format(r, _sql_str(p), n) for r, p, n in rules
+    )
+    return spark.sql(
+        f"SELECT CAST(col1 AS INT) AS rank, col2 AS pair,"
+        f" CAST(col3 AS BIGINT) AS n FROM (VALUES {rows_sql})"
+    )
+
+
+def bpe_learn_merges_batched_sql(
+    from_sql: str, n_merges: int = 64, k_per_round: int = 16
+) -> str:
+    """DuckDB twin of the batched-greedy spec: per round, a recursive
+    CTE walks the ranked candidate window carrying the used-token list
+    (greedy disjoint selection is inherently sequential — the recursion
+    IS the walk), and a second recursive CTE folds the adopted
+    replaces over the corpus in adoption order."""
+    toks = TOKENS_SQL.format(col="replace(text, chr(1), '')")
+    d = "chr(1)"
+    n_rounds = -(-n_merges // k_per_round)
+    ctes = [
+        f"t1 AS (SELECT {d} || array_to_string({toks}, {d}) || {d} AS s"
+        f" FROM ({from_sql}))"
+    ]
+    selects = []
+    for r in range(1, n_rounds + 1):
+        k_round = min(k_per_round, n_merges - (r - 1) * k_per_round)
+        ctes.append(
+            f"p{r} AS (SELECT p.a AS a, p.b AS b, count(*) AS n FROM ("
+            f"SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),"
+            f" i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS p FROM ("
+            f"SELECT string_split(s[2:length(s) - 1], {d}) AS tk FROM t{r})"
+            f") GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT a, b, n, row_number() OVER"
+            f" (ORDER BY n DESC, a ASC, b ASC) AS rn FROM p{r}"
+            f" QUALIFY rn <= {BPE_CAND_CAP})"
+        )
+        ok = (
+            f"(g.k < {k_round}"
+            f" AND NOT list_contains(g.used, c.a)"
+            f" AND NOT list_contains(g.used, c.b)"
+            f" AND NOT list_contains(g.used, c.a || ' ' || c.b))"
+        )
+        ctes.append(
+            f"s{r} AS (WITH RECURSIVE g AS ("
+            f"SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used, 0 AS k,"
+            f" CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,"
+            f" CAST(NULL AS BIGINT) AS n"
+            f" UNION ALL SELECT c.rn,"
+            f" CASE WHEN {ok} THEN list_concat(g.used,"
+            f" [c.a, c.b, c.a || ' ' || c.b]) ELSE g.used END,"
+            f" CASE WHEN {ok} THEN g.k + 1 ELSE g.k END,"
+            f" CASE WHEN {ok} THEN c.a END,"
+            f" CASE WHEN {ok} THEN c.b END,"
+            f" CASE WHEN {ok} THEN c.n END"
+            f" FROM g JOIN c{r} c ON c.rn = g.rn + 1)"
+            f" SELECT k AS adopt_rank, a, b, n FROM g WHERE a IS NOT NULL)"
+        )
+        if r < n_rounds:
+            pat = f"{d} || ru.a || {d} || ru.b || {d}"
+            rep = f"{d} || ru.a || ' ' || ru.b || {d}"
+            nsel = f"(SELECT coalesce(max(adopt_rank), 0) FROM s{r})"
+            ctes.append(
+                f"t{r + 1} AS (WITH RECURSIVE w AS ("
+                f"SELECT s, 0 AS k FROM t{r}"
+                f" UNION ALL SELECT CASE WHEN ru.a IS NULL THEN w.s ELSE"
+                f" replace(replace(w.s, {pat}, {rep}), {pat}, {rep}) END,"
+                f" w.k + 1"
+                f" FROM w LEFT JOIN s{r} ru ON ru.adopt_rank = w.k + 1"
+                f" WHERE w.k < {nsel})"
+                f" SELECT s FROM w WHERE k = {nsel})"
+            )
+        offset = " + ".join(
+            [f"(SELECT count(*) FROM s{j})" for j in range(1, r)] or ["0"]
+        )
+        selects.append(
+            f"SELECT CAST({offset} + adopt_rank AS INT) AS rank,"
+            f" a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM s{r}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 def bpe_learn_merges_sql(from_sql: str, n_merges: int = 3) -> str:
     """Unrolled k-round DuckDB twin: each round's corpus is the
     previous round's after replace()-applying the previous rule."""

@@ -65,7 +65,9 @@ def _dsum_sql(expr: str, alias: str, scale: int = 6) -> str:
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
 
 
-def _staged_artifact(prefix: str, sf_dir: str, fingerprint: str, build) -> str:
+def _staged_artifact(
+    prefix: str, sf_dir: str, fingerprint: str, build, *, version: str
+) -> str:
     """THE staging protocol, in one place (five sites previously
     copy-pasted it): a /tmp artifact directory keyed on the fixture
     path, guarded by an exclusive flock (these dirs are shared across
@@ -73,7 +75,14 @@ def _staged_artifact(prefix: str, sf_dir: str, fingerprint: str, build) -> str:
     _COMPLETE marker mismatches, with the marker written via tmp+rename
     so a crash can only ever look 'stale', never half-written.
     ``build(dir)`` materializes the artifact contents; returns the
-    artifact directory."""
+    artifact directory.
+
+    ``version`` is the builder's CODE-version stamp, folded into the
+    marker alongside the content fingerprint: bump it whenever the
+    algorithm inside ``build`` changes, or the staged /tmp parquet from
+    the previous code silently serves stale results that the content
+    fingerprint alone cannot detect."""
+    fingerprint = f"{fingerprint}|{version}"
     import fcntl
     import hashlib
     import shutil
@@ -225,7 +234,9 @@ def filter_keymod_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databus_spark.streaming.source import stage_changelog
 
     log = customer_changelog(spark, sf_dir)
-    fingerprint = _content_fingerprint(log, "scn")
+    # "|c2b8-route-v1" = code-version stamp (n_chunks=2, route_buckets=8
+    # and the stage_changelog layout); bump on builder change
+    fingerprint = _content_fingerprint(log, "scn") + "|c2b8-route-v1"
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"databus_routed_{digest}")
     marker = os.path.join(stage, "_ROUTED_COMPLETE")
@@ -584,7 +595,9 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.write.parquet(os.path.join(d, "sig"))
         bands.write.parquet(os.path.join(d, "bands"))
 
-    idx_dir = _staged_artifact("databus_nearidx", sf_dir, fingerprint, build)
+    idx_dir = _staged_artifact(
+        "databus_nearidx", sf_dir, fingerprint, build, version="nearidx-v1"
+    )
     base_index = (
         spark.read.parquet(os.path.join(idx_dir, "sig")),
         spark.read.parquet(os.path.join(idx_dir, "bands")),
@@ -716,7 +729,9 @@ def _staged_pq_index(spark: SparkSession, sf_dir: str):
         cb.write.parquet(os.path.join(d, "cb"))
         codes.write.parquet(os.path.join(d, "codes"))
 
-    idx_dir = _staged_artifact("databus_pqidx", sf_dir, fingerprint, build)
+    idx_dir = _staged_artifact(
+        "databus_pqidx", sf_dir, fingerprint, build, version="pq-v1"
+    )
     return (
         spark.read.parquet(os.path.join(idx_dir, "cb")),
         spark.read.parquet(os.path.join(idx_dir, "codes")),
@@ -1373,13 +1388,17 @@ def zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint must include EVERY stored dimension: a regenerated
     # fixture with identical ids but shifted ts would otherwise serve
     # stale hours from the marker-matched z-table
-    fingerprint = _content_fingerprint(e, "event_id", "user_id", "hour")
+    fingerprint = _content_fingerprint(e, "event_id", "user_id", "hour") + "|z-v1"
     # OS file lock around the stage-or-reuse block: two concurrent
     # driver/test processes share this tempdir path, and without the
     # lock one could rmtree the dir the other is mid-staging/reading.
     import fcntl
 
-    lock_path = zdir + ".lock"
+    # DISTINCT lock file from ZorderTable's own writer lock (zdir +
+    # ".lock"): write_initial below takes that lock internally, and
+    # flock on a second fd of the same inode self-deadlocks — the
+    # staging gate must serialize stagers on its own file
+    lock_path = zdir + ".stage.lock"
     with open(lock_path, "w") as lock_f:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
         try:
@@ -1530,6 +1549,44 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("l_quantity"), "sum_qty", 2),
     )
+
+
+@query(
+    "sql_surface_window_stats",
+    f"""
+    SELECT source, part_id,
+           CAST(GROUPING(source, part_id) AS INT) AS gid,
+           count(*) AS n_events,
+           CAST(max(scn) AS BIGINT) AS max_scn,
+           CAST(sum(CASE WHEN txn_end THEN 1 ELSE 0 END) AS BIGINT) AS n_txn_end
+    FROM ({MULTI_SOURCE_CHANGELOG_SQL})
+    WHERE abs(CAST({java_hash_sql('key_str')} AS BIGINT)) % 8 < 4
+    GROUP BY GROUPING SETS ((source, part_id), (source), ())
+    """,
+)
+def sql_surface_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface proof query (SURVEY §2.6): authored as ONE pure
+    SQL string over the views + SQL scalar functions that
+    sql_surface.register_sql_surface exposes — KeyModFilter subscription
+    via the registered java_string_hashcode SQL UDF (bit-exact Java
+    String.hashCode, same Catalyst `reflect` plan the Python API
+    builds), grouping-sets accounting over the interleaved stream.
+    Nothing here touches the Python DataFrame API between registration
+    and result — a SQL-only user of the engine runs exactly this."""
+    from databus_spark.sql_surface import register_sql_surface
+
+    register_sql_surface(spark, sf_dir)
+    return spark.sql("""
+        SELECT source, part_id,
+               CAST(grouping_id() AS INT) AS gid,
+               count(*) AS n_events,
+               max(scn) AS max_scn,
+               CAST(sum(CASE WHEN txn_end THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_txn_end
+        FROM databus_stream
+        WHERE key_mod_bucket(key_str, 8) < 4
+        GROUP BY GROUPING SETS ((source, part_id), (source), ())
+    """)
 
 
 # --------------------------------------------------------------------------
@@ -1759,7 +1816,7 @@ def jdbc_txlog_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = orders_changelog(spark, sf_dir).select(*cols)
     # content digest, not just row count: a regenerated fixture with equal
     # cardinality must not silently reuse the previously-seeded Derby db
-    fingerprint = _content_fingerprint(log, "scn", "o_totalprice")
+    fingerprint = _content_fingerprint(log, "scn", "o_totalprice") + "|seed-v1"
 
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     db_dir = os.path.join(tempfile.gettempdir(), f"databus_derby_{digest}")
@@ -2351,12 +2408,14 @@ def media_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databus_spark.operators.multimodal import synth_avi_corpus, video_frame_probe
 
     docs = load_table(spark, sf_dir, "documents")
-    fingerprint = _content_fingerprint(docs, "doc_id") + "|f3v1"
+    fingerprint = _content_fingerprint(docs, "doc_id") + "|f3"
 
     def build(d: str) -> None:
         synth_avi_corpus(docs).write.parquet(os.path.join(d, "media"))
 
-    avi_dir = _staged_artifact("databus_avi", sf_dir, fingerprint, build)
+    avi_dir = _staged_artifact(
+        "databus_avi", sf_dir, fingerprint, build, version="avi-v1"
+    )
     return video_frame_probe(spark.read.parquet(os.path.join(avi_dir, "media")))
 
 
@@ -2437,7 +2496,9 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the shared staging protocol also closes the flock gap this site
     # had (it was the one staging block without cross-process locking)
-    jl_dir = _staged_artifact("databus_jsonl", sf_dir, fingerprint, build)
+    jl_dir = _staged_artifact(
+        "databus_jsonl", sf_dir, fingerprint, build, version="jsonl-v1"
+    )
     clean, quarantine = read_jsonl(spark, os.path.join(jl_dir, "data", "*.json"))
     a = clean.agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("clean").alias("kind"), "n"
@@ -2797,7 +2858,9 @@ def _staged_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5
         ).write.parquet(os.path.join(d, "pairs"))
 
-    idx_dir = _staged_artifact("databus_lshpairs", sf_dir, fingerprint, build)
+    idx_dir = _staged_artifact(
+        "databus_lshpairs", sf_dir, fingerprint, build, version="lsh-v1"
+    )
     return spark.read.parquet(os.path.join(idx_dir, "pairs"))
 
 
@@ -2827,25 +2890,43 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _decision_log_oracle() -> str:
     clusters = dedup_clusters_sql(dedup.minhash_lsh_sql(k=5, threshold=0.5))
+    # `raw` is the single-hop pointer map; `walk` resolves it to a KEPT
+    # doc (a drop_near's cluster-min can itself be drop_exact when
+    # exact outranks near).  Each hop strictly decreases the pointed
+    # doc_id (exact survivor < loser, cluster min < non-survivor
+    # member), so the recursion terminates; the terminal row per doc is
+    # the one whose pointed-at doc has decision 'keep'.
     return f"""
-        WITH d AS ({dedup.DOCS_WITH_DUPS_SQL}),
+        WITH RECURSIVE d AS ({dedup.DOCS_WITH_DUPS_SQL}),
         exact_s AS (
             SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS s
             FROM d GROUP BY 1
         ),
-        near AS (SELECT doc_id, cluster_id, is_survivor FROM ({clusters}))
-        SELECT d.doc_id,
-               CASE WHEN d.doc_id <> e.s THEN 'drop_exact'
-                    WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
-                        THEN 'drop_near'
-                    ELSE 'keep' END AS decision,
-               CASE WHEN d.doc_id <> e.s THEN e.s
-                    WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
-                        THEN n.cluster_id
-                    ELSE d.doc_id END AS survivor_id
-        FROM d
-        JOIN exact_s e ON md5(coalesce(d.text, '')) = e.h
-        LEFT JOIN near n ON n.doc_id = d.doc_id
+        near AS (SELECT doc_id, cluster_id, is_survivor FROM ({clusters})),
+        raw AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id <> e.s THEN 'drop_exact'
+                        WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
+                            THEN 'drop_near'
+                        ELSE 'keep' END AS decision,
+                   CASE WHEN d.doc_id <> e.s THEN e.s
+                        WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
+                            THEN n.cluster_id
+                        ELSE d.doc_id END AS nxt
+            FROM d
+            JOIN exact_s e ON md5(coalesce(d.text, '')) = e.h
+            LEFT JOIN near n ON n.doc_id = d.doc_id
+        ),
+        walk AS (
+            SELECT doc_id, decision, nxt FROM raw
+            UNION ALL
+            SELECT w.doc_id, w.decision, r.nxt
+            FROM walk w JOIN raw r ON r.doc_id = w.nxt
+            WHERE r.decision <> 'keep'
+        )
+        SELECT w.doc_id, w.decision, w.nxt AS survivor_id
+        FROM walk w JOIN raw t ON t.doc_id = w.nxt
+        WHERE t.decision = 'keep'
     """
 
 
@@ -2862,7 +2943,16 @@ def dedup_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing here scales worse than its standalone query. NULL text
     hashes as '' (coalesce in BOTH engines) so 'EVERY document gets a
     decision' holds even for degenerate rows — an md5 join on a raw
-    NULL would silently drop the doc from the audit log."""
+    NULL would silently drop the doc from the audit log.
+
+    The raw single-hop pointer (exact-min / cluster-min) can itself be
+    a dropped doc (a cluster min that is also an exact-dup loser —
+    exact outranks near), so survivor_id is resolved TRANSITIVELY to a
+    kept doc: each hop strictly decreases the pointed doc_id (exact
+    survivor < loser, cluster min < non-survivor member), so the loop
+    terminates, and the governance invariant 'survivor_id is kept'
+    holds directly for every row. One limit(1)-count scalar job per
+    hop, chain depth is O(1) in practice — scale-safe."""
     docs = dedup.documents_with_dups(spark, sf_dir)
     hashes = docs.select(
         "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h")
@@ -2873,7 +2963,7 @@ def dedup_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = dedup_clusters(_staged_lsh_pairs(spark, sf_dir)).select(
         F.col("doc_id").alias("n_doc"), "cluster_id", "is_survivor"
     )
-    return (
+    raw = (
         docs.select("doc_id")
         .join(exact_s, "doc_id")
         .join(near, F.col("doc_id") == F.col("n_doc"), "left")
@@ -2893,7 +2983,25 @@ def dedup_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("doc_id"))
             .alias("survivor_id"),
         )
+        .localCheckpoint()  # barrier: the walk below re-reads raw per hop
     )
+    parent = raw.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("decision").alias("p_dec"),
+        F.col("survivor_id").alias("p_next"),
+    )
+    cur = raw
+    while True:
+        j = cur.join(parent, cur["survivor_id"] == parent["p_doc"])
+        if j.where(F.col("p_dec") != "keep").limit(1).count() == 0:
+            return cur
+        cur = j.select(
+            "doc_id",
+            "decision",
+            F.when(F.col("p_dec") == "keep", F.col("survivor_id"))
+            .otherwise(F.col("p_next"))
+            .alias("survivor_id"),
+        ).localCheckpoint()
 
 
 def _survivor_corpus_oracle() -> str:

@@ -332,3 +332,37 @@ def test_zorder_vacuum_spares_inflight_version(spark, tmp_path):
 
     # writer lock file exists and is flock-able (cross-process guard)
     assert os.path.exists(t.path.rstrip("/") + ".lock")
+
+
+def test_zorder_staging_rebuild_does_not_self_deadlock(spark, sf_dir):
+    """Round-8 regression: the registry's zorder staging gate held
+    zdir+'.lock' while write_initial took the SAME file via
+    ZorderTable._write_lock — flock on a second fd of one inode
+    self-deadlocks, so the REBUILD path (stale/absent marker) hung
+    forever. The gate now locks zdir+'.stage.lock'; this drives the
+    rebuild path under a watchdog."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import signal
+
+    from databus_spark.registry import QUERIES
+
+    for d in _glob.glob(_os.path.join("/tmp", "databus_ztable_*")):
+        if _os.path.isdir(d):
+            _shutil.rmtree(d, ignore_errors=True)
+        else:
+            _os.unlink(d)
+
+    def _boom(signum, frame):
+        raise TimeoutError("zorder staging rebuild deadlocked")
+
+    old = signal.signal(signal.SIGALRM, _boom)
+    signal.alarm(300)
+    try:
+        assert QUERIES["zorder_box_read"](spark, sf_dir).count() > 0
+        # marker now present -> reuse path must also complete
+        assert QUERIES["zorder_box_read"](spark, sf_dir).count() > 0
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

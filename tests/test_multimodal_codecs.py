@@ -272,6 +272,65 @@ def test_jpeg_decode_rejects_unsupported_and_torn():
         jpeg_decode(bytes(prog))
 
 
+def test_jpeg_decode_rejects_hostile_geometry():
+    """A ~100-byte payload declaring h=w=65528 in SOF would allocate a
+    ~4.3 GB array and run ~67M block decodes; the SOF guard must reject
+    it as ValueError (the quarantine contract) BEFORE any allocation."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from databus_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    good = jpeg_encode(np.zeros((8, 8), dtype=np.uint8))
+    i = good.find(b"\xff\xc0")
+    # SOF0 body layout: len(2) prec(1) h(2) w(2) nc(1) ...
+    bomb = bytearray(good)
+    bomb[i + 5:i + 9] = struct.pack(">HH", 65528, 65528)
+    with _pytest.raises(ValueError, match="cap|implausible"):
+        jpeg_decode(bytes(bomb))
+    # dims under the cap but absurd versus the payload size also fail
+    bomb[i + 5:i + 9] = struct.pack(">HH", 4096, 4096)
+    with _pytest.raises(ValueError, match="cap|implausible"):
+        jpeg_decode(bytes(bomb))
+
+
+def test_png_decode_rejects_hostile_geometry():
+    """PNG IHDR declaring a huge canvas must fail as ValueError before
+    the inflate sizes any buffer from it; a zlib stream longer than the
+    declared geometry is bounded by max_length, not trusted."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+
+    good = png_encode(np.zeros((8, 8), dtype=np.uint8))
+    i = good.find(b"IHDR")
+    bomb = bytearray(good)
+    bomb[i + 4:i + 12] = struct.pack(">II", 1 << 16, 1 << 16)
+    with _pytest.raises(ValueError):
+        png_decode(bytes(bomb))
+    # oversized-inflate path: legit dims, IDAT inflating past geometry
+    over = bytearray(png_encode(np.zeros((8, 8), dtype=np.uint8)))
+    j = over.find(b"IDAT")
+    (length,) = struct.unpack(">I", over[j - 4:j])
+    big = zlib.compress(b"\x00" * 10_000)  # >> 8*(8+1) declared bytes
+    patched = (
+        bytes(over[:j - 4])
+        + struct.pack(">I", len(big))
+        + b"IDAT"
+        + big
+        + struct.pack(">I", zlib.crc32(b"IDAT" + big) & 0xFFFFFFFF)
+        + bytes(over[j + 4 + length + 4:])
+    )
+    with _pytest.raises(ValueError):
+        png_decode(patched)
+
+
 def test_jpeg_probe_distributed(spark):
     """The Arrow-batched probe over a synthesized corpus: closed-form
     stats per doc (what the driver's oracle checks at sf0.01)."""

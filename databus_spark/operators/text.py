@@ -929,59 +929,70 @@ def bpe_learn_merges_batched_sql(
     d = "chr(1)"
     n_rounds = -(-n_merges // k_per_round)
     ctes = [
-        f"t1 AS (SELECT {d} || array_to_string({toks}, {d}) || {d} AS s"
+        f"t1 AS MATERIALIZED (SELECT {d} || array_to_string({toks}, {d}) || {d} AS s"
         f" FROM ({from_sql}))"
     ]
     selects = []
     for r in range(1, n_rounds + 1):
         k_round = min(k_per_round, n_merges - (r - 1) * k_per_round)
         ctes.append(
-            f"p{r} AS (SELECT p.a AS a, p.b AS b, count(*) AS n FROM ("
+            f"p{r} AS MATERIALIZED (SELECT p.a AS a, p.b AS b, count(*) AS n FROM ("
             f"SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),"
             f" i -> {{'a': tk[i], 'b': tk[i + 1]}})) AS p FROM ("
             f"SELECT string_split(s[2:length(s) - 1], {d}) AS tk FROM t{r})"
             f") GROUP BY 1, 2)"
         )
         ctes.append(
-            f"c{r} AS (SELECT a, b, n, row_number() OVER"
+            f"c{r} AS MATERIALIZED (SELECT a, b, n, row_number() OVER"
             f" (ORDER BY n DESC, a ASC, b ASC) AS rn FROM p{r}"
             f" QUALIFY rn <= {BPE_CAND_CAP})"
         )
+        # the inner recursive walk MUST have a per-round name: two CTEs
+        # both defining an inner `WITH RECURSIVE g` collide when DuckDB
+        # inlines them into one query tree (round 2's walk silently
+        # resumed round 1's accumulated used-token state)
+        g = f"g{r}"
         ok = (
-            f"(g.k < {k_round}"
-            f" AND NOT list_contains(g.used, c.a)"
-            f" AND NOT list_contains(g.used, c.b)"
-            f" AND NOT list_contains(g.used, c.a || ' ' || c.b))"
+            f"({g}.k < {k_round}"
+            f" AND NOT list_contains({g}.used, c.a)"
+            f" AND NOT list_contains({g}.used, c.b)"
+            f" AND NOT list_contains({g}.used, c.a || ' ' || c.b))"
         )
         ctes.append(
-            f"s{r} AS (WITH RECURSIVE g AS ("
+            f"s{r} AS MATERIALIZED (WITH RECURSIVE {g} AS ("
             f"SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used, 0 AS k,"
             f" CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,"
             f" CAST(NULL AS BIGINT) AS n"
             f" UNION ALL SELECT c.rn,"
-            f" CASE WHEN {ok} THEN list_concat(g.used,"
-            f" [c.a, c.b, c.a || ' ' || c.b]) ELSE g.used END,"
-            f" CASE WHEN {ok} THEN g.k + 1 ELSE g.k END,"
+            f" CASE WHEN {ok} THEN list_concat({g}.used,"
+            f" [c.a, c.b, c.a || ' ' || c.b]) ELSE {g}.used END,"
+            f" CASE WHEN {ok} THEN {g}.k + 1 ELSE {g}.k END,"
             f" CASE WHEN {ok} THEN c.a END,"
             f" CASE WHEN {ok} THEN c.b END,"
             f" CASE WHEN {ok} THEN c.n END"
-            f" FROM g JOIN c{r} c ON c.rn = g.rn + 1)"
-            f" SELECT k AS adopt_rank, a, b, n FROM g WHERE a IS NOT NULL)"
+            f" FROM {g} JOIN c{r} c ON c.rn = {g}.rn + 1)"
+            f" SELECT k AS adopt_rank, a, b, n FROM {g} WHERE a IS NOT NULL)"
         )
         if r < n_rounds:
-            pat = f"{d} || ru.a || {d} || ru.b || {d}"
-            rep = f"{d} || ru.a || ' ' || ru.b || {d}"
-            nsel = f"(SELECT coalesce(max(adopt_rank), 0) FROM s{r})"
-            ctes.append(
-                f"t{r + 1} AS (WITH RECURSIVE w AS ("
-                f"SELECT s, 0 AS k FROM t{r}"
-                f" UNION ALL SELECT CASE WHEN ru.a IS NULL THEN w.s ELSE"
-                f" replace(replace(w.s, {pat}, {rep}), {pat}, {rep}) END,"
-                f" w.k + 1"
-                f" FROM w LEFT JOIN s{r} ru ON ru.adopt_rank = w.k + 1"
-                f" WHERE w.k < {nsel})"
-                f" SELECT s FROM w WHERE k = {nsel})"
-            )
+            # apply adopted rules as ONE projection of nested replaces
+            # (adoption order innermost-first, exactly the Spark fold).
+            # Scalar subqueries inline each rank's rule; coalesce to a
+            # never-matching chr(0) pattern when a rank wasn't adopted.
+            # NOT a recursive CTE over the corpus: nesting a recursion
+            # that reads s{r} (itself recursive) inside another
+            # recursive CTE silently evaluates s{r} empty in DuckDB,
+            # leaving the corpus unrewritten (caught by the round-2
+            # candidate counts repeating round 1's).
+            expr = "s"
+            for k in range(1, k_round + 1):
+                a_k = f"(SELECT a FROM s{r} WHERE adopt_rank = {k})"
+                b_k = f"(SELECT b FROM s{r} WHERE adopt_rank = {k})"
+                pat = f"coalesce({d} || {a_k} || {d} || {b_k} || {d}, chr(0))"
+                rep = (
+                    f"coalesce({d} || {a_k} || ' ' || {b_k} || {d}, chr(0))"
+                )
+                expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+            ctes.append(f"t{r + 1} AS MATERIALIZED (SELECT {expr} AS s FROM t{r})")
         offset = " + ".join(
             [f"(SELECT count(*) FROM s{j})" for j in range(1, r)] or ["0"]
         )

@@ -2240,6 +2240,26 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_learn_merges_batched",
+    text.bpe_learn_merges_batched_sql(
+        "SELECT doc_id, text FROM documents", n_merges=64, k_per_round=16
+    ),
+)
+def bpe_learn_merges_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-greedy BPE at realistic rule counts (64 rules, 16 per
+    round — the standard parallel-BPE trick): each round counts pairs
+    ONCE and adopts up to 16 token-disjoint rules from that snapshot,
+    cutting driver round-trips 16x vs the serial loop. Disjointness
+    (no shared tokens, no output/input collisions) makes the adopted
+    counts exact and the within-round application order irrelevant;
+    conflict-safety is pinned by test_bpe_batched. Oracle mirrors the
+    greedy disjoint selection with a recursive CTE walk."""
+    return text.bpe_learn_merges_batched(
+        load_table(spark, sf_dir, "documents"), n_merges=64, k_per_round=16
+    )
+
+
 @query("boilerplate_strip", text.boilerplate_strip_sql(BOILER_CORPUS_SQL))
 def boilerplate_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup: lines whose normalized form

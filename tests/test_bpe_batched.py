@@ -1,0 +1,74 @@
+"""Batched-greedy BPE (round-8): conflict-safety and spec pins.
+
+The batched learner adopts up to k token-disjoint rules per round from
+one count snapshot. Disjointness is what makes the batch exact: counts
+of disjoint pairs are invariant under each other's application, so the
+adopted (rule, n) pairs equal what k serial recount-rounds would adopt
+whenever the serial winners are themselves disjoint.
+"""
+
+from __future__ import annotations
+
+
+def _learn(spark, corpus: str, n_merges: int, k: int):
+    from databus_spark.operators.text import bpe_learn_merges_batched
+
+    docs = spark.createDataFrame([(1, corpus)], "doc_id BIGINT, text STRING")
+    return [
+        (r["rank"], r["pair"], r["n"])
+        for r in bpe_learn_merges_batched(
+            docs, n_merges=n_merges, k_per_round=k
+        ).collect()
+    ]
+
+
+def test_conflicting_candidate_skipped(spark):
+    """(b,c) ties the adopted (a,b)/(c,d) at n=2 but shares tokens with
+    both — the greedy walk must skip it within the round."""
+    rules = _learn(spark, "a b a b c d c d b c", n_merges=2, k=2)
+    assert [p for _, p, _ in rules] == ["a b", "c d"]
+    # counts are the snapshot counts, exact because rules are disjoint
+    assert [n for _, _, n in rules] == [2, 2]
+
+
+def test_adopted_rules_are_token_disjoint_per_round(spark, sf_dir):
+    from databus_spark.operators.text import bpe_learn_merges_batched
+    from databus_spark.catalog import load_table
+
+    k = 16
+    rows = bpe_learn_merges_batched(
+        load_table(spark, sf_dir, "documents"), n_merges=64, k_per_round=k
+    ).collect()
+    assert len(rows) >= 48  # realistic rule count actually learned
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    # within each adoption round: no shared tokens, no output/input
+    # collisions (rule outputs 'a b' never appear as other rules' sides)
+    by_round: dict[int, list[str]] = {}
+    for r in rows:
+        by_round.setdefault((r["rank"] - 1) // k, []).append(r["pair"])
+    for _rnd, pairs in by_round.items():
+        used: set[str] = set()
+        for p in pairs:
+            a, b = p.split(" ", 1)[0], p.split(" ", 1)[1]
+            assert a not in used and b not in used and p not in used
+            used.update((a, b, p))
+
+
+def test_batched_first_round_matches_serial_top1(spark, sf_dir):
+    """Rank-1 of the batched learner IS the serial greedy's first rule
+    (same snapshot, same ordering) — the batch is an extension of the
+    serial loop, not a different algorithm."""
+    from databus_spark.operators.text import (
+        bpe_learn_merges,
+        bpe_learn_merges_batched,
+    )
+    from databus_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    serial = bpe_learn_merges(docs, n_merges=1).collect()
+    batched = bpe_learn_merges_batched(docs, n_merges=4, k_per_round=4).collect()
+    assert (serial[0]["pair"], serial[0]["n"]) == (
+        batched[0]["pair"],
+        batched[0]["n"],
+    )

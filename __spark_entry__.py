@@ -30,31 +30,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict order.
-# Round 7 rotation: (a) queries NEW this round (first external driver
-# row), (b) everything whose engine or oracle path changed this round
-# (the HUGEINT-cast novelty oracle, micro-unit structure_profile,
-# floor-scaled binned quantiles, verdict-form approx_stats and
-# compressibility, the IPv4 redaction class, the staged PQ index, the
-# semdedup checkpoint, the LocalRelation source registry, the concat_ws
-# portable-hash oracle macro and its consumers, the re-fingerprinted
-# staged indexes), (c) the 16 queries deferred from r6's window —
-# external rows overdue, (d) oldest-green refresh. The merge gate is
-# still a FULL local run over all registered queries at sf0.01, so
-# rotation never leaves a query locally unchecked.
-# The first _WINDOW_SIZE names are the driver-checked window; the
-# split into two lists makes the boundary structural (a test pins
-# len(_WINDOW) == _WINDOW_SIZE), not a comment convention.
+# Round 8 rotation: (a) queries NEW this round, (b) queries whose engine
+# path changed this round (the transitive decision-log survivor
+# resolution, the decode geometry guards in the media codecs, the
+# version-stamped staging protocol + the zorder staging-lock fix),
+# (c) ALL 41 queries whose last external green is r4/r5 — the staleness
+# backlog the r7 verdict asked to front-load (r4 rows first). The merge
+# gate is still a FULL local run over all registered queries at sf0.01,
+# so rotation never leaves a query locally unchecked.
+# The first _WINDOW_SIZE names are the driver-checked window; a test
+# pins len(_WINDOW) == _WINDOW_SIZE.
 _WINDOW_SIZE = 50
 
 _WINDOW = [
     # (a) NEW this round — always first
+    "sql_surface_window_stats",
+    "bpe_learn_merges_batched",
+    # (b) engine path changed in round 8
+    "dedup_decision_log",
     "media_jpeg_probe",
     "media_video_frames",
+    "media_features",
+    "media_png_resize",
+    "zorder_box_read",
+    "jsonl_ingest_audit",
+    # (c) staleness backlog — last external green r4
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "decontaminate_vs_benchmark",
+    "dedup_exact",
+    "event_rate_anomaly",
+    "filter_composite_json",
+    "keyset_page",
+    "lag_percentiles",
+    "max_scn_probe",
+    "per_source_stats",
+    "pricing_summary",
+    "txn_window_stats",
+    "value_histogram",
+    # (c) staleness backlog — last external green r5
+    "as_of_join_events",
+    "contamination_fraction",
+    "dedup_canonical",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_span_windows",
+    "length_histogram",
+    "media_png_probe",
+    "media_wav_probe",
+    "mixture_temperature_sample",
+    "oov_rate",
+    "per_group_quota",
+    "quality_topk_per_lang",
+    "schema_key_compaction",
+    "schema_key_filter",
+    "sequence_packing",
+    "simhash_sketch",
+    "skew_salted_agg",
+    "snapshot_diff",
+    "sparse_tfidf_pairs",
+    "stratified_sample",
+    "stream_fetch_bounded",
+    "text_fingerprint",
+    "tfidf_top_terms",
+    "vocab_top_terms",
+    "zorder_events_key",
+]
+
+# below the 50-row window this round (all still verified locally):
+_REST = [
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",
-    "dedup_decision_log",
-    # (b) engine/oracle path changed in round 7
     "text_novelty",
     "structure_profile",
     "approx_quantiles_binned",
@@ -70,13 +119,10 @@ _WINDOW = [
     "train_split_assign",
     "hll_distinct_users",
     "dedup_incremental_near",
-    "jsonl_ingest_audit",
-    "zorder_box_read",
     "dedup_cluster_survivors",
     "dedup_cluster_star",
     "dedup_survivor_corpus",
     "dedup_embedding_cosine",
-    # (c) deferred from round 6 — external row overdue
     "text_token_stats",
     "chunk_documents",
     "json_props_extract",
@@ -93,7 +139,6 @@ _WINDOW = [
     "partition_spread_per_source",
     "null_rate_profile",
     "buffer_info",
-    # (d) oldest-green refresh (r5 rows now the stalest)
     "schema_evolution_decode",
     "event_metadata_extract",
     "avro_ocf_roundtrip",
@@ -101,19 +146,6 @@ _WINDOW = [
     "jdbc_txlog_pull",
     "sql_txlog_pull",
     "trail_file_seek",
-]
-
-# below the 50-row window this round (all still verified locally):
-_REST = [
-    "stream_fetch_bounded",
-    "schema_key_compaction",
-    "dedup_canonical",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_span_windows",
-    "sparse_tfidf_pairs",
-    "media_png_resize",
     "data_expectations",
     "lm2_quality_score",
     "funnel_conversion",
@@ -133,27 +165,12 @@ _REST = [
     "snapshot_orders",
     "snapshot_customer",
     "filter_keyrange",
-    "filter_composite_json",
     "filter_keymod_strkey",
     "filter_keymod_longkey",
     "filter_keymod_subscribe",
     "filter_payload_fields",
-    "keyset_page",
-    "max_scn_probe",
-    "per_source_stats",
-    "lag_percentiles",
-    "value_histogram",
-    "event_rate_anomaly",
-    "txn_window_stats",
-    "pricing_summary",
-    "dedup_exact",
-    "decontaminate_vs_benchmark",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "topk_orders_per_segment",
     "cube_rollup",
-    "media_features",
     "scalar_functions",
     "dtail_json",
     "checkpoint_mult_fetch",
@@ -161,25 +178,6 @@ _REST = [
     "hash_sample",
     "partition_router",
     "pivot_events_daily",
-    "snapshot_diff",
-    "contamination_fraction",
-    "simhash_sketch",
-    "oov_rate",
-    "length_histogram",
-    "quality_topk_per_lang",
-    "text_fingerprint",
-    "stratified_sample",
-    "per_group_quota",
-    "mixture_temperature_sample",
-    "sequence_packing",
-    "zorder_events_key",
-    "schema_key_filter",
-    "skew_salted_agg",
-    "media_wav_probe",
-    "media_png_probe",
-    "vocab_top_terms",
-    "tfidf_top_terms",
-    "as_of_join_events",
 ]
 
 _PRIORITY = _WINDOW + _REST

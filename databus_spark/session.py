@@ -13,7 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def build_session(app_name: str = "databus_spark", cpus: int | None = None) -> SparkSession:
+def build_session(
+    app_name: str = "databus_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
@@ -31,6 +35,8 @@ def build_session(app_name: str = "databus_spark", cpus: int | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

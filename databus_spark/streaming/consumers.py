@@ -173,7 +173,23 @@ class MultiConsumer(Consumer):
 
 class Dispatcher:
     """Drives consumers from micro-batches in SCN-window order
-    (GenericDispatcher's EXPECT_EVENT_WINDOW -> ... -> checkpoint loop)."""
+    (GenericDispatcher's EXPECT_EVENT_WINDOW -> ... -> checkpoint loop).
+
+    SCALE WARNING — this is the PARITY dispatcher, not the scale path.
+    It intentionally reproduces the reference's serial callback loop:
+    one driver-side window list per batch, then one Spark job per SCN
+    window (``batch.where(scn == X)``). That is O(windows) driver
+    round-trips per batch — fine for the reference's semantics tests,
+    pathological on a real cluster when batches carry thousands of
+    windows. At 100x, use:
+
+    * ``DistributedDispatcher`` — one applyInPandas job per batch,
+      callbacks run inside executors, window order preserved per key;
+    * ``PartitionOrderedDispatcher`` — per-partition serial order with
+      executor-side callbacks (the reference's per-buffer ordering
+      guarantee, distributed).
+
+    Both are plan-tested (single Exchange; see test_consumers)."""
 
     def __init__(self, consumer: Consumer, checkpoint_every: int = 1) -> None:
         self.consumer = consumer

@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""10x scale soak: measure the headline families at sf0.1 and at a
+10x-replicated corpus, recording wall, shuffle bytes, and peak task
+memory per family (VERDICT r7 ask #6 — convert SCALE.md's
+extrapolations into measured scaling exponents).
+
+Replication is STRUCTURE-PRESERVING, not naive copy: replica i rotates
+each document's token list by 7*i+3 and its embedding components by i.
+Token rotation keeps unigram stats identical but decorrelates shingle
+adjacency, and component rotation keeps within-replica cosine geometry
+exact while decorrelating cross-replica vectors — so each replica is an
+isomorphic copy of the corpus with DISJOINT similarity structure, the
+same shape a real 10x crawl drawn from one distribution has. Naive
+copies would instead hand every doc 9 exact dups and blow every cluster
+up 10x, measuring a workload that does not exist at scale.
+
+Usage: python tools/soak10x.py [--families f1,f2] [--scale 10]
+Writes SOAK_10X.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SOAK_DIR = "/tmp/databus_soak10x"
+EVENT_DIR = "/tmp/databus_soak_events"
+REPLICA_STRIDE = 100_000_000
+
+
+def build_soak_fixture(spark, scale: int) -> None:
+    """Stage the 10x documents/embeddings/orders parquet (one-time)."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SOAK_DIR, f"_COMPLETE_{scale}")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(SOAK_DIR, ignore_errors=True)
+    os.makedirs(SOAK_DIR, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+
+    reps = spark.range(scale).select(F.col("id").cast("int").alias("rep"))
+
+    # token rotation by (7*rep+3) %% n: same tokens, shifted adjacency
+    toks = F.split(F.col("text"), "\\s+")
+    n = F.greatest(F.size(toks), F.lit(1))
+    k = (F.lit(7) * F.col("rep") + F.lit(3)) % n
+    rotated = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.concat(F.slice(toks, k + 1, n - k), F.slice(toks, 1, k)), " "
+        )
+    )
+    docs10 = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("long") * REPLICA_STRIDE).alias("doc_id"),
+            rotated.alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    docs10.repartition(32).write.parquet(os.path.join(SOAK_DIR, "documents.parquet"))
+
+    # embedding component rotation by rep: exact within-replica geometry
+    dim = len(emb.select("embedding").first()["embedding"])
+    rot = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice(F.col("embedding"), (F.col("rep") % dim) + 1, dim - (F.col("rep") % dim)),
+            F.slice(F.col("embedding"), 1, F.col("rep") % dim),
+        )
+    )
+    emb10 = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep").cast("long") * REPLICA_STRIDE).alias("vec_id"),
+        rot.alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    emb10.repartition(32).write.parquet(os.path.join(SOAK_DIR, "embeddings.parquet"))
+
+    o10 = orders.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("rep").cast("long") * 10_000_000).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    ).drop("rep")
+    o10.repartition(32).write.parquet(os.path.join(SOAK_DIR, "orders.parquet"))
+
+    with open(marker, "w") as f:
+        f.write(str(scale))
+
+
+# ---------------------------------------------------------------------------
+# Families: each takes (spark, docs, emb, sf_dir_for_changelogs) and runs
+# the family's headline plan to a noop sink.
+# ---------------------------------------------------------------------------
+
+def fam_minhash_clusters(spark, docs, emb, sf_dir):
+    from databus_spark.operators import dedup
+
+    pairs = dedup.minhash_lsh_pairs(docs, k=5, threshold=0.5)
+    dedup.dedup_clusters_star(pairs).write.format("noop").mode("overwrite").save()
+
+
+def fam_semdedup(spark, docs, emb, sf_dir):
+    from databus_spark.operators import similarity
+
+    similarity.semdedup_survivors(emb).write.format("noop").mode("overwrite").save()
+
+
+def fam_ann_ivfpq(spark, docs, emb, sf_dir):
+    from databus_spark.operators import similarity
+
+    cb = similarity._pq_codebook(emb, "vec_id", "embedding")
+    codes = similarity.pq_encode(emb, cb, "vec_id", "embedding")
+    codes.write.format("noop").mode("overwrite").save()
+
+
+def fam_curation(spark, docs, emb, sf_dir):
+    # registry query: loads documents from sf_dir (soak dir has them)
+    from databus_spark.registry import QUERIES
+
+    QUERIES["curation_decisions_v2"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def fam_exact_dedup(spark, docs, emb, sf_dir):
+    from databus_spark.operators import dedup
+
+    dedup.exact_dedup(docs).write.format("noop").mode("overwrite").save()
+
+
+def fam_batch_apply(spark, docs, emb, sf_dir):
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.operators.compaction import latest_by_key
+
+    log = orders_changelog(spark, sf_dir)
+    latest_by_key(log).write.format("noop").mode("overwrite").save()
+
+
+FAMILIES = {
+    "minhash_clusters": fam_minhash_clusters,
+    "semdedup": fam_semdedup,
+    "ann_ivfpq_build": fam_ann_ivfpq,
+    "curation_v2": fam_curation,
+    "exact_dedup": fam_exact_dedup,
+    "batch_apply": fam_batch_apply,
+}
+
+
+def parse_event_log(event_dir: str) -> dict[str, dict]:
+    """Aggregate shuffle bytes + peak task memory per job group from the
+    Spark event log (the only place local-mode task metrics surface)."""
+    import glob
+
+    stage_to_group: dict[int, str] = {}
+    agg: dict[str, dict] = {}
+    for path in glob.glob(os.path.join(event_dir, "*")):
+        if os.path.isdir(path):
+            continue
+        with open(path, errors="replace") as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                    if group:
+                        for sid in ev.get("Stage IDs", []):
+                            stage_to_group[sid] = group
+                elif kind == "SparkListenerTaskEnd":
+                    group = stage_to_group.get(ev.get("Stage ID"))
+                    if not group:
+                        continue
+                    m = ev.get("Task Metrics") or {}
+                    a = agg.setdefault(group, {
+                        "shuffle_read_b": 0, "shuffle_write_b": 0,
+                        "peak_task_mem_b": 0, "n_tasks": 0, "spill_b": 0,
+                    })
+                    a["n_tasks"] += 1
+                    a["shuffle_read_b"] += (m.get("Shuffle Read Metrics") or {}).get("Remote Bytes Read", 0) + (m.get("Shuffle Read Metrics") or {}).get("Local Bytes Read", 0)
+                    a["shuffle_write_b"] += (m.get("Shuffle Write Metrics") or {}).get("Shuffle Bytes Written", 0)
+                    a["peak_task_mem_b"] = max(a["peak_task_mem_b"], m.get("Peak Execution Memory", 0))
+                    a["spill_b"] += m.get("Disk Bytes Spilled", 0)
+    return agg
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--scale", type=int, default=10)
+    args = ap.parse_args()
+    fams = [f for f in args.families.split(",") if f in FAMILIES]
+
+    shutil.rmtree(EVENT_DIR, ignore_errors=True)
+    os.makedirs(EVENT_DIR, exist_ok=True)
+
+    from databus_spark.session import build_session
+
+    spark = build_session(
+        "databus_soak10x",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{EVENT_DIR}",
+        },
+    )
+    sc = spark.sparkContext
+
+    t0 = time.time()
+    build_soak_fixture(spark, args.scale)
+    stage_s = round(time.time() - t0, 1)
+
+    def load(dirpath):
+        return (
+            spark.read.parquet(os.path.join(dirpath, "documents.parquet")),
+            spark.read.parquet(os.path.join(dirpath, "embeddings.parquet")),
+        )
+
+    results: dict[str, dict] = {"_staging_s": stage_s, "_scale": args.scale}
+    for fam in fams:
+        fn = FAMILIES[fam]
+        for label, dirpath in (("x1", SF_DIR), (f"x{args.scale}", SOAK_DIR)):
+            docs, emb = load(dirpath)
+            spark.catalog.clearCache()
+            group = f"{fam}:{label}"
+            sc.setJobGroup(group, group)
+            t0 = time.time()
+            fn(spark, docs, emb, dirpath)
+            wall = round(time.time() - t0, 2)
+            sc.setJobGroup("idle", "idle")
+            results.setdefault(fam, {})[label] = {"wall_s": wall}
+            print(f"{fam} {label}: {wall}s", flush=True)
+        w1 = results[fam]["x1"]["wall_s"]
+        wN = results[fam][f"x{args.scale}"]["wall_s"]
+        import math
+
+        results[fam]["scaling_exponent"] = round(
+            math.log(max(wN, 1e-9) / max(w1, 1e-9)) / math.log(args.scale), 3
+        )
+
+    spark.stop()  # flush event log
+    metrics = parse_event_log(EVENT_DIR)
+    for fam in fams:
+        for label in ("x1", f"x{args.scale}"):
+            m = metrics.get(f"{fam}:{label}")
+            if m:
+                results[fam][label].update(m)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SOAK_10X.json"), "w") as f:
+        json.dump(results, f, indent=2, sort_keys=True)
+    print(json.dumps({k: v for k, v in results.items() if not k.startswith("_")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

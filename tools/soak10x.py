@@ -144,8 +144,25 @@ def fam_batch_apply(spark, docs, emb, sf_dir):
     latest_by_key(log).write.format("noop").mode("overwrite").save()
 
 
+def fam_stream_apply(spark, docs, emb, sf_dir):
+    import tempfile
+
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+    from databus_spark.streaming.applier import StreamingApplier
+    from databus_spark.streaming.source import changelog_stream, stage_changelog
+
+    tmp = tempfile.mkdtemp(prefix="soak_stream_")
+    olog = orders_changelog(spark, sf_dir)
+    stage_changelog(olog, f"{tmp}/stage", n_chunks=8)
+    applier = StreamingApplier(ParquetSnapshotStore(spark, f"{tmp}/snap"))
+    q = applier.run(changelog_stream(spark, f"{tmp}/stage", olog.schema), f"{tmp}/ck")
+    q.awaitTermination(1800)
+
+
 FAMILIES = {
     "minhash_clusters": fam_minhash_clusters,
+    "stream_apply": fam_stream_apply,
     "semdedup": fam_semdedup,
     "ann_ivfpq_build": fam_ann_ivfpq,
     "curation_v2": fam_curation,
@@ -161,9 +178,12 @@ def parse_event_log(event_dir: str) -> dict[str, dict]:
 
     stage_to_group: dict[int, str] = {}
     agg: dict[str, dict] = {}
-    for path in glob.glob(os.path.join(event_dir, "*")):
-        if os.path.isdir(path):
-            continue
+    paths = [
+        p
+        for p in glob.glob(os.path.join(event_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in paths:
         with open(path, errors="replace") as f:
             for line in f:
                 try:
@@ -211,6 +231,9 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVENT_DIR}",
+            # Spark 4 defaults to zstd event logs inside a rolling dir;
+            # plain JSON keeps the parser stdlib-only
+            "spark.eventLog.compress": "false",
         },
     )
     sc = spark.sparkContext
@@ -218,6 +241,16 @@ def main() -> None:
     t0 = time.time()
     build_soak_fixture(spark, args.scale)
     stage_s = round(time.time() - t0, 1)
+
+    # Warm-up: the first family otherwise pays Python-worker pool spawn
+    # + codegen JIT inside its x1 wall, skewing that family's exponent
+    # (observed: minhash x1 10.5s cold vs 7.9s at x10 — impossible
+    # physics unless warm-up cost is in the x1 number).
+    from pyspark.sql import functions as F
+
+    warm = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(256)
+    warm.select(F.pandas_udf(lambda s: s.str.len(), "int")(F.col("text"))).count()
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().count()
 
     def load(dirpath):
         return (

@@ -46,12 +46,12 @@ _WINDOW = [
     # (a) NEW this round — always first
     "sql_surface_window_stats",
     "bpe_learn_merges_batched",
+    "media_dhash_dedup",
+    "media_audio_fp_dedup",
     # (b) engine path changed in round 8
     "dedup_decision_log",
     "media_jpeg_probe",
-    "media_video_frames",
-    "media_features",
-    "media_png_resize",
+    "schema_evolution_decode",  # registry dim rebuilt as JVM LocalRelation
     "zorder_box_read",
     "jsonl_ingest_audit",
     # (c) staleness backlog — last external green r4
@@ -139,7 +139,9 @@ _REST = [
     "partition_spread_per_source",
     "null_rate_profile",
     "buffer_info",
-    "schema_evolution_decode",
+    "media_features",
+    "media_png_resize",
+    "media_video_frames",
     "event_metadata_extract",
     "avro_ocf_roundtrip",
     "avro_binary_decode",

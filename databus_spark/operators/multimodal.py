@@ -262,6 +262,82 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_audio_corpus(docs: DataFrame) -> DataFrame:
+    """Audio-fingerprint FIXTURE (the WAV sibling of synth_phash_corpus):
+    four variants per group g = doc_id // 4, v = doc_id % 4 of a 16-frame
+    (32 samples each) mono 16-bit WAV whose per-frame amplitude is the
+    closed form amp(f) = 200 + (g*37 + f*29) % 800. Variants v in
+    {0,1,2} apply a pure GAIN x(v+1) (energy-profile sign bits are
+    gain-invariant); v=3 bumps ONE frame (g % 16) by +500 — a local
+    edit moving at most the two adjacent fingerprint bits. Max sample
+    3000 < 32767: no int16 clipping anywhere."""
+    import io
+    import struct
+    import wave
+    from collections.abc import Iterator as _Iterator
+
+    def batches(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                g, v = int(d) // 4, int(d) % 4
+                gain = 1 if v == 3 else v + 1
+                frames = bytearray()
+                for f in range(16):
+                    amp = (200 + (g * 37 + f * 29) % 800) * gain
+                    if v == 3 and f == g % 16:
+                        amp += 500
+                    frames += struct.pack("<h", amp) * 32
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(bytes(frames))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(batches, "doc_id BIGINT, media BINARY")
+
+
+def audio_fingerprint(media_df: DataFrame, frame_len: int = 32) -> DataFrame:
+    """Arrow-batched REAL WAV decode -> 15-bit energy-profile
+    fingerprint: bit f is set iff frame f+1's energy (sum |sample|)
+    exceeds frame f's — the time-domain restatement of the
+    Haitsma-Kalker sign-of-band-energy-difference fingerprint, and like
+    it invariant to gain. Torn payloads quarantine (parse-layer
+    exceptions only, per the WAV contract in parse_media_meta)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(blob)), "rb") as wf:
+                        raw = wf.readframes(wf.getnframes())
+                except (wave.Error, EOFError):
+                    continue  # torn payload -> quarantine leg, like the probes
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n_frames = len(samples) // frame_len
+                if n_frames < 2:
+                    continue
+                energy = (
+                    np.abs(samples[: n_frames * frame_len])
+                    .reshape(n_frames, frame_len)
+                    .sum(axis=1)
+                )
+                bits = (energy[1:] > energy[:-1]).astype(np.int64)
+                fp = int((bits << np.arange(len(bits), dtype=np.int64)).sum())
+                rows.append({"doc_id": int(doc_id), "audio_fp": fp})
+            yield pd.DataFrame(rows, columns=["doc_id", "audio_fp"])
+
+    return media_df.mapInPandas(batches, "doc_id BIGINT, audio_fp BIGINT")
+
+
 def frame_sample(media_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' shape: emit one row per sampled offset of each
     payload (what video frame extraction looks like as a plan) — pure
@@ -499,6 +575,86 @@ def media_png_probe(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, PNG_PIXEL_SCHEMA)
+
+
+# -- Perceptual image hashing (dHash) over the real PNG codec ---------------
+# The image analog of text near-dup: a 64-pixel difference hash whose
+# bits are horizontal-gradient signs, so it is INVARIANT to constant
+# brightness shift (re-encodes, exposure tweaks) and moves only a few
+# bits under local pixel edits — the standard cheap image-dedup key in
+# crawl pipelines. 100 TB shape: the hash is computed map-side per
+# image (one mapInPandas over the binary column), dedup is one groupBy
+# on a 56-bit key — no pairwise comparison anywhere.
+
+
+def synth_phash_corpus(docs: DataFrame) -> DataFrame:
+    """Perceptual-dedup FIXTURE: four image variants per group
+    g = doc_id // 4, v = doc_id % 4 of a deterministic 8x8 gradient
+    base[r, c] = 40 + (g*11 + r*13 + c*7) % 140. Variants v in {0,1,2}
+    add a constant brightness +v (no uint8 wrap by construction:
+    max 40+139+2 < 255) — dHash-identical by design; v=3 bumps ONE
+    pixel at (g%8, g%7) by +60 — a local edit moving at most the two
+    adjacent gradient bits. Every pixel is a closed form of doc_id, so
+    the SQL oracle recomputes the same hash bit-for-bit while the Spark
+    side goes through REAL png_encode -> inflate -> defilter."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(8, dtype=np.int64).reshape(8, 1)
+        c = np.arange(8, dtype=np.int64).reshape(1, 8)
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                g, v = int(d) // 4, int(d) % 4
+                px = 40 + (g * 11 + r * 13 + c * 7) % 140
+                if v == 3:
+                    px = px.copy()
+                    px[g % 8, g % 7] += 60
+                else:
+                    px = px + v
+                blobs.append(png_encode(px.astype("uint8")))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+    return docs.select("doc_id").mapInPandas(batches, "doc_id BIGINT, media BINARY")
+
+
+def image_dhash(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode -> 56-bit difference hash: bit
+    b = r*7 + c is set iff p(r, c+1) > p(r, c). Undecodable payloads
+    quarantine (dropped here; production tees them like the JSONL
+    source). Output fits a BIGINT — the groupBy/dedup key."""
+    import numpy as np
+
+    weights = None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal weights
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    px = png_decode(bytes(blob))
+                except ValueError:
+                    continue
+                gray = px[:, :, 0].astype(np.int64)
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
+                if weights is None or len(weights) != len(bits):
+                    weights = np.int64(1) << np.arange(len(bits), dtype=np.int64)
+                rows.append({"doc_id": int(doc_id), "dhash": int((bits * weights).sum())})
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return media_df.mapInPandas(batches, "doc_id BIGINT, dhash BIGINT")
+
+
+def dhash_dedup_classes(hashed: DataFrame) -> DataFrame:
+    """Perceptual-dup classes: one row per distinct dHash with the
+    class size and canonical survivor (min doc_id) — the image
+    equivalent of exact_dedup's hash-groupBy, trivially scale-safe."""
+    return hashed.groupBy("dhash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("doc_min"),
+        F.max("doc_id").alias("doc_max"),
+    )
 
 
 # -- REAL baseline JPEG codec (pure stdlib + numpy, ITU T.81) ---------------

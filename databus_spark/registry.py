@@ -2461,6 +2461,105 @@ def media_png_resize_q_sql() -> str:
     """
 
 
+@query(
+    "media_dhash_dedup",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               40 + ((doc_id // 4) * 11 + (i // 8) * 13 + (i % 8) * 7) % 140
+               + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 4 END
+               + CASE WHEN doc_id % 4 = 3
+                       AND (i // 8) = (doc_id // 4) % 8
+                       AND (i % 8) = (doc_id // 4) % 7
+                      THEN 60 ELSE 0 END) AS p
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 56), b ->
+               CASE WHEN p[(b // 7) * 8 + (b % 7) + 2] > p[(b // 7) * 8 + (b % 7) + 1]
+                    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+                  AS BIGINT) AS dhash
+      FROM px
+    )
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS doc_min, max(doc_id) AS doc_max
+    FROM h GROUP BY dhash
+    """,
+)
+def media_dhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup driver-checked end-to-end: a 4-variant
+    fixture corpus (brightness-shifted + one locally-edited variant per
+    group) is PNG-encoded, decoded back by the REAL inflate + defilter,
+    difference-hashed (56 gradient-sign bits), and grouped into
+    perceptual-dup classes — the image analog of exact_dedup, with the
+    oracle recomputing every hash bit from the closed-form pixels.
+    Brightness invariance (v0/v1/v2 collide; v3 moves <= 2 bits) is
+    pinned by test_multimodal_codecs."""
+    from databus_spark.operators.multimodal import (
+        dhash_dedup_classes,
+        image_dhash,
+        synth_phash_corpus,
+    )
+
+    media = synth_phash_corpus(load_table(spark, sf_dir, "documents"))
+    return dhash_dedup_classes(image_dhash(media))
+
+
+@query(
+    "media_audio_fp_dedup",
+    """
+    WITH amp AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), f ->
+               (200 + ((doc_id // 4) * 37 + f * 29) % 800)
+               * CASE WHEN doc_id % 4 = 3 THEN 1 ELSE doc_id % 4 + 1 END
+               + CASE WHEN doc_id % 4 = 3 AND f = (doc_id // 4) % 16
+                      THEN 500 ELSE 0 END) AS a
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 15), f ->
+               CASE WHEN a[f + 2] > a[f + 1]
+                    THEN CAST(1 AS BIGINT) << f ELSE CAST(0 AS BIGINT) END))
+                  AS BIGINT) AS audio_fp
+      FROM amp
+    )
+    SELECT audio_fp, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS doc_min, max(doc_id) AS doc_max
+    FROM fp GROUP BY audio_fp
+    """,
+)
+def media_audio_fp_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup driver-checked end-to-end: the 4-variant
+    WAV corpus (gain-scaled + one frame-bumped variant per group) is
+    decoded by the REAL stdlib wave reader, energy-profile
+    fingerprinted (15 sign-of-frame-energy-difference bits — the
+    time-domain Haitsma-Kalker shape, gain-invariant), and grouped into
+    dup classes by one hash-groupBy; the oracle recomputes every bit
+    from the closed-form per-frame amplitudes (constant amplitude
+    within a frame makes energy ordering equal amplitude ordering).
+    Gain invariance (v0/v1/v2 collide; v3 moves <= 2 bits) is pinned by
+    test_multimodal_codecs."""
+    from databus_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio_corpus,
+    )
+
+    media = synth_audio_corpus(load_table(spark, sf_dir, "documents"))
+    return (
+        audio_fingerprint(media)
+        .groupBy("audio_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+        )
+    )
+
+
 @query("media_png_resize", media_png_resize_q_sql())
 def media_png_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal RESIZE step driver-checked on REAL pixels: the

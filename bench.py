@@ -113,9 +113,11 @@ def main() -> None:
         # FAISS build-once shape); stage it untimed so the first PQ
         # query in rotation doesn't absorb the corpus encode
         "ann_pq_topk",
-        # the AVI corpus is a staged binary fixture: the measured path
-        # is demux + per-frame decode, not fixture encoding
+        # the AVI/PNG/WAV corpora are staged binary fixtures: the
+        # measured path is scan + decode + hash, not fixture encoding
         "media_video_frames",
+        "media_dhash_dedup",
+        "media_audio_fp_dedup",
         # the cluster family shares one staged LSH candidate-pair index
         # (dedup_minhash_lsh itself stays unstaged so pair-generation
         # cost remains a visible row)

@@ -494,6 +494,81 @@ def simhash_sql() -> str:
     """
 
 
+def hash_band_layout(n_bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per band: max_hamming+1 contiguous bands covering
+    all n_bits (last band absorbs the remainder). Pigeonhole: a pair
+    within distance d has >= one band with no differing bit, i.e. an
+    exact band match — so banded blocking has PERFECT recall at <= d."""
+    n_bands = max_hamming + 1
+    width = n_bits // n_bands
+    layout = [(b * width, width) for b in range(n_bands - 1)]
+    layout.append(((n_bands - 1) * width, n_bits - (n_bands - 1) * width))
+    return layout
+
+
+def bithash_near_pairs(
+    sig: DataFrame, hash_col: str, n_bits: int, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by hamming distance over ANY integer bit-hash
+    column (SimHash, image dHash, audio fingerprints...): band-blocked
+    posting lists with the MAX_BAND_DOCS cap, hamming computed inline
+    from the carried hashes — the generic restatement of
+    simhash_near_pairs, zero joins, no quadratic buckets."""
+    sig = sig.select(F.col("doc_id"), F.col(hash_col).alias("_h")).localCheckpoint(
+        eager=False
+    )
+    bands = []
+    for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming)):
+        key = F.shiftright(F.col("_h"), off).bitwiseAND(F.lit((1 << width) - 1))
+        bands.append(
+            sig.select("doc_id", "_h", F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    postings = (
+        banded.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(F.struct(F.col("doc_id"), F.col("_h")))).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= MAX_BAND_DOCS))
+    )
+    pairs = _posting_pairs(
+        postings,
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["_h"].bitwiseXOR(y["_h"])).alias("hamming"),
+        ),
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+def bithash_near_pairs_sql(
+    sig_cte: str, hash_col: str, n_bits: int, max_hamming: int = 2
+) -> str:
+    """DuckDB restatement of bithash_near_pairs over a signature CTE
+    producing (doc_id, {hash_col})."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {hash_col} AS _h, {b} AS band, "
+        f"({hash_col} >> {off}) & {(1 << width) - 1} AS band_key FROM sig"
+        for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming))
+    )
+    return f"""
+        WITH sig AS ({sig_cte}),
+        banded AS ({band_rows}),
+        ok_buckets AS (
+            SELECT band, band_key FROM banded
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_BAND_DOCS}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a._h, b._h)) AS INT) AS hamming
+        FROM banded a
+        JOIN ok_buckets ok ON ok.band = a.band AND ok.band_key = a.band_key
+        JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a._h, b._h)) <= {max_hamming}
+    """
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on half-word
     bands (a pair within distance d must agree on >= one of d+1 bands).

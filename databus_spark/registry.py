@@ -2461,9 +2461,29 @@ def media_png_resize_q_sql() -> str:
     """
 
 
-@query(
-    "media_dhash_dedup",
-    """
+def _staged_media_corpus(
+    spark: SparkSession, sf_dir: str, prefix: str, synth, version: str
+) -> DataFrame:
+    """Media fixture corpora are STAGED binary parquet (the AVI
+    precedent): an image/audio pipeline's input is stored payloads, so
+    the measured path is scan -> decode -> hash, not per-query
+    re-encoding of the fixture. Content-fingerprinted + code-version
+    stamped via the shared staging protocol."""
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(docs, "doc_id")
+
+    def build(d: str) -> None:
+        synth(docs).write.parquet(os.path.join(d, "media"))
+
+    art = _staged_artifact(prefix, sf_dir, fingerprint, build, version=version)
+    return spark.read.parquet(os.path.join(art, "media"))
+
+
+# closed-form dHash of the synth_phash_corpus fixture: the SQL twin of
+# png_decode + image_dhash over pixels p(r,c) = 40 + (g*11+r*13+c*7)%140
+# (+v brightness / +60 local edit for v=3); reused by the dedup-class
+# and near-pair oracles.
+_DHASH_SIG_SQL = """
     WITH px AS (
       SELECT doc_id,
              list_transform(range(0, 64), i ->
@@ -2474,15 +2494,20 @@ def media_png_resize_q_sql() -> str:
                        AND (i % 8) = (doc_id // 4) % 7
                       THEN 60 ELSE 0 END) AS p
       FROM documents
-    ),
-    h AS (
-      SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 56), b ->
-               CASE WHEN p[(b // 7) * 8 + (b % 7) + 2] > p[(b // 7) * 8 + (b % 7) + 1]
-                    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
-                  AS BIGINT) AS dhash
-      FROM px
     )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 56), b ->
+             CASE WHEN p[(b // 7) * 8 + (b % 7) + 2] > p[(b // 7) * 8 + (b % 7) + 1]
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+                AS BIGINT) AS dhash
+    FROM px
+"""
+
+
+@query(
+    "media_dhash_dedup",
+    f"""
+    WITH h AS ({_DHASH_SIG_SQL})
     SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS doc_min, max(doc_id) AS doc_max
     FROM h GROUP BY dhash
@@ -2503,8 +2528,65 @@ def media_dhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_phash_corpus,
     )
 
-    media = synth_phash_corpus(load_table(spark, sf_dir, "documents"))
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    )
     return dhash_dedup_classes(image_dhash(media))
+
+
+def _media_dhash_near_pairs_sql() -> str:
+    from databus_spark.operators.dedup import bithash_near_pairs_sql
+
+    return bithash_near_pairs_sql(_DHASH_SIG_SQL, "dhash", 56, max_hamming=2)
+
+
+@query("media_dhash_near_pairs", _media_dhash_near_pairs_sql())
+def media_dhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs: real decode -> dHash -> the generic
+    band-blocked hamming pair generator (bithash_near_pairs — the same
+    machinery behind simhash_near_pairs, so banding recall, the
+    MAX_BAND_DOCS cap, and the zero-join posting-list plan are shared).
+    At hamming <= 2 with 3 bands recall is exact by pigeonhole, which
+    is what lets the edited v3 variants rejoin their brightness
+    triple's class. Oracle replicates band layout, cap, and inline
+    hamming bit-for-bit."""
+    from databus_spark.operators.dedup import bithash_near_pairs
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
+
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    )
+    return bithash_near_pairs(image_dhash(media), "dhash", 56, max_hamming=2)
+
+
+def _media_dhash_clusters_sql() -> str:
+    from databus_spark.operators.dedup import (
+        bithash_near_pairs_sql,
+        dedup_clusters_sql,
+    )
+
+    return dedup_clusters_sql(
+        bithash_near_pairs_sql(_DHASH_SIG_SQL, "dhash", 56, max_hamming=2)
+    )
+
+
+@query("media_dhash_clusters", _media_dhash_clusters_sql())
+def media_dhash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image dedup pipeline COMPLETED to survivors: decode -> dHash
+    -> banded hamming pairs -> connected components (alternating
+    large-star/small-star, the O(log diameter) scale path shared with
+    the text cluster family) -> survivor = min doc_id per component.
+    Oracle: recursive-CTE transitive closure over the same closed-form
+    pair set — the full image near-dup story a crawl pipeline runs,
+    checked end to end."""
+    from databus_spark.operators.dedup import bithash_near_pairs, dedup_clusters_star
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
+
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    )
+    pairs = bithash_near_pairs(image_dhash(media), "dhash", 56, max_hamming=2)
+    return dedup_clusters_star(pairs)
 
 
 @query(
@@ -2548,7 +2630,9 @@ def media_audio_fp_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_audio_corpus,
     )
 
-    media = synth_audio_corpus(load_table(spark, sf_dir, "documents"))
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_audiofp", synth_audio_corpus, "audiofp-v1"
+    )
     return (
         audio_fingerprint(media)
         .groupBy("audio_fp")

@@ -161,3 +161,36 @@ def test_decision_log_consistent_with_survivor_corpus(spark, sf_dir):
             # dropped row points at is always kept, no chain-chasing
             assert dl[s]["decision"] == "keep"
             assert s < d  # resolution only ever walks down doc_ids
+
+
+def test_bithash_near_pairs_pigeonhole_recall(spark):
+    """The generic banded hamming pair-gen: every pair within
+    max_hamming is found (pigeonhole — d differing bits can't touch
+    all d+1 bands), pairs beyond it are filtered, hamming is exact."""
+    from databus_spark.operators.dedup import bithash_near_pairs, hash_band_layout
+
+    # layout partitions all bits
+    for n_bits, d in ((56, 2), (64, 3), (32, 1)):
+        layout = hash_band_layout(n_bits, d)
+        assert sum(w for _, w in layout) == n_bits
+        assert len(layout) == d + 1
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+
+    base = 0x00F0F0F0F0F0F0
+    rows = [
+        (0, base),
+        (1, base ^ 0b11),            # d=2 in band 0
+        (2, base ^ (1 << 20) ^ (1 << 40)),  # d=2 spread over two bands
+        (3, base ^ (1 << 54) ^ (1 << 55)),  # d=2 in the tail remainder
+        (4, base ^ (1 << 5) ^ (1 << 25) ^ (1 << 45)),  # d=3: beyond threshold
+        (5, base),                   # exact dup
+    ]
+    sig = spark.createDataFrame(rows, "doc_id BIGINT, h BIGINT")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in bithash_near_pairs(sig, "h", 56, max_hamming=2).collect()
+    }
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 2 and got[(0, 3)] == 2
+    assert got[(0, 5)] == 0 and got[(1, 5)] == 2
+    assert not any(4 in p for p in got)

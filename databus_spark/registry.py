@@ -2609,6 +2609,78 @@ def _staged_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(idx_dir, "pairs"))
 
 
+def _media_dhash_incremental_sql() -> str:
+    from databus_spark.operators.dedup import MAX_BAND_DOCS, bithash_bands_sql
+
+    bb = bithash_bands_sql("base", "dhash", 56, 2, "base_doc")
+    ib = bithash_bands_sql("delta", "dhash", 56, 2, "in_doc")
+    return f"""
+    WITH sig AS ({_DHASH_SIG_SQL}),
+    base AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+    delta AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+    bb AS ({bb}),
+    ok AS (
+        SELECT band, band_key FROM bb
+        GROUP BY 1, 2 HAVING count(*) <= {MAX_BAND_DOCS}
+    ),
+    ib AS ({ib}),
+    cand AS (
+        SELECT DISTINCT ib.in_doc, ib.in_doc_h, bb.base_doc, bb.base_doc_h
+        FROM ib
+        JOIN ok USING (band, band_key)
+        JOIN bb USING (band, band_key)
+    ),
+    m AS (
+        SELECT in_doc,
+               min((CAST(bit_count(xor(in_doc_h, base_doc_h)) AS BIGINT) << 40)
+                   + base_doc) AS k
+        FROM cand
+        WHERE bit_count(xor(in_doc_h, base_doc_h)) <= 2
+        GROUP BY in_doc
+    )
+    SELECT d.doc_id,
+           (m.k & {(1 << 40) - 1}) AS matched_base,
+           CAST(m.k >> 40 AS INT) AS best_hamming,
+           m.k IS NULL AS is_new
+    FROM delta d LEFT JOIN m ON d.doc_id = m.in_doc
+    """
+
+
+@query("media_dhash_incremental", _media_dhash_incremental_sql())
+def media_dhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-crawl image ingestion: the delta batch (doc_id % 5 = 0)
+    is decoded + dHashed and probes the STAGED base band index (built
+    once at ingest — the base corpus is never re-decoded or re-hashed),
+    returning the best base match within hamming 2 or is_new. Ranking
+    key (hamming << 40 | base_id) makes the Spark min and the SQL
+    oracle's min bit-identical. The image twin of
+    dedup_incremental_near's delta-probes-index shape."""
+    from databus_spark.operators.dedup import (
+        bithash_bands,
+        incremental_bithash_dedup,
+    )
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
+
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(docs, "doc_id")
+
+    def build(d: str) -> None:
+        base_hash = image_dhash(media.where(F.col("doc_id") % 5 != 0))
+        bithash_bands(base_hash, "dhash", 56, 2, "base_doc").write.parquet(
+            os.path.join(d, "bands")
+        )
+
+    idx_dir = _staged_artifact(
+        "databus_dhashidx", sf_dir, fingerprint, build, version="dh-idx-v1"
+    )
+    base_bands = spark.read.parquet(os.path.join(idx_dir, "bands"))
+    delta_hash = image_dhash(media.where(F.col("doc_id") % 5 == 0))
+    return incremental_bithash_dedup(delta_hash, base_bands, 56)
+
+
 @query(
     "media_audio_fp_dedup",
     """

@@ -542,3 +542,33 @@ def test_audio_fingerprint_gain_invariance(spark):
         ]
         ref = sum(1 << f for f in range(15) if amps[f + 1] > amps[f])
         assert got[d] == ref, d
+
+
+def test_media_dhash_incremental_matches_sibling(spark, tmp_path):
+    """A delta image whose brightness sibling sits in the base index
+    matches it at hamming 0 with the lowest-id tiebreak."""
+    from databus_spark.operators.dedup import (
+        bithash_bands,
+        incremental_bithash_dedup,
+    )
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
+
+    docs = spark.range(48).withColumnRenamed("id", "doc_id")
+    from pyspark.sql import functions as F
+
+    media = synth_phash_corpus(docs)
+    base = image_dhash(media.where(F.col("doc_id") % 5 != 0))
+    delta = image_dhash(media.where(F.col("doc_id") % 5 == 0))
+    out = {
+        r["doc_id"]: r
+        for r in incremental_bithash_dedup(
+            delta, bithash_bands(base, "dhash", 56, 2, "base_doc"), 56
+        ).collect()
+    }
+    # doc 20 = group 5 variant 0; siblings 21/22 (identical hash) are in
+    # base -> best match is the LOWEST id at hamming 0
+    assert out[20]["matched_base"] == 21
+    assert out[20]["best_hamming"] == 0 and not out[20]["is_new"]
+    # every delta doc has its brightness triple partially in base at
+    # this size -> nothing is_new, and hamming never exceeds the bound
+    assert all(not r["is_new"] and r["best_hamming"] <= 2 for r in out.values())

@@ -2473,9 +2473,17 @@ def _staged_media_corpus(
     fingerprint = _content_fingerprint(docs, "doc_id")
 
     def build(d: str) -> None:
-        synth(docs).write.parquet(os.path.join(d, "media"))
+        # repartition BEFORE the write: documents.parquet is one small
+        # file at test SFs, and without this the staged corpus inherits
+        # that single partition — every downstream decode then runs on
+        # ONE task (found by the 10x soak: x1 media walls EXCEEDED x10
+        # because only the 10x fixture happened to be written 32-wide)
+        n = spark.sparkContext.defaultParallelism
+        synth(docs.repartition(n)).write.parquet(os.path.join(d, "media"))
 
-    art = _staged_artifact(prefix, sf_dir, fingerprint, build, version=version)
+    art = _staged_artifact(
+        prefix, sf_dir, fingerprint, build, version=version + "+rp32"
+    )
     return spark.read.parquet(os.path.join(art, "media"))
 
 

@@ -305,3 +305,34 @@ def test_jpeg_roundtrip_envelope_property(seed, hb, wb):
     out = jpeg_decode(jpeg_encode(img))
     assert out.shape == img.shape
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=(1 << 56) - 1),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    ),
+    max_hamming=st.integers(min_value=1, max_value=3),
+)
+def test_bithash_near_pairs_matches_bruteforce(spark, hashes, max_hamming):
+    """Banded pair-gen == brute force all-pairs at <= max_hamming for
+    any hash set small enough that no band bucket hits the cap
+    (pigeonhole recall is exact, the hamming filter is exact)."""
+    from databus_spark.operators.dedup import bithash_near_pairs
+
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    sig = spark.createDataFrame(rows, "doc_id BIGINT, h BIGINT")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in bithash_near_pairs(sig, "h", 56, max_hamming).collect()
+    }
+    want = {
+        (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if bin(hashes[i] ^ hashes[j]).count("1") <= max_hamming
+    }
+    assert got == want

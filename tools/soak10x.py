@@ -160,8 +160,45 @@ def fam_stream_apply(spark, docs, emb, sf_dir):
     q.awaitTermination(1800)
 
 
+def fam_media_dhash(spark, docs, emb, sf_dir):
+    """The Python-codec path at scale: staged PNG corpus -> real decode
+    -> dHash -> exact perceptual classes (one bounded groupBy). Decode
+    is map-side Arrow-batched work, so the expected exponent is
+    ~linear on fixed cores — the honest cost of media at 10x,
+    parallelizable by adding executors. (The banded PAIR stage is
+    deliberately excluded here: the synthetic corpus collapses to ~140
+    hash classes, so at 10x every band bucket trips MAX_BAND_DOCS and
+    the measurement becomes cap behavior, not codec scaling.)"""
+    from databus_spark.operators.multimodal import (
+        dhash_dedup_classes,
+        image_dhash,
+        synth_phash_corpus,
+    )
+    from databus_spark.registry import _staged_media_corpus
+
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    )
+    dhash_dedup_classes(image_dhash(media)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def _prestage_media(spark, docs, emb, sf_dir):
+    from databus_spark.operators.multimodal import synth_phash_corpus
+    from databus_spark.registry import _staged_media_corpus
+
+    _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+    )
+
+
+fam_media_dhash.prestage = _prestage_media
+
+
 FAMILIES = {
     "minhash_clusters": fam_minhash_clusters,
+    "media_dhash": fam_media_dhash,
     "stream_apply": fam_stream_apply,
     "semdedup": fam_semdedup,
     "ann_ivfpq_build": fam_ann_ivfpq,
@@ -217,6 +254,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default=",".join(FAMILIES))
     ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument(
+        "--repeats", type=int, default=1,
+        help="min-of-N wall per leg: sub-second family walls make "
+             "single-shot exponents noise-dominated on a shared host",
+    )
     args = ap.parse_args()
     fams = [f for f in args.families.split(",") if f in FAMILIES]
 
@@ -264,11 +306,15 @@ def main() -> None:
         for label, dirpath in (("x1", SF_DIR), (f"x{args.scale}", SOAK_DIR)):
             docs, emb = load(dirpath)
             spark.catalog.clearCache()
+            # one-time fixture staging stays OUT of the timed wall
+            getattr(fn, "prestage", lambda *a: None)(spark, docs, emb, dirpath)
             group = f"{fam}:{label}"
             sc.setJobGroup(group, group)
-            t0 = time.time()
-            fn(spark, docs, emb, dirpath)
-            wall = round(time.time() - t0, 2)
+            wall = float("inf")
+            for _rep in range(args.repeats):
+                t0 = time.time()
+                fn(spark, docs, emb, dirpath)
+                wall = min(wall, round(time.time() - t0, 2))
             sc.setJobGroup("idle", "idle")
             results.setdefault(fam, {})[label] = {"wall_s": wall}
             print(f"{fam} {label}: {wall}s", flush=True)

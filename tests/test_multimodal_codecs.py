@@ -458,7 +458,8 @@ def test_dhash_brightness_invariance_and_local_edit():
     r = np.arange(8, dtype=np.int64).reshape(8, 1)
     c = np.arange(8, dtype=np.int64).reshape(1, 8)
     for g in (0, 7, 139, 140, 1234):
-        base = 40 + (g * 11 + r * 13 + c * 7) % 140
+        b = (g * 8191 + r * 8 + c + 1) % 999983
+        base = 40 + (b * b % 999983) % 140
         hashes = []
         for v in range(4):
             px = base.copy()
@@ -493,7 +494,8 @@ def test_image_dhash_spark_matches_reference(spark):
     cc = np.arange(8, dtype=np.int64).reshape(1, 8)
     for d, h in got.items():
         g, v = d // 4, d % 4
-        px = 40 + (g * 11 + rr * 13 + cc * 7) % 140
+        b = (g * 8191 + rr * 8 + cc + 1) % 999983
+        px = 40 + (b * b % 999983) % 140
         if v == 3:
             px = px.copy()
             px[g % 8, g % 7] += 60

@@ -162,26 +162,21 @@ def fam_stream_apply(spark, docs, emb, sf_dir):
 
 def fam_media_dhash(spark, docs, emb, sf_dir):
     """The Python-codec path at scale: staged PNG corpus -> real decode
-    -> dHash -> exact perceptual classes (one bounded groupBy). Decode
-    is map-side Arrow-batched work, so the expected exponent is
-    ~linear on fixed cores — the honest cost of media at 10x,
-    parallelizable by adding executors. (The banded PAIR stage is
-    deliberately excluded here: the synthetic corpus collapses to ~140
-    hash classes, so at 10x every band bucket trips MAX_BAND_DOCS and
-    the measurement becomes cap behavior, not codec scaling.)"""
-    from databus_spark.operators.multimodal import (
-        dhash_dedup_classes,
-        image_dhash,
-        synth_phash_corpus,
-    )
+    -> dHash -> banded hamming near pairs. Decode is map-side
+    Arrow-batched work and the v4 fixture's per-group pseudo-random
+    hashes keep band buckets tiny at any SF (ramp-phase fixtures collapse to
+    140 classes and trip MAX_BAND_DOCS at 10x), so this measures
+    codec + pair-gen scaling, parallelizable by adding executors."""
+    from databus_spark.operators.dedup import bithash_near_pairs
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
     from databus_spark.registry import _staged_media_corpus
 
     media = _staged_media_corpus(
-        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
     )
-    dhash_dedup_classes(image_dhash(media)).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    bithash_near_pairs(image_dhash(media), "dhash", 56, 2).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def _prestage_media(spark, docs, emb, sf_dir):
@@ -189,7 +184,7 @@ def _prestage_media(spark, docs, emb, sf_dir):
     from databus_spark.registry import _staged_media_corpus
 
     _staged_media_corpus(
-        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v1"
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
     )
 
 
@@ -332,6 +327,10 @@ def main() -> None:
         for label in ("x1", f"x{args.scale}"):
             m = metrics.get(f"{fam}:{label}")
             if m:
+                # additive counters accumulate across --repeats; report
+                # per-run (the min-wall run's job is identical each time)
+                for k in ("shuffle_read_b", "shuffle_write_b", "spill_b", "n_tasks"):
+                    m[k] = m[k] // args.repeats
                 results[fam][label].update(m)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

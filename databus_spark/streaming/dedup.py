@@ -38,12 +38,20 @@ class StreamingExactDeduper:
         out_dir: str,
         text_col: str = "text",
         id_col: str = "doc_id",
+        hash_fn=None,
     ) -> None:
+        """``hash_fn`` — optional DataFrame -> DataFrame stage producing a
+        ``content_hash`` column, replacing the default md5(text). This is
+        how PERCEPTUAL streaming ingest composes: pass a decode->dHash
+        stage (e.g. multimodal.image_dhash renamed) and arriving media
+        batches are gated first-seen-wins by perceptual identity across
+        all prior batches and runs — the image twin of the text gate."""
         self.spark = spark
         self.index_dir = index_dir
         self.out_dir = out_dir
         self.text_col = text_col
         self.id_col = id_col
+        self.hash_fn = hash_fn
         self.batches = 0
 
     def _index(self) -> DataFrame | None:
@@ -56,7 +64,10 @@ class StreamingExactDeduper:
         return self.spark.read.parquet(self.index_dir)
 
     def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
-        hashed = batch.withColumn("content_hash", F.md5(F.col(self.text_col)))
+        if self.hash_fn is not None:
+            hashed = self.hash_fn(batch)
+        else:
+            hashed = batch.withColumn("content_hash", F.md5(F.col(self.text_col)))
         # 1. in-batch: first (min id) doc per hash, whole row carried by min_by
         other = [c for c in hashed.columns if c != "content_hash"]
         survivors = (

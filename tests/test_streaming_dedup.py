@@ -116,3 +116,54 @@ def test_streaming_dedup_crash_between_emit_and_index(spark, sf_dir, tmp_path):
     # a THIRD delivery of the same content is fully absorbed by the index
     dd.process_batch(docs)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 2 * n_distinct
+
+
+def test_streaming_perceptual_image_dedup(spark, tmp_path):
+    """The PERCEPTUAL streaming ingest gate: media batches arrive as a
+    file stream, each batch is decoded + dHashed inside foreachBatch,
+    and a doc is admitted only if its perceptual hash was never seen —
+    across batches. Brightness variants of an already-admitted image
+    are rejected (same dHash); genuinely new groups land."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
+    from databus_spark.streaming.dedup import StreamingExactDeduper
+
+    docs = spark.range(24).withColumnRenamed("id", "doc_id")
+    media = synth_phash_corpus(docs)  # groups 0-5, 4 variants each
+    # batch 1: variant 0 of every group; batch 2: ALL variants (the
+    # brightness triples now collide with batch-1 admissions)
+    stage = tmp_path / "stage"
+    media.where(F.col("doc_id") % 4 == 0).coalesce(1).write.parquet(
+        str(stage / "b=1")
+    )
+    media.coalesce(1).write.parquet(str(stage / "b=2"))
+
+    def media_hash(batch):
+        hashed = image_dhash(batch).withColumnRenamed("dhash", "content_hash")
+        return batch.join(hashed, "doc_id")
+
+    dedup = StreamingExactDeduper(
+        spark,
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        id_col="doc_id",
+        hash_fn=media_hash,
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, media BINARY")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    q = dedup.run(stream, str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # one admission per perceptual class: v0 per group (first seen) +
+    # each group's v3 edited variant (distinct hash) — never v1/v2
+    assert all(d % 4 in (0, 3) for d in got), got
+    base = [d for d in got if d % 4 == 0]
+    assert sorted(base) == [4 * g for g in range(6)]
+    # idempotence of the gate: admitted hashes are unique
+    assert out.count() == out.select("doc_id").distinct().count()

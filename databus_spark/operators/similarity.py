@@ -1038,6 +1038,7 @@ def semdedup_survivors(
     threshold: float = SEM_THRESHOLD,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int = SEM_CELLS,
 ) -> DataFrame:
     """(vec_id, cell_id, cluster_id, is_survivor) for EVERY corpus
     vector: vectors whose cosine >= threshold within their cell are
@@ -1047,10 +1048,17 @@ def semdedup_survivors(
     Pair scoring precomputes each vector's norm ONCE (one fold per
     vector instead of two extra folds per PAIR): sim = dot/(na*nb) is
     the same IEEE expression the inline cosine evaluates, so the
-    oracle's inline form stays bit-identical."""
+    oracle's inline form stays bit-identical.
+
+    ``n_cells`` — the 100 TB knob: cells must scale with corpus size
+    (cells ~ N / target_cell_size) or every cell outgrows
+    MAX_BUCKET_VECS and the cap silently drops ALL pair work (found by
+    the 100x soak: x100 "finished" 3x faster than x10 because zero
+    cells survived the cap). The default stays SEM_CELLS for oracle
+    parity at test SFs."""
     from databus_spark.operators.dedup import dedup_clusters
 
-    cent = _ivf_centroids(emb, id_col, vec_col, n_cells=SEM_CELLS)
+    cent = _ivf_centroids(emb, id_col, vec_col, n_cells=n_cells)
     # lazy checkpoint: `assigned` feeds FOUR consumers (ok-cells agg,
     # pair sides a and b, the final corpus join) — without it the
     # centroid crossJoin + max_by assignment recomputes per consumer,

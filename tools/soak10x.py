@@ -15,7 +15,7 @@ copies would instead hand every doc 9 exact dups and blow every cluster
 up 10x, measuring a workload that does not exist at scale.
 
 Usage: python tools/soak10x.py [--families f1,f2] [--scale 10]
-Writes SOAK_10X.json at the repo root.
+Writes SOAK_{scale}X.json at the repo root.
 """
 
 from __future__ import annotations
@@ -110,7 +110,15 @@ def fam_minhash_clusters(spark, docs, emb, sf_dir):
 def fam_semdedup(spark, docs, emb, sf_dir):
     from databus_spark.operators import similarity
 
-    similarity.semdedup_survivors(emb).write.format("noop").mode("overwrite").save()
+    # cells scale with the corpus (target ~1.5k vectors/cell): at fixed
+    # SEM_CELLS the 100x corpus outgrows MAX_BUCKET_VECS in EVERY cell
+    # and the cap silently drops all pair work — "fast" but measuring
+    # nothing. This knob is exactly what a 100 TB deployment tunes.
+    n = emb.count()
+    cells = max(similarity.SEM_CELLS, n // 1500)
+    similarity.semdedup_survivors(emb, n_cells=cells).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def fam_ann_ivfpq(spark, docs, emb, sf_dir):
@@ -334,7 +342,7 @@ def main() -> None:
                 results[fam][label].update(m)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SOAK_10X.json"), "w") as f:
+    with open(os.path.join(here, f"SOAK_{args.scale}X.json"), "w") as f:
         json.dump(results, f, indent=2, sort_keys=True)
     print(json.dumps({k: v for k, v in results.items() if not k.startswith("_")}, indent=2))
 

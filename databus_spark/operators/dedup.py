@@ -611,6 +611,12 @@ def incremental_bithash_dedup(
     every pair generator's cap. Ranking uses one scalar key
     (hamming << 40 | base_id) so the Spark min and the SQL oracle's min
     are bit-identical."""
+    # barrier: incoming_sig feeds FOUR consumers (3 band projections +
+    # the final left join) — when it carries per-row Python work (the
+    # media decode->hash stage) each branch would re-run it (the
+    # codified localCheckpoint rule; caught by the plan guard showing
+    # 4 MapInPandas stages for one delta batch)
+    incoming_sig = incoming_sig.localCheckpoint(eager=False)
     ok = (
         base_bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -244,3 +244,19 @@ def test_media_dhash_dedup_single_shuffle(spark, sf_dir):
     plan = _plan(spark, "media_dhash_dedup", sf_dir)
     assert plan.count("Exchange") <= 1, plan[:1200]
     assert "partial_count" in plan or "partial_min" in plan, plan[:1200]
+
+
+def test_media_dhash_incremental_probes_index_not_base(spark, sf_dir):
+    """The rolling-ingestion invariant: the delta probe plan contains
+    exactly ONE Python decode stage (the delta batch) — the base corpus
+    is served from the materialized band-index parquet, never
+    re-decoded or re-hashed."""
+    plan = _plan(spark, "media_dhash_incremental", sf_dir)
+    # the delta decode sits behind a localCheckpoint barrier, so the
+    # main plan shows the checkpointed scan (ExistingRDD), not 4 decode
+    # branches; without the barrier this count was 4 (one per band
+    # projection + the final join — each re-running the Python codec)
+    n_py = plan.count("MapInPandas")
+    assert n_py <= 1, f"delta decode fans out {n_py}x:\n{plan[:1200]}"
+    assert "FileScan parquet" in plan  # the staged band index
+    assert "ExistingRDD" in plan  # the barrier is in place

@@ -106,6 +106,7 @@ _WINDOW = [
 _REST = [
     "media_dhash_clusters",  # new, but its star machinery is r7-green
     "media_dhash_incremental",  # new; probe machinery mirrors dedup_incremental_near (r7-green)
+    "media_audio_near_pairs",  # new; same bithash machinery the window checks via media_dhash_near_pairs
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",

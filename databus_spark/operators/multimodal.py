@@ -262,15 +262,24 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FRAMES = 64  # 63 fingerprint bits: enough resolution to BAND
+AUDIO_FRAME_LEN = 8
+
+
 def synth_audio_corpus(docs: DataFrame) -> DataFrame:
     """Audio-fingerprint FIXTURE (the WAV sibling of synth_phash_corpus):
-    four variants per group g = doc_id // 4, v = doc_id % 4 of a 16-frame
-    (32 samples each) mono 16-bit WAV whose per-frame amplitude is the
-    closed form amp(f) = 200 + (g*37 + f*29) % 800. Variants v in
-    {0,1,2} apply a pure GAIN x(v+1) (energy-profile sign bits are
-    gain-invariant); v=3 bumps ONE frame (g % 16) by +500 — a local
-    edit moving at most the two adjacent fingerprint bits. Max sample
-    3000 < 32767: no int16 clipping anywhere."""
+    four variants per group g = doc_id // 4, v = doc_id % 4 of a
+    64-frame (8 samples each) mono 16-bit WAV whose per-frame amplitude
+    is amp(f) = (200 + (b*b % 999983) % 800) with
+    b = (g*8191 + f + 1) % 999983 — the same quadratic scramble the
+    phash corpus uses (affine patterns collapse to a ramp family; the
+    square makes per-group fingerprints sparse in 2^63, so band
+    buckets stay tiny at any SF and the GENERIC bithash machinery —
+    near pairs, clusters, incremental — applies to audio unchanged).
+    Variants v in {0,1,2} apply a pure GAIN x(v+1) (energy-profile
+    sign bits are gain-invariant); v=3 bumps ONE frame (g % 64) by
+    +500 — a local edit moving at most the two adjacent fingerprint
+    bits. Max sample 999*3+500 < 32767: no int16 clipping anywhere."""
     import io
     import struct
     import wave
@@ -283,11 +292,12 @@ def synth_audio_corpus(docs: DataFrame) -> DataFrame:
                 g, v = int(d) // 4, int(d) % 4
                 gain = 1 if v == 3 else v + 1
                 frames = bytearray()
-                for f in range(16):
-                    amp = (200 + (g * 37 + f * 29) % 800) * gain
-                    if v == 3 and f == g % 16:
+                for f in range(AUDIO_FRAMES):
+                    b = (g * 8191 + f + 1) % 999983
+                    amp = (200 + (b * b % 999983) % 800) * gain
+                    if v == 3 and f == g % AUDIO_FRAMES:
                         amp += 500
-                    frames += struct.pack("<h", amp) * 32
+                    frames += struct.pack("<h", amp) * AUDIO_FRAME_LEN
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)
@@ -300,12 +310,14 @@ def synth_audio_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, "doc_id BIGINT, media BINARY")
 
 
-def audio_fingerprint(media_df: DataFrame, frame_len: int = 32) -> DataFrame:
-    """Arrow-batched REAL WAV decode -> 15-bit energy-profile
+def audio_fingerprint(media_df: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> DataFrame:
+    """Arrow-batched REAL WAV decode -> 63-bit energy-profile
     fingerprint: bit f is set iff frame f+1's energy (sum |sample|)
     exceeds frame f's — the time-domain restatement of the
     Haitsma-Kalker sign-of-band-energy-difference fingerprint, and like
-    it invariant to gain. Torn payloads quarantine (parse-layer
+    it invariant to gain. 63 bits is enough resolution to band, so the
+    generic bithash near-pair/cluster/incremental machinery applies to
+    audio exactly as to image dHash. Torn payloads quarantine (parse-layer
     exceptions only, per the WAV contract in parse_media_meta)."""
     import io
     import wave

@@ -2691,49 +2691,57 @@ def media_dhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_bithash_dedup(delta_hash, base_bands, 56)
 
 
-@query(
-    "media_audio_fp_dedup",
-    """
-    WITH amp AS (
+# closed-form 63-bit audio energy fingerprint of synth_audio_corpus:
+# per-frame amplitude (200 + (b*b % 999983) % 800) * gain with
+# b = (g*8191 + f + 1) % 999983 (same quadratic scramble as the phash
+# corpus — see multimodal.synth_audio_corpus); constant amplitude
+# within a frame makes energy ordering equal amplitude ordering.
+_AUDIO_SIG_SQL = """
+    WITH aamp AS (
       SELECT doc_id,
-             list_transform(range(0, 16), f ->
-               (200 + ((doc_id // 4) * 37 + f * 29) % 800)
+             list_transform(range(0, 64), f ->
+               (200 + ((((doc_id // 4) * 8191 + f + 1) % 999983)
+                       * (((doc_id // 4) * 8191 + f + 1) % 999983)
+                       % 999983) % 800)
                * CASE WHEN doc_id % 4 = 3 THEN 1 ELSE doc_id % 4 + 1 END
-               + CASE WHEN doc_id % 4 = 3 AND f = (doc_id // 4) % 16
+               + CASE WHEN doc_id % 4 = 3 AND f = (doc_id // 4) % 64
                       THEN 500 ELSE 0 END) AS a
       FROM documents
-    ),
-    fp AS (
-      SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, 15), f ->
-               CASE WHEN a[f + 2] > a[f + 1]
-                    THEN CAST(1 AS BIGINT) << f ELSE CAST(0 AS BIGINT) END))
-                  AS BIGINT) AS audio_fp
-      FROM amp
     )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 63), f ->
+             CASE WHEN a[f + 2] > a[f + 1]
+                  THEN CAST(1 AS BIGINT) << f ELSE CAST(0 AS BIGINT) END))
+                AS BIGINT) AS audio_fp
+    FROM aamp
+"""
+
+
+@query(
+    "media_audio_fp_dedup",
+    f"""
+    WITH fp AS ({_AUDIO_SIG_SQL})
     SELECT audio_fp, CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS doc_min, max(doc_id) AS doc_max
     FROM fp GROUP BY audio_fp
     """,
 )
 def media_audio_fp_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup dedup driver-checked end-to-end: the 4-variant
-    WAV corpus (gain-scaled + one frame-bumped variant per group) is
-    decoded by the REAL stdlib wave reader, energy-profile
-    fingerprinted (15 sign-of-frame-energy-difference bits — the
-    time-domain Haitsma-Kalker shape, gain-invariant), and grouped into
-    dup classes by one hash-groupBy; the oracle recomputes every bit
-    from the closed-form per-frame amplitudes (constant amplitude
-    within a frame makes energy ordering equal amplitude ordering).
-    Gain invariance (v0/v1/v2 collide; v3 moves <= 2 bits) is pinned by
-    test_multimodal_codecs."""
+    """Audio dedup driver-checked end-to-end: the 4-variant WAV corpus
+    (gain-scaled + one frame-bumped variant per group) is decoded by
+    the REAL stdlib wave reader, energy-profile fingerprinted (63
+    sign-of-frame-energy-difference bits — the time-domain
+    Haitsma-Kalker shape, gain-invariant), and grouped into dup classes
+    by one hash-groupBy; the oracle recomputes every bit from the
+    closed-form per-frame amplitudes. Gain invariance (v0/v1/v2
+    collide; v3 moves <= 2 bits) is pinned by test_multimodal_codecs."""
     from databus_spark.operators.multimodal import (
         audio_fingerprint,
         synth_audio_corpus,
     )
 
     media = _staged_media_corpus(
-        spark, sf_dir, "databus_audiofp", synth_audio_corpus, "audiofp-v1"
+        spark, sf_dir, "databus_audiofp", synth_audio_corpus, "audiofp-v2"
     )
     return (
         audio_fingerprint(media)
@@ -2743,6 +2751,33 @@ def media_audio_fp_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("doc_min"),
             F.max("doc_id").alias("doc_max"),
         )
+    )
+
+
+def _media_audio_near_pairs_sql() -> str:
+    from databus_spark.operators.dedup import bithash_near_pairs_sql
+
+    return bithash_near_pairs_sql(_AUDIO_SIG_SQL, "audio_fp", 63, max_hamming=2)
+
+
+@query("media_audio_near_pairs", _media_audio_near_pairs_sql())
+def media_audio_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-dup pairs through the SAME generic machinery as image
+    dHash — real WAV decode -> 63-bit energy fingerprint ->
+    bithash_near_pairs (banded, capped, pigeonhole-exact at hamming
+    <= 2). One operator family serving two modalities is the point:
+    the pair generator never sees a codec, only a BIGINT hash column."""
+    from databus_spark.operators.dedup import bithash_near_pairs
+    from databus_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio_corpus,
+    )
+
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_audiofp", synth_audio_corpus, "audiofp-v2"
+    )
+    return bithash_near_pairs(
+        audio_fingerprint(media), "audio_fp", 63, max_hamming=2
     )
 
 

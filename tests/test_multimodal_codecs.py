@@ -538,11 +538,11 @@ def test_audio_fingerprint_gain_invariance(spark):
         g, v = d // 4, d % 4
         gain = 1 if v == 3 else v + 1
         amps = [
-            (200 + (g * 37 + f * 29) % 800) * gain
-            + (500 if v == 3 and f == g % 16 else 0)
-            for f in range(16)
+            (200 + (((g * 8191 + f + 1) % 999983) ** 2 % 999983) % 800) * gain
+            + (500 if v == 3 and f == g % 64 else 0)
+            for f in range(64)
         ]
-        ref = sum(1 << f for f in range(15) if amps[f + 1] > amps[f])
+        ref = sum(1 << f for f in range(63) if amps[f + 1] > amps[f])
         assert got[d] == ref, d
 
 

@@ -48,7 +48,7 @@ _WINDOW_SIZE = 50
 _WINDOW = [
     # (a) NEW this round — always first
     "sql_surface_window_stats",
-    "bpe_learn_merges_batched",
+    "bpe_encode_corpus",  # subsumes the learn machinery: its oracle re-derives the rules and pins the full encoded sequence
     "media_dhash_dedup",
     "media_audio_fp_dedup",
     "media_dhash_near_pairs",
@@ -107,6 +107,7 @@ _REST = [
     "media_dhash_clusters",  # new, but its star machinery is r7-green
     "media_dhash_incremental",  # new; probe machinery mirrors dedup_incremental_near (r7-green)
     "media_audio_near_pairs",  # new; same bithash machinery the window checks via media_dhash_near_pairs
+    "bpe_learn_merges_batched",  # r8-green; its full rule table is re-derived inside bpe_encode_corpus's window row
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",

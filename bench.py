@@ -121,6 +121,9 @@ def main() -> None:
         # the image cluster query serves from the staged dHash pair
         # index (media_dhash_near_pairs stays unstaged + timed)
         "media_dhash_clusters",
+        # the tokenizer rule table is trained once and staged; encode
+        # measures the APPLY fold, learn stays a separately timed row
+        "bpe_encode_corpus",
         # the cluster family shares one staged LSH candidate-pair index
         # (dedup_minhash_lsh itself stays unstaged so pair-generation
         # cost remains a visible row)

@@ -861,6 +861,7 @@ def bpe_learn_merges_batched(
 
     n_rounds = -(-n_merges // k_per_round)
     rules: list[tuple[int, str, int]] = []
+    rule_sides: list[tuple[str, str]] = []
     for _round in range(n_rounds):
         k_round = min(k_per_round, n_merges - len(rules))
         if k_round <= 0:
@@ -895,6 +896,7 @@ def bpe_learn_merges_batched(
         expr = F.col("s")
         for a, b, n in adopted:
             rules.append((len(rules) + 1, a + " " + b, n))
+            rule_sides.append((a, b))
             pat, rep = F.lit(d + a + d + b + d), F.lit(d + a + " " + b + d)
             expr = F.replace(F.replace(expr, pat, rep), pat, rep)
         s = s.select(expr.alias("s")).localCheckpoint(eager=False)
@@ -909,12 +911,119 @@ def bpe_learn_merges_batched(
         return p.replace("\\", "\\\\").replace("'", "''")
 
     rows_sql = ", ".join(
-        "({}, '{}', {})".format(r, _sql_str(p), n) for r, p, n in rules
+        "({}, '{}', {}, '{}', '{}')".format(
+            r, _sql_str(p), n, _sql_str(a), _sql_str(b)
+        )
+        for (r, p, n), (a, b) in zip(rules, rule_sides)
     )
     return spark.sql(
         f"SELECT CAST(col1 AS INT) AS rank, col2 AS pair,"
-        f" CAST(col3 AS BIGINT) AS n FROM (VALUES {rows_sql})"
+        f" CAST(col3 AS BIGINT) AS n, col4 AS a, col5 AS b"
+        f" FROM (VALUES {rows_sql})"
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 64,
+    k_per_round: int = 16,
+    text_col: str = "text",
+    rules: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, enc_md5): the tokenizer APPLY stage — encode
+    every document with the rules bpe_learn_merges_batched learns,
+    completing the train->tokenize loop. Rules are applied in rank
+    order as the learner's exact double-replace spec (rank order over
+    the raw corpus == the learner's round-interleaved application,
+    because each round's rules are token-disjoint and later rounds'
+    inputs only exist after earlier rounds' rewrites). enc_md5 hashes
+    the full sentinel-delimited encoded string, so the oracle pins the
+    ENTIRE token sequence per document, not just counts.
+
+    Scale: the 64-rule fold is one JVM projection (128 nested
+    replaces) over the corpus — no shuffle at all; the only driver
+    data is the 64-row rule table the learner already materializes."""
+    d = BPE_D
+    rules_df = (
+        rules
+        if rules is not None
+        else bpe_encode_rules(docs, n_merges, k_per_round, text_col)
+    )
+    rule_rows = [(r["rank"], r["a"], r["b"]) for r in rules_df.collect()]
+    clean = F.expr(f"translate({text_col}, chr(1), '')")
+    enc = F.concat(F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d))
+    for _rank, a, b in sorted(rule_rows):
+        pat, rep = F.lit(d + a + d + b + d), F.lit(d + a + " " + b + d)
+        enc = F.replace(F.replace(enc, pat, rep), pat, rep)
+    return docs.select(
+        "doc_id", enc.alias("_enc")
+    ).select(
+        "doc_id",
+        F.size(F.split(F.expr("substring(_enc, 2, length(_enc) - 2)"), d)).cast(
+            "long"
+        ).alias("n_tokens"),
+        F.md5(F.col("_enc").cast("binary")).alias("enc_md5"),
+    )
+
+
+def bpe_encode_rules(
+    docs: DataFrame,
+    n_merges: int = 64,
+    k_per_round: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned rule table with both sides exposed (rank, a, b) —
+    what apply needs; `pair` is ambiguous once tokens themselves
+    contain spaces (multi-level merges)."""
+    return bpe_learn_merges_batched(docs, n_merges, k_per_round, text_col).select(
+        "rank", "a", "b"
+    )
+
+
+def bpe_encode_sql(
+    from_sql: str, n_merges: int = 64, k_per_round: int = 16
+) -> str:
+    """DuckDB twin of bpe_encode: re-derives the rule rounds with the
+    SAME CTE structure as bpe_learn_merges_batched_sql, then applies
+    every round INCLUDING the last to a doc_id-carrying corpus and
+    emits (doc_id, n_tokens, enc_md5). The application expression per
+    round is the identical nested double-replace fold."""
+    toks = TOKENS_SQL.format(col="replace(text, chr(1), '')")
+    d = "chr(1)"
+    n_rounds = -(-n_merges // k_per_round)
+    # rule derivation reuses the learn generator verbatim (same CTE
+    # names, same recursion); corpus application is re-threaded with
+    # doc_id in the e{r} chain below so the per-doc result survives.
+    learn = bpe_learn_merges_batched_sql(from_sql, n_merges, k_per_round)
+    ctes = [
+        f"e1 AS MATERIALIZED (SELECT doc_id,"
+        f" {d} || array_to_string({toks}, {d}) || {d} AS s FROM ({from_sql}))"
+    ]
+    for r in range(1, n_rounds + 1):
+        k_round = min(k_per_round, n_merges - (r - 1) * k_per_round)
+        expr = "s"
+        for k in range(1, k_round + 1):
+            a_k = f"(SELECT a FROM s{r} WHERE adopt_rank = {k})"
+            b_k = f"(SELECT b FROM s{r} WHERE adopt_rank = {k})"
+            pat = f"coalesce({d} || {a_k} || {d} || {b_k} || {d}, chr(0))"
+            rep = f"coalesce({d} || {a_k} || ' ' || {b_k} || {d}, chr(0))"
+            expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT doc_id, {expr} AS s FROM e{r})"
+        )
+    final = (
+        f"SELECT doc_id,"
+        f" CAST(len(string_split(s[2:length(s) - 1], {d})) AS BIGINT)"
+        f" AS n_tokens, md5(s) AS enc_md5 FROM e{n_rounds + 1}"
+    )
+    # learn's WITH-clause CTEs (t/p/c/s chains) + our e chain share one
+    # WITH; learn CTE names (t,p,c,s,g) never collide with e{r}. The
+    # learn text is "WITH <ctes> SELECT CAST(...rank outputs...)" and
+    # " SELECT CAST(" appears nowhere inside the CTE bodies (their
+    # selects are aliased/aggregate forms), so the split is exact.
+    cut = learn.index(" SELECT CAST(")
+    learn_ctes = learn[len("WITH "):cut]
+    return "WITH " + learn_ctes + ", " + ", ".join(ctes) + " " + final
 
 
 def bpe_learn_merges_batched_sql(

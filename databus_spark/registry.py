@@ -2241,6 +2241,38 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_encode_corpus",
+    text.bpe_encode_sql(
+        "SELECT doc_id, text FROM documents", n_merges=64, k_per_round=16
+    ),
+)
+def bpe_encode_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY stage, completing the train->tokenize loop:
+    every document encoded with the 64 learned merges (rank-order
+    double-replace fold — one JVM projection, zero shuffles), output
+    (doc_id, n_tokens, enc_md5) where enc_md5 pins the ENTIRE encoded
+    token sequence, not just counts. The oracle re-derives the same
+    rules with the learn oracle's CTEs and applies the identical fold
+    per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the rule table is the staged artifact (a tokenizer is TRAINED
+    # once and applied everywhere — the PQ/LSH build-once shape);
+    # fingerprint covers the text content via doc_id+n_chars sums
+    fingerprint = _content_fingerprint(docs, "doc_id", "n_chars")
+
+    def build(d: str) -> None:
+        text.bpe_encode_rules(docs, n_merges=64, k_per_round=16).write.parquet(
+            os.path.join(d, "rules")
+        )
+
+    art = _staged_artifact(
+        "databus_bperules", sf_dir, fingerprint, build, version="bpe64-v1"
+    )
+    rules = spark.read.parquet(os.path.join(art, "rules"))
+    return text.bpe_encode(docs, rules=rules, n_merges=64, k_per_round=16)
+
+
+@query(
     "bpe_learn_merges_batched",
     text.bpe_learn_merges_batched_sql(
         "SELECT doc_id, text FROM documents", n_merges=64, k_per_round=16
@@ -2257,7 +2289,7 @@ def bpe_learn_merges_batched_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy disjoint selection with a recursive CTE walk."""
     return text.bpe_learn_merges_batched(
         load_table(spark, sf_dir, "documents"), n_merges=64, k_per_round=16
-    )
+    ).select("rank", "pair", "n")
 
 
 @query("boilerplate_strip", text.boilerplate_strip_sql(BOILER_CORPUS_SQL))

@@ -72,3 +72,43 @@ def test_batched_first_round_matches_serial_top1(spark, sf_dir):
         batched[0]["pair"],
         batched[0]["n"],
     )
+
+
+def test_bpe_encode_consistency(spark):
+    """Encode invariants: n_tokens never exceeds the raw whitespace
+    token count, total token reduction equals the rules' total
+    application count on the training corpus (each merge application
+    removes exactly one token), and the fold is idempotent-stable
+    (same rules -> same md5s)."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_rules,
+        bpe_learn_merges_batched,
+        tokens_col,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    rules = bpe_encode_rules(docs, n_merges=8, k_per_round=4)
+    enc1 = bpe_encode(docs, n_merges=8, k_per_round=4, rules=rules)
+    enc2 = bpe_encode(docs, n_merges=8, k_per_round=4, rules=rules)
+    p1 = {r["doc_id"]: (r["n_tokens"], r["enc_md5"]) for r in enc1.collect()}
+    p2 = {r["doc_id"]: (r["n_tokens"], r["enc_md5"]) for r in enc2.collect()}
+    assert p1 == p2  # deterministic
+    raw = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tokens_col(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert all(p1[d][0] <= raw[d] for d in raw)
+    # conservation: merges learned ON this corpus each removed one token
+    total_merged = sum(
+        int(r["n"]) for r in bpe_learn_merges_batched(docs, 8, 4).collect()
+    )
+    assert sum(raw.values()) - sum(n for n, _ in p1.values()) == total_merged

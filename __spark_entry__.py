@@ -108,6 +108,7 @@ _REST = [
     "media_dhash_incremental",  # new; probe machinery mirrors dedup_incremental_near (r7-green)
     "media_audio_near_pairs",  # new; same bithash machinery the window checks via media_dhash_near_pairs
     "bpe_learn_merges_batched",  # r8-green; its full rule table is re-derived inside bpe_encode_corpus's window row
+    "media_decision_log",  # new; composes window-checked stages (dhash classes, pair index, star clusters, shared walk)
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "bpe_learn_merges",

@@ -2651,6 +2651,98 @@ def _staged_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(idx_dir, "pairs"))
 
 
+def _media_decision_log_sql() -> str:
+    from databus_spark.operators.dedup import (
+        bithash_near_pairs_sql,
+        dedup_clusters_sql,
+    )
+
+    clusters = dedup_clusters_sql(
+        bithash_near_pairs_sql(_DHASH_SIG_SQL, "dhash", 56, max_hamming=2)
+    )
+    # same walk as the text decision log: pointers strictly decrease
+    # (class min < member, cluster min < non-survivor), so it ends on
+    # a 'keep' row in <= 2 hops here.
+    return f"""
+        WITH RECURSIVE sig AS ({_DHASH_SIG_SQL}),
+        exact_s AS (
+            SELECT dhash, min(doc_id) AS s FROM sig GROUP BY 1
+        ),
+        near AS (SELECT doc_id, cluster_id, is_survivor FROM ({clusters})),
+        raw AS (
+            SELECT g.doc_id,
+                   CASE WHEN g.doc_id <> e.s THEN 'drop_phash_exact'
+                        WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
+                            THEN 'drop_near'
+                        ELSE 'keep' END AS decision,
+                   CASE WHEN g.doc_id <> e.s THEN e.s
+                        WHEN n.doc_id IS NOT NULL AND NOT n.is_survivor
+                            THEN n.cluster_id
+                        ELSE g.doc_id END AS nxt
+            FROM sig g
+            JOIN exact_s e ON g.dhash = e.dhash
+            LEFT JOIN near n ON n.doc_id = g.doc_id
+        ),
+        walk AS (
+            SELECT doc_id, decision, nxt FROM raw
+            UNION ALL
+            SELECT w.doc_id, w.decision, r.nxt
+            FROM walk w JOIN raw r ON r.doc_id = w.nxt
+            WHERE r.decision <> 'keep'
+        )
+        SELECT w.doc_id, w.decision, w.nxt AS survivor_id
+        FROM walk w JOIN raw t ON t.doc_id = w.nxt
+        WHERE t.decision = 'keep'
+    """
+
+
+@query("media_decision_log", _media_decision_log_sql())
+def media_decision_log_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image family's governance capability, mirroring
+    dedup_decision_log: EVERY image gets a decision
+    ('keep' | 'drop_phash_exact' | 'drop_near') and a survivor_id
+    resolved TRANSITIVELY to a kept image. The image-native hierarchy:
+    dHash-identical (brightness re-encodes) outranks hamming-near
+    (local edits), exactly as byte-exact outranks LSH-near for text.
+    Composition of proven stages — decode+hash once, one groupBy for
+    classes, the staged pair index + star clusters, the shared
+    survivor walk."""
+    from databus_spark.operators.dedup import dedup_clusters_star
+    from databus_spark.operators.multimodal import image_dhash, synth_phash_corpus
+
+    media = _staged_media_corpus(
+        spark, sf_dir, "databus_phash", synth_phash_corpus, "phash-v4"
+    )
+    hashed = image_dhash(media).localCheckpoint(eager=False)
+    exact_s = hashed.join(
+        hashed.groupBy("dhash").agg(F.min("doc_id").alias("s")), "dhash"
+    ).select("doc_id", "s")
+    near = dedup_clusters_star(_staged_dhash_pairs(spark, sf_dir)).select(
+        F.col("doc_id").alias("n_doc"), "cluster_id", "is_survivor"
+    )
+    raw = (
+        exact_s.join(near, F.col("doc_id") == F.col("n_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("s"), "drop_phash_exact")
+            .when(
+                F.col("n_doc").isNotNull() & ~F.col("is_survivor"), "drop_near"
+            )
+            .otherwise("keep")
+            .alias("decision"),
+            F.when(F.col("doc_id") != F.col("s"), F.col("s"))
+            .when(
+                F.col("n_doc").isNotNull() & ~F.col("is_survivor"),
+                F.col("cluster_id"),
+            )
+            .otherwise(F.col("doc_id"))
+            .alias("survivor_id"),
+        )
+        .localCheckpoint()
+    )
+    return _resolve_survivors_transitively(raw)
+
+
 def _media_dhash_incremental_sql() -> str:
     from databus_spark.operators.dedup import MAX_BAND_DOCS, bithash_bands_sql
 
@@ -3357,6 +3449,15 @@ def dedup_decision_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # barrier: the walk below re-reads raw per hop
     )
+    return _resolve_survivors_transitively(raw)
+
+
+def _resolve_survivors_transitively(raw: DataFrame) -> DataFrame:
+    """Resolve (doc_id, decision, survivor_id) pointer maps so every
+    survivor_id lands on a 'keep' row: each hop strictly decreases the
+    pointed id (group/cluster mins), so the walk terminates; one
+    limit(1)-count scalar job per hop, chain depth O(1) in practice.
+    Shared by the text and image decision logs."""
     parent = raw.select(
         F.col("doc_id").alias("p_doc"),
         F.col("decision").alias("p_dec"),

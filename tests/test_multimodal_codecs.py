@@ -574,3 +574,23 @@ def test_media_dhash_incremental_matches_sibling(spark, tmp_path):
     # every delta doc has its brightness triple partially in base at
     # this size -> nothing is_new, and hamming never exceeds the bound
     assert all(not r["is_new"] and r["best_hamming"] <= 2 for r in out.values())
+
+
+def test_media_decision_log_invariants(spark, sf_dir):
+    """Governance invariants on the image decision log: every doc has
+    exactly one decision, every survivor_id IS a kept doc, kept docs
+    point at themselves, and the keep-set equals the perceptual-class
+    survivors filtered through cluster survivorship."""
+    from databus_spark.registry import QUERIES
+
+    rows = QUERIES["media_decision_log"](spark, sf_dir).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(by_doc) == n_docs  # every image decided, exactly once
+    kept = {d for d, r in by_doc.items() if r["decision"] == "keep"}
+    for d, r in by_doc.items():
+        assert r["survivor_id"] in kept, (d, r)
+        if r["decision"] == "keep":
+            assert r["survivor_id"] == d
+        else:
+            assert r["survivor_id"] < d  # pointers strictly decrease

@@ -46,18 +46,14 @@ DTAIL_EVENT_AVRO = json.dumps({
 
 
 def _event_record(r) -> dict:
-    import datetime
-
-    ts = r["ts"]
-    if isinstance(ts, (datetime.date, datetime.datetime)):
-        if not isinstance(ts, datetime.datetime):
-            ts = datetime.datetime(ts.year, ts.month, ts.day)
-        ts_ms = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
-    else:
-        ts_ms = None if ts is None else int(ts)
+    # ts_ms is computed JVM-side (unix_millis) before collect: plain
+    # collect() renders TimestampType as a NAIVE datetime in the HOST OS
+    # timezone, so stamping UTC onto it driver-side skewed epoch-millis
+    # on any non-UTC host.
+    ts_ms = r["ts_ms"]
     return {
         "scn": r["scn"],
-        "ts_ms": ts_ms,
+        "ts_ms": None if ts_ms is None else int(ts_ms),
         "opcode": r["opcode"],
         "source": r["source"],
         "source_id": r["source_id"],
@@ -92,7 +88,7 @@ def cmd_dtail(args) -> int:
         from databus_spark.functions.avro_codec import avro_json_render
 
         schema = json.loads(DTAIL_EVENT_AVRO)
-        for r in tail.collect():
+        for r in tail.withColumn("ts_ms", F.expr("unix_millis(ts)")).collect():
             print(avro_json_render(_event_record(r), schema))
     elif args.printer == "avro_bin":
         # standard Avro binary serialization, concatenated records to
@@ -103,7 +99,7 @@ def cmd_dtail(args) -> int:
 
         schema = json.loads(DTAIL_EVENT_AVRO)
         out = sys.stdout.buffer
-        for r in tail.collect():
+        for r in tail.withColumn("ts_ms", F.expr("unix_millis(ts)")).collect():
             out.write(encode_record(_event_record(r), schema))
         out.flush()
     else:  # noop — counts only (NOOP printer analog)

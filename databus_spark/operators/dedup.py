@@ -669,70 +669,19 @@ def bithash_bands_sql(
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on half-word
-    bands (a pair within distance d must agree on >= one of d+1 bands).
-
-    Pair-gen from grouped band posting lists (MAX_BAND_DOCS cap), with
-    hamming computed inline from the carried sketches — zero joins in
-    the whole plan, and no quadratic fan-out on a degenerate bucket."""
-    # sig feeds n_bands union branches — checkpoint once instead of
-    # recomputing the explode+2-shuffle sketch per branch (exchange
-    # reuse does not survive the band union).
-    sig = simhash(docs).localCheckpoint(eager=False)
-    n_bands = max_hamming + 1
-    width = SIMHASH_BITS // n_bands
-    bands = []
-    for b in range(n_bands):
-        key = F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1))
-        bands.append(sig.select("doc_id", "simhash", F.lit(b).alias("band"), key.alias("band_key")))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
-    # posting list carries (doc_id, simhash); sort_array orders by doc_id
-    # (first struct field, unique), so pair-gen emits doc_a < doc_b.
-    postings = (
-        banded.groupBy("band", "band_key")
-        .agg(
-            F.sort_array(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
-            ).alias("docs")
-        )
-        .where((F.size("docs") >= 2) & (F.size("docs") <= MAX_BAND_DOCS))
-    )
-    pairs = _posting_pairs(
-        postings,
-        lambda x, y: F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
-        ),
-    )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    """Near-dup pairs by SimHash hamming distance: simhash is just one
+    more 64-bit signature, so pair-gen delegates to the generic banded
+    machinery (bithash_near_pairs) instead of keeping a parallel copy
+    of the band/posting/cap/pair logic in sync. Bonus correctness: the
+    shared hash_band_layout's last band absorbs the width remainder, so
+    every bit is covered (the old local layout left 64 mod (d+1) high
+    bits out of all bands, losing pigeonhole recall for any d where
+    d+1 does not divide 64)."""
+    return bithash_near_pairs(simhash(docs), "simhash", SIMHASH_BITS, max_hamming)
 
 
 def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
-    base = simhash_sql()
-    n_bands = max_hamming + 1
-    width = SIMHASH_BITS // n_bands
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {(1 << width) - 1} AS band_key FROM sig"
-        for b in range(n_bands)
-    )
-    return f"""
-        WITH sig AS ({base}),
-        banded AS ({band_rows}),
-        ok_buckets AS (
-            SELECT band, band_key FROM banded
-            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MAX_BAND_DOCS}
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM banded a
-        JOIN ok_buckets ok ON ok.band = a.band AND ok.band_key = a.band_key
-        JOIN banded b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-    """
+    return bithash_near_pairs_sql(simhash_sql(), "simhash", SIMHASH_BITS, max_hamming)
 
 
 # ---------------------------------------------------------------------------

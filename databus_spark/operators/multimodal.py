@@ -320,6 +320,7 @@ def audio_fingerprint(media_df: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> 
     audio exactly as to image dHash. Torn payloads quarantine (parse-layer
     exceptions only, per the WAV contract in parse_media_meta)."""
     import io
+    import struct
     import wave
 
     import numpy as np
@@ -331,7 +332,7 @@ def audio_fingerprint(media_df: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> 
                 try:
                     with wave.open(io.BytesIO(bytes(blob)), "rb") as wf:
                         raw = wf.readframes(wf.getnframes())
-                except (wave.Error, EOFError):
+                except (wave.Error, EOFError, struct.error, RuntimeError):
                     continue  # torn payload -> quarantine leg, like the probes
                 samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
                 n_frames = len(samples) // frame_len
@@ -342,6 +343,12 @@ def audio_fingerprint(media_df: DataFrame, frame_len: int = AUDIO_FRAME_LEN) -> 
                     .reshape(n_frames, frame_len)
                     .sum(axis=1)
                 )
+                # Bound the profile to 64 samples so the fingerprint always
+                # fits 63 bits (int64 shifts past 63 wrap silently on x86).
+                # Even-stride sampling is the identity on the 64-frame
+                # fixture, so the closed-form oracle is untouched.
+                if n_frames > 64:
+                    energy = energy[(np.arange(64) * n_frames) // 64]
                 bits = (energy[1:] > energy[:-1]).astype(np.int64)
                 fp = int((bits << np.arange(len(bits), dtype=np.int64)).sum())
                 rows.append({"doc_id": int(doc_id), "audio_fp": fp})
@@ -489,7 +496,11 @@ def png_decode(payload: bytes):
         data = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:  # torn/corrupt stream is DATA, not a crash
         raise ValueError(f"corrupt IDAT: {e}") from e
-    if len(data) != expected or dec.unconsumed_tail:
+    # dec.eof distinguishes "exactly expected bytes AND the stream's
+    # Adler-32 trailer was seen" from "cut mid-stream right at the
+    # boundary" — zlib.decompress raised on the latter; decompressobj
+    # only reports it via eof.
+    if len(data) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError("truncated IDAT")
     out = np.zeros((h, stride), dtype=np.int32)
     prior = np.zeros(stride, dtype=np.int32)
@@ -649,10 +660,9 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
     source). Output fits a BIGINT — the groupBy/dedup key."""
     import numpy as np
 
-    weights = None
+    weights = np.int64(1) << np.arange(56, dtype=np.int64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        nonlocal weights
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
@@ -661,9 +671,15 @@ def image_dhash(media_df: DataFrame) -> DataFrame:
                 except ValueError:
                     continue
                 gray = px[:, :, 0].astype(np.int64)
+                # Standard dHash downsamples to a fixed grid first; even-stride
+                # sampling to 8x8 keeps the hash at exactly 56 bits for any
+                # input geometry (int64 shifts past 63 wrap silently) and is
+                # the identity on the 8x8 fixture corpus, preserving the
+                # closed-form oracle.
+                h, w = gray.shape
+                if (h, w) != (8, 8):
+                    gray = gray[np.ix_((np.arange(8) * h) // 8, (np.arange(8) * w) // 8)]
                 bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).ravel()
-                if weights is None or len(weights) != len(bits):
-                    weights = np.int64(1) << np.arange(len(bits), dtype=np.int64)
                 rows.append({"doc_id": int(doc_id), "dhash": int((bits * weights).sum())})
             yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
 

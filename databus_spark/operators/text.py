@@ -842,8 +842,10 @@ def bpe_learn_merges_batched(
     Determinism spec (both engines implement it exactly): per round,
     rank pairs by (n DESC, a ASC, b ASC); walk the top BPE_CAND_CAP in
     rank order adopting a candidate iff its a, b AND merged output
-    'a b' are all absent from the round's used-token set; stop at
-    k_per_round (or n_merges total); apply adopted rules in adoption
+    'a b' are all absent from the round's used-token set; stop at the
+    round's POSITIONAL cap min(k_per_round, n_merges - (r-1)*k) —
+    slots a short round forfeits are NOT rolled over (so total rules
+    can be < n_merges); apply adopted rules in adoption
     order (double-replace for self-overlap); rounds are fixed at
     ceil(n_merges / k_per_round) so both engines run the same shape
     even when a round adopts fewer than k rules.
@@ -863,7 +865,13 @@ def bpe_learn_merges_batched(
     rules: list[tuple[int, str, int]] = []
     rule_sides: list[tuple[str, str]] = []
     for _round in range(n_rounds):
-        k_round = min(k_per_round, n_merges - len(rules))
+        # POSITIONAL cap (round r may adopt at most its k_per_round slot
+        # of n_merges), NOT n_merges - len(rules): when a round adopts
+        # fewer than k rules the leftover slots are forfeited, exactly
+        # as the SQL twin computes min(k, n_merges - (r-1)*k) — keying
+        # on len(rules) here made the engines diverge for any
+        # parameterization where a round came up short.
+        k_round = min(k_per_round, n_merges - _round * k_per_round)
         if k_round <= 0:
             break
         toks = F.expr(f"split(substring(s, 2, length(s) - 2), '{d}')")

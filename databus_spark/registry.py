@@ -2510,11 +2510,16 @@ def _staged_media_corpus(
         # that single partition — every downstream decode then runs on
         # ONE task (found by the 10x soak: x1 media walls EXCEEDED x10
         # because only the 10x fixture happened to be written 32-wide)
-        n = spark.sparkContext.defaultParallelism
-        synth(docs.repartition(n)).write.parquet(os.path.join(d, "media"))
+        synth(docs.repartition(n_parts)).write.parquet(os.path.join(d, "media"))
 
+    # The ACTUAL partition width goes into the version stamp: a
+    # hard-coded "+rp32" let a corpus staged by a low-CPU process (4
+    # partitions) be silently reused by the 32-CPU bench — the exact
+    # single-partition layout bug the repartition above fixes,
+    # reintroduced through /tmp artifact reuse.
+    n_parts = spark.sparkContext.defaultParallelism
     art = _staged_artifact(
-        prefix, sf_dir, fingerprint, build, version=version + "+rp32"
+        prefix, sf_dir, fingerprint, build, version=f"{version}+rp{n_parts}"
     )
     return spark.read.parquet(os.path.join(art, "media"))
 

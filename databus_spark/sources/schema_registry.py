@@ -73,8 +73,17 @@ class SchemaRegistry:
         row)."""
 
         def q(s: str) -> str:
-            return "'" + s.replace("'", "''") + "'"
+            # backslash-doubling BEFORE quote-doubling: Spark parses
+            # string literals with backslash escapes, same trap as
+            # text.py's _sql_str
+            return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
+        if not self._by_id:
+            # VALUES needs >= 1 row (same guard as layout.py's interval
+            # dim); an empty registry is a legal state for decode joins
+            return spark.createDataFrame(
+                [], "schema_id STRING, schema_name STRING, schema_version INT"
+            )
         rows_sql = ", ".join(
             f"({q(s.schema_id)}, {q(s.name)}, {int(s.version)})"
             for s in self._by_id.values()

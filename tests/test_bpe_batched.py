@@ -112,3 +112,43 @@ def test_bpe_encode_consistency(spark):
         int(r["n"]) for r in bpe_learn_merges_batched(docs, 8, 4).collect()
     )
     assert sum(raw.values()) - sum(n for n, _ in p1.values()) == total_merged
+
+
+def test_positional_cap_parity_non_divisible(spark, sf_dir):
+    """A short round forfeits its unused slots in BOTH engines: the
+    engine cap is positional (min(k, n_merges - (r-1)*k)), matching the
+    SQL twin. Corpus engineered so round 1 adopts only 1 of its 2
+    slots; with n_merges=3, k=2 a len(rules)-keyed engine cap would
+    adopt 2 rules in round 2 while the oracle caps at 1 — rule tables
+    diverge (this was a live bug for any non-divisible params)."""
+    from databus_spark.operators.text import (
+        bpe_learn_merges_batched,
+        bpe_learn_merges_batched_sql,
+    )
+    from tests.oracle_utils import compare, duck_connect
+
+    corpus = "a b b c a b b c"
+    docs = spark.createDataFrame([(1, corpus)], "doc_id BIGINT, text STRING")
+    df = bpe_learn_merges_batched(docs, n_merges=3, k_per_round=2).select(
+        "rank", "pair", "n"
+    )
+    rules = df.collect()
+    # round 1: (a,b) adopted, (b,b)/(b,c)/(c,a) all conflict -> 1 rule;
+    # round 2 positional cap is 1 -> exactly 2 rules total
+    assert [r["pair"] for r in sorted(rules, key=lambda r: r["rank"])] == [
+        "a b",
+        "a b b",
+    ]
+    con = duck_connect(sf_dir)
+    try:
+        compare(
+            df,
+            con,
+            bpe_learn_merges_batched_sql(
+                f"SELECT 1 AS doc_id, '{corpus}' AS text",
+                n_merges=3,
+                k_per_round=2,
+            ),
+        )
+    finally:
+        con.close()

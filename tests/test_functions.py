@@ -288,3 +288,27 @@ def test_portable_hash64_null_parity_with_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_schema_registry_empty_dim_df(spark):
+    """dim_df over an empty registry must return an empty 3-column
+    frame, not a ParseException: the VALUES rewrite needs >= 1 row
+    (same guard as layout.py's interval dim), and an empty registry is
+    a legal state for decode left-joins."""
+    from databus_spark.sources.schema_registry import SchemaRegistry
+
+    dim = SchemaRegistry().dim_df(spark)
+    assert dim.count() == 0
+    assert dim.columns == ["schema_id", "schema_name", "schema_version"]
+
+
+def test_schema_registry_dim_df_escapes_backslash(spark):
+    """Schema names are DATA in the VALUES literal: backslashes must be
+    doubled before quote-doubling (Spark parses string literals with
+    backslash escapes), or 'a\\tb' silently becomes a TAB."""
+    from databus_spark.sources.schema_registry import SchemaRegistry, VersionedSchema
+
+    reg = SchemaRegistry()
+    reg.register(VersionedSchema(name="we\\trd'name", version=1, ddl="k BIGINT"))
+    row = reg.dim_df(spark).collect()[0]
+    assert row["schema_name"] == "we\\trd'name"

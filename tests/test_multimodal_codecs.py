@@ -594,3 +594,124 @@ def test_media_decision_log_invariants(spark, sf_dir):
             assert r["survivor_id"] == d
         else:
             assert r["survivor_id"] < d  # pointers strictly decrease
+
+
+def test_image_dhash_large_image_downsamples_to_56_bits(spark):
+    """Real-world geometry guard: for any input larger than 8x8 the
+    hash comes from an even-stride 8x8 downsample, so it is always
+    exactly 56 bits — int64 shifts past 63 wrap silently on x86, which
+    made pre-fix hashes of wide images platform-dependent garbage."""
+    import numpy as np
+
+    from databus_spark.operators.multimodal import image_dhash, png_encode
+
+    rng = np.arange(16 * 16, dtype=np.int64).reshape(16, 16)
+    px = ((rng * rng + 7) % 251).astype("uint8")
+    media = spark.createDataFrame(
+        [(1, bytearray(png_encode(px)))], "doc_id BIGINT, media BINARY"
+    )
+    got = image_dhash(media).collect()
+    assert len(got) == 1
+    h = got[0]["dhash"]
+    assert 0 <= h < (1 << 56)
+    idx = (np.arange(8) * 16) // 8
+    small = px.astype(np.int64)[np.ix_(idx, idx)]
+    expect = sum(
+        1 << (r * 7 + c)
+        for r in range(8)
+        for c in range(7)
+        if small[r, c + 1] > small[r, c]
+    )
+    assert h == expect
+
+
+def test_audio_fingerprint_long_audio_fits_63_bits(spark):
+    """A 300-frame WAV (real-world length, vs the 64-frame fixture)
+    must fingerprint from a 64-point even-stride energy profile: the
+    result always fits 63 bits and matches the independent closed
+    form; pre-fix the shift count ran to n_frames-1 and wrapped."""
+    import io
+    import struct as pystruct
+    import wave
+
+    import numpy as np
+
+    from databus_spark.operators.multimodal import (
+        AUDIO_FRAME_LEN,
+        audio_fingerprint,
+    )
+
+    n_frames = 300
+    amps = [(37 * f * f + 11) % 800 + 100 for f in range(n_frames)]
+    frames = b"".join(
+        pystruct.pack("<h", a) * AUDIO_FRAME_LEN for a in amps
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(frames)
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id BIGINT, media BINARY"
+    )
+    got = audio_fingerprint(media).collect()
+    assert len(got) == 1
+    fp = got[0]["audio_fp"]
+    assert 0 <= fp < (1 << 63)
+    sampled = [amps[(i * n_frames) // 64] for i in range(64)]
+    expect = sum(1 << f for f in range(63) if sampled[f + 1] > sampled[f])
+    assert fp == expect
+
+
+def test_audio_fingerprint_quarantines_torn_wav(spark):
+    """Truncated WAV containers raise parse-layer errors (wave.Error /
+    EOFError / struct.error / RuntimeError) inside stdlib wave; all
+    four must quarantine (drop the row), not crash the task."""
+    from databus_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_audio_corpus,
+    )
+
+    good = synth_audio_corpus(
+        spark.range(1).withColumnRenamed("id", "doc_id")
+    ).collect()[0]["media"]
+    torn = [bytes(good)[:cut] for cut in (4, 11, 14, 21, 30, 43)]
+    media = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(torn)],
+        "doc_id BIGINT, media BINARY",
+    )
+    assert audio_fingerprint(media).count() == 0
+
+
+def test_png_decode_rejects_idat_cut_before_trailer():
+    """An IDAT holding the full deflate payload but cut before the
+    zlib Adler-32 trailer is a torn container: decompressobj reports
+    it only via .eof, which the quarantine contract must check."""
+    import struct as pystruct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from databus_spark.operators.multimodal import png_decode, png_encode
+
+    px = (np.arange(64, dtype=np.int64).reshape(8, 8) % 200).astype("uint8")
+    payload = png_encode(px)
+    # walk chunks, truncate the zlib stream inside IDAT by 4 bytes
+    i, out = 8, bytearray(payload[:8])
+    while i + 8 <= len(payload):
+        (length,) = pystruct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        if tag == b"IDAT":
+            # verify the cut really lands mid-trailer, not mid-data
+            dec = zlib.decompressobj()
+            data = dec.decompress(bytes(body[:-4]))
+            assert not dec.eof and dec.decompress(b"") == b""
+            body = body[:-4]
+        out += pystruct.pack(">I", len(body)) + tag + body
+        out += payload[i + 8 + length : i + 12 + length]  # keep old crc field
+        i += 12 + length
+    with pytest.raises(ValueError, match="truncated IDAT"):
+        png_decode(bytes(out))

@@ -235,7 +235,9 @@ def test_media_dhash_near_pairs_plan_bounded(spark, sf_dir):
     n_ex = plan.count("Exchange")
     assert n_ex <= 3, f"pair-gen grew to {n_ex} exchanges:\n{plan[:1200]}"
     # bands read the checkpointed hash frame, not three decode pipelines
-    assert plan.count("mapInPandas") == 0 or plan.count("MapInPandas") <= 1, plan[:1200]
+    # (physical plans spell the node "MapInPandas"; an earlier disjunct
+    # matching lowercase "mapInPandas" was vacuously true)
+    assert plan.count("MapInPandas") <= 1, plan[:1200]
 
 
 def test_media_dhash_dedup_single_shuffle(spark, sf_dir):

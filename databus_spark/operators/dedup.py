@@ -347,17 +347,25 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> Da
 
     Candidate generation is pair-gen from grouped band posting lists with
     a MAX_BAND_DOCS population cap — never a band self-join, so a
-    degenerate hot bucket cannot fan out quadratically."""
-    # signatures feed the band union (xN_BANDS) and both sides of the
-    # scoring join — checkpoint once instead of recomputing the explode+agg
+    degenerate hot bucket cannot fan out quadratically. The posting
+    lists carry the FULL signature struct (the bithash pattern), so
+    est_jaccard is computed inline during pair-gen: zero scoring joins —
+    the old plan re-joined sig twice (two extra shuffles of the
+    signature table per query) just to recover what the bucket already
+    held. Payload cost is N_HASHES longs per posting entry, bounded by
+    MAX_BAND_DOCS per bucket."""
+    # signatures feed the band union (xN_BANDS) — checkpoint once
+    # instead of recomputing the explode+agg per branch
     sig = minhash_signatures(docs, k).localCheckpoint(eager=False)
     rows_per_band = N_HASHES // N_BANDS
+    # doc_id FIRST: sort_array orders by it, so pair-gen emits doc_a < doc_b
+    ds = F.struct(F.col("doc_id"), *[F.col(f"mh_{i}") for i in range(N_HASHES)])
     bands = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         bands.append(
             sig.select(
-                "doc_id",
+                ds.alias("ds"),
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("|", *cols)).alias("band_key"),
             )
@@ -367,29 +375,24 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> Da
         banded = banded.unionByName(extra)
     postings = (
         banded.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .agg(F.sort_array(F.collect_set("ds")).alias("docs"))
         .where((F.size("docs") >= 2) & (F.size("docs") <= MAX_BAND_DOCS))
     )
-    cand = _posting_pairs(
-        postings, lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    eq = sum(
-        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
-    )
-    scored = (
-        cand.join(sa, cand["doc_a"] == F.col("sa.doc_id"))
-        .join(sb, cand["doc_b"] == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
+
+    def scored_pair(x, y):
+        eq = sum(
+            F.when(x[f"mh_{i}"] == y[f"mh_{i}"], 1).otherwise(0)
+            for i in range(N_HASHES)
+        )
+        return F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
             F.round(eq / F.lit(N_HASHES), 6).alias("est_jaccard"),
         )
-        .where(F.col("est_jaccard") >= threshold)
+
+    return _posting_pairs(postings, scored_pair).where(
+        F.col("est_jaccard") >= threshold
     )
-    return scored
 
 
 def minhash_lsh_sql(k: int = 5, threshold: float = 0.5) -> str:

@@ -262,3 +262,13 @@ def test_media_dhash_incremental_probes_index_not_base(spark, sf_dir):
     assert n_py <= 1, f"delta decode fans out {n_py}x:\n{plan[:1200]}"
     assert "FileScan parquet" in plan  # the staged band index
     assert "ExistingRDD" in plan  # the barrier is in place
+
+
+def test_minhash_lsh_pairs_join_free(spark, sf_dir):
+    """Scoring rides the posting lists: est_jaccard is computed inline
+    from signature structs carried through the buckets, so the pair
+    plan has ZERO joins (the old plan re-joined the signature table
+    twice — two extra shuffles of sig per query, 10 exchanges vs 6)."""
+    plan = _plan(spark, "dedup_minhash_lsh", sf_dir)
+    assert plan.count("Join") == 0, plan[:1500]
+    assert plan.count("Exchange") <= 6, plan[:1500]

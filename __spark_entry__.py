@@ -47,6 +47,8 @@ _WINDOW_SIZE = 50
 
 _WINDOW = [
     # (a) NEW this round — always first
+    "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
+    "kmeans_assign_summary",
     "sql_surface_window_stats",
     "bpe_encode_corpus",  # subsumes the learn machinery: its oracle re-derives the rules and pins the full encoded sequence
     "media_dhash_dedup",
@@ -82,7 +84,6 @@ _WINDOW = [
     "dedup_span_windows",
     "length_histogram",
     "media_png_probe",
-    "media_wav_probe",
     "mixture_temperature_sample",
     "oov_rate",
     "per_group_quota",
@@ -90,7 +91,6 @@ _WINDOW = [
     "schema_key_compaction",
     "schema_key_filter",
     "sequence_packing",
-    "simhash_sketch",
     "skew_salted_agg",
     "snapshot_diff",
     "sparse_tfidf_pairs",
@@ -104,6 +104,8 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "simhash_sketch",  # displaced by the kmeans rows: the simhash base is in-window via dedup_simhash_pairs
+    "media_wav_probe",  # displaced: probe machinery shared with in-window media_png_probe
     "media_dhash_clusters",  # new, but its star machinery is r7-green
     "media_dhash_incremental",  # new; probe machinery mirrors dedup_incremental_near (r7-green)
     "media_audio_near_pairs",  # new; same bithash machinery the window checks via media_dhash_near_pairs

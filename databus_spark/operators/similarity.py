@@ -1169,3 +1169,206 @@ def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
                coalesce(c.cluster_id, a.vec_id) = a.vec_id AS is_survivor
         FROM assigned a LEFT JOIN clusters c ON c.vec_id = a.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd) — integer-exact, oracle-reproducible
+# ---------------------------------------------------------------------------
+# _ivf_centroids' docstring notes it skips "the k-means iterations, which
+# would not be bit-reproducible across engines" — float means depend on
+# cross-row summation ORDER, which Spark's partial aggregation does not
+# fix. This trainer closes that gap by running Lloyd entirely in
+# fixed-point integers: clamp dims to [-1, 1] (the normalized-embedding
+# contract), shift to [0, 2], floor-quantize at KM_SCALE. Every distance
+# is then an exact bigint, every centroid mean an exact non-negative
+# integer division (floor == trunc, identical in Spark `div` and DuckDB
+# `//`), and the argmin tie-break rides one scalar key (dist*k + cell) —
+# both engines produce bit-identical centroids after ANY number of
+# rounds. This is the trainer the SemDeDup paper (arXiv:2303.09540)
+# assumes for its clustering stage and standard FAISS IVF practice.
+#
+# Scale shape per round: centroids broadcast (k rows), distance +
+# argmin map-side (partial min before the exchange), ONE O(n) shuffle
+# for assignment and ONE O(n * dim) posexplode shuffle for the
+# dimension sums. No driver round-trips inside the loop — the round
+# chain is declarative, barriered with lazy localCheckpoints exactly
+# like the staged-index builders. Bigint bounds: dist <= dim *
+# (2*KM_SCALE)^2, key = dist*k + cell; dim * k < 2.3e6 stays exact.
+# Empty cells drop out (their label disappears; survivors keep theirs),
+# the standard Lloyd degeneracy, mirrored exactly by the oracle.
+
+KM_SCALE = 1_000_000
+KM_K = 8
+KM_ITER = 3
+
+
+def _km_quant(vec: Column) -> Column:
+    return F.transform(
+        vec,
+        lambda x: F.floor(
+            (F.least(F.greatest(x.cast("double"), F.lit(-1.0)), F.lit(1.0)) + F.lit(1.0))
+            * F.lit(float(KM_SCALE))
+        ).cast("long"),
+    )
+
+
+_KM_QUANT_SQL = (
+    "list_transform({vec}, x -> CAST(floor((least(greatest(CAST(x AS DOUBLE),"
+    f" -1.0), 1.0) + 1.0) * {KM_SCALE}.0) AS BIGINT))"
+)
+
+
+def _km_init(embq: DataFrame, k: int) -> DataFrame:
+    """k seed centroids by lowest seeded hash of the vector id (the
+    _ivf_centroids hash-sample init), renumbered 0..k-1 in hash order so
+    cell ids are dense and both engines label identically."""
+    from databus_spark.functions.hashes import portable_hash64
+
+    h = portable_hash64(F.col("vid").cast("string"), F.lit("kmeans"))
+    seeds = embq.select("vid", "qv", h.alias("_h")).orderBy("_h", "vid").limit(k)
+    w = Window.orderBy("_h", "vid")  # k rows: the single-partition window is fine
+    return (
+        seeds.select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell_id"),
+            F.col("qv").alias("cent"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _km_assign(embq: DataFrame, cent: DataFrame, k: int) -> DataFrame:
+    """(vid, qv, cell_id, dist): nearest centroid per vector — centroids
+    broadcast, squared-L2 in exact bigints, argmin as a map-side-
+    combinable min over the scalar key dist*k + cell (ties -> lowest
+    cell, both engines identical)."""
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    key = dist * F.lit(k).cast("long") + F.col("cell_id").cast("long")
+    scored = embq.crossJoin(F.broadcast(cent)).select("vid", "qv", key.alias("_key"))
+    return (
+        scored.groupBy("vid")
+        .agg(F.min("_key").alias("_key"), F.first("qv").alias("qv"))
+        .select(
+            "vid",
+            "qv",
+            (F.col("_key") % k).cast("int").alias("cell_id"),
+            F.expr(f"_key div {int(k)}").alias("dist"),
+        )
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """New centroids: per-(cell, dim) exact bigint sums, one integer
+    floor-division mean per dim (all values non-negative by the [0, 2]
+    shift), arrays reassembled in pos order."""
+    dims = assigned.select("cell_id", F.posexplode("qv")).withColumnRenamed("col", "x")
+    return (
+        dims.groupBy("cell_id", "pos")
+        .agg(F.expr("sum(x) div count(1)").alias("c"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cent")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = KM_K,
+    n_iter: int = KM_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final centroids (cell_id, cent: array<bigint>) after n_iter exact
+    Lloyd rounds from the hash-sample init."""
+    embq = (
+        emb.select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
+        .localCheckpoint(eager=False)  # quantization runs ONCE, not per round
+    )
+    cent = _km_init(embq, k)
+    for _ in range(n_iter):
+        cent = _km_update(_km_assign(embq, cent, k))
+    return cent
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = KM_K,
+    n_iter: int = KM_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, qv, cell_id, dist) against the TRAINED centroids."""
+    embq = (
+        emb.select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+    cent = _km_init(embq, k)
+    for _ in range(n_iter):
+        cent = _km_update(_km_assign(embq, cent, k))
+    return _km_assign(embq, cent, k)
+
+
+def _kmeans_ctes(k: int = KM_K, n_iter: int = KM_ITER) -> tuple[str, int]:
+    """Shared DuckDB CTE chain: eq (quantized corpus), c0 (init), then
+    a{t} (assignment) / c{t} (update) per round. Returns (ctes_sql,
+    n_iter) — consumers select from c{n_iter} or a final assignment."""
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(vid AS VARCHAR)", "'kmeans'")
+    quant = _KM_QUANT_SQL.format(vec="embedding")
+    ctes = [
+        f"eq AS MATERIALIZED (SELECT vec_id AS vid, {quant} AS qv FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY {h}, vid) - 1"
+        f" AS INT) AS cell_id, qv AS cent FROM"
+        f" (SELECT vid, qv FROM eq ORDER BY {h}, vid LIMIT {k}))",
+    ]
+    for t in range(1, n_iter + 2):
+        # a{n_iter+1} is the final assignment against the trained c{n_iter}
+        ctes.append(
+            f"a{t} AS MATERIALIZED ("
+            f" SELECT vid, any_value(qv) AS qv,"
+            f" CAST(min(_key) % {k} AS INT) AS cell_id,"
+            f" CAST(min(_key) // {k} AS BIGINT) AS dist"
+            f" FROM ("
+            f"  SELECT e.vid, e.qv,"
+            f"  CAST(list_sum(list_transform(range(1, len(e.qv) + 1),"
+            f"   i -> (e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i]))) AS BIGINT)"
+            f"   * {k} + c.cell_id AS _key"
+            f"  FROM eq e CROSS JOIN c{t - 1} c)"
+            f" GROUP BY vid)"
+        )
+        if t <= n_iter:
+            ctes.append(
+                f"c{t} AS MATERIALIZED ("
+                f" SELECT cell_id, list(c ORDER BY pos) AS cent FROM ("
+                f"  SELECT cell_id, pos, CAST(sum(x) AS BIGINT) // count(*) AS c"
+                f"  FROM (SELECT cell_id, unnest(qv) AS x,"
+                f"        unnest(range(0, len(qv))) AS pos FROM a{t})"
+                f"  GROUP BY cell_id, pos)"
+                f" GROUP BY cell_id)"
+            )
+    return ", ".join(ctes), n_iter
+
+
+def kmeans_centroids_sql(k: int = KM_K, n_iter: int = KM_ITER) -> str:
+    ctes, n = _kmeans_ctes(k, n_iter)
+    return (
+        f"WITH {ctes} SELECT cell_id, CAST(pos AS INT) AS pos, c FROM ("
+        f"SELECT cell_id, unnest(range(0, len(cent))) AS pos, unnest(cent) AS c"
+        f" FROM c{n})"
+    )
+
+
+def kmeans_summary_sql(k: int = KM_K, n_iter: int = KM_ITER) -> str:
+    ctes, n = _kmeans_ctes(k, n_iter)
+    return (
+        f"WITH {ctes} SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,"
+        f" CAST(sum(dist) AS BIGINT) AS inertia FROM a{n + 1} GROUP BY cell_id"
+    )

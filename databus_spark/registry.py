@@ -801,6 +801,40 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("kmeans_centroids", similarity.kmeans_centroids_sql())
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus, run in
+    fixed-point integers so the trained centroids are bit-identical
+    across engines (the clustering stage the SemDeDup paper assumes;
+    _ivf_centroids' hash-sample init is round 0). Per round: broadcast
+    centroids, map-side exact-bigint distances + scalar-key argmin, one
+    O(n) assignment shuffle + one O(n*dim) dimension-sum shuffle; no
+    driver state. Output: (cell_id, pos, c) — the final centroid
+    matrix, exact."""
+    from pyspark.sql import functions as F
+
+    cent = similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+    return (
+        cent.select("cell_id", F.posexplode("cent"))
+        .withColumnRenamed("col", "c")
+        .select("cell_id", "pos", "c")
+    )
+
+
+@query("kmeans_assign_summary", similarity.kmeans_summary_sql())
+def kmeans_assign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means assignment profile: members + exact integer
+    inertia (sum of squared fixed-point L2 distances) per trained
+    cell — the convergence/balance observability a clustering stage
+    feeds back to the pipeline."""
+    from pyspark.sql import functions as F
+
+    asg = similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+    return asg.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("inertia")
+    )
+
+
 @query("text_token_stats", text.TOKEN_STATS_SQL)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""

@@ -49,6 +49,7 @@ _WINDOW = [
     # (a) NEW this round — always first
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
+    "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
     "sql_surface_window_stats",
     "bpe_encode_corpus",  # subsumes the learn machinery: its oracle re-derives the rules and pins the full encoded sequence
     "media_dhash_dedup",
@@ -77,7 +78,6 @@ _WINDOW = [
     # (c) staleness backlog — last external green r5
     "as_of_join_events",
     "contamination_fraction",
-    "dedup_canonical",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
@@ -106,6 +106,7 @@ _WINDOW = [
 _REST = [
     "simhash_sketch",  # displaced by the kmeans rows: the simhash base is in-window via dedup_simhash_pairs
     "media_wav_probe",  # displaced: probe machinery shared with in-window media_png_probe
+    "dedup_canonical",  # displaced: exact-dedup machinery in-window via dedup_exact
     "media_dhash_clusters",  # new, but its star machinery is r7-green
     "media_dhash_incremental",  # new; probe machinery mirrors dedup_incremental_near (r7-green)
     "media_audio_near_pairs",  # new; same bithash machinery the window checks via media_dhash_near_pairs

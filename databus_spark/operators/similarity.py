@@ -1056,8 +1056,6 @@ def semdedup_survivors(
     the 100x soak: x100 "finished" 3x faster than x10 because zero
     cells survived the cap). The default stays SEM_CELLS for oracle
     parity at test SFs."""
-    from databus_spark.operators.dedup import dedup_clusters
-
     cent = _ivf_centroids(emb, id_col, vec_col, n_cells=n_cells)
     # lazy checkpoint: `assigned` feeds FOUR consumers (ok-cells agg,
     # pair sides a and b, the final corpus join) — without it the
@@ -1065,6 +1063,16 @@ def semdedup_survivors(
     # which is what kept the bench at ~7 s while the plan itself was
     # sound (r6 verdict, What's wrong #4)
     assigned = _ivf_assign(emb, cent, id_col, vec_col).localCheckpoint(eager=False)
+    return _semdedup_within_cells(assigned, threshold, id_col, vec_col)
+
+
+def _semdedup_within_cells(
+    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared SemDeDup tail over ANY cell assignment (hash-sample IVF or
+    trained k-means): population-capped within-cell cosine pairs,
+    transitive grouping, min-id survivor."""
+    from databus_spark.operators.dedup import dedup_clusters
 
     ok = (
         assigned.groupBy("cell_id")
@@ -1118,27 +1126,13 @@ def semdedup_survivors(
     )
 
 
-def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
-    from databus_spark.functions.hashes import portable_hash64_sql
-
-    h = portable_hash64_sql("vec_id", "'ivf'")
-    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+def _sem_within_sql(threshold: float) -> str:
+    """SQL twin of _semdedup_within_cells: the CTE tail (ok -> pairs ->
+    edges -> reach -> clusters -> final projection) over a previously
+    defined `assigned(vec_id, cell_id)` CTE. Callers must open with
+    WITH RECURSIVE (reach is the recursive component)."""
     sim = _cosine_sql("x.embedding", "y.embedding")
     return f"""
-        WITH RECURSIVE cent AS (
-            SELECT vec_id AS cell_id, embedding AS cell_vec
-            FROM embeddings ORDER BY {h}, vec_id LIMIT {SEM_CELLS}
-        ),
-        assigned AS (
-            SELECT vec_id, cell_id FROM (
-                SELECT v.vec_id, c.cell_id,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
-                       ) AS rnk
-                FROM embeddings v CROSS JOIN cent c
-            ) WHERE rnk = 1
-        ),
         ok AS (
             SELECT cell_id FROM assigned
             GROUP BY 1 HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_VECS}
@@ -1168,6 +1162,30 @@ def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
                coalesce(c.cluster_id, a.vec_id) AS cluster_id,
                coalesce(c.cluster_id, a.vec_id) = a.vec_id AS is_survivor
         FROM assigned a LEFT JOIN clusters c ON c.vec_id = a.vec_id
+    """
+
+
+def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    return f"""
+        WITH RECURSIVE cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {SEM_CELLS}
+        ),
+        assigned AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, c.cell_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                       ) AS rnk
+                FROM embeddings v CROSS JOIN cent c
+            ) WHERE rnk = 1
+        ),
+        {_sem_within_sql(threshold)}
     """
 
 
@@ -1236,24 +1254,34 @@ def _km_init(embq: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _km_assign(embq: DataFrame, cent: DataFrame, k: int) -> DataFrame:
-    """(vid, qv, cell_id, dist): nearest centroid per vector — centroids
-    broadcast, squared-L2 in exact bigints, argmin as a map-side-
-    combinable min over the scalar key dist*k + cell (ties -> lowest
-    cell, both engines identical)."""
+def _km_assign(
+    embq: DataFrame, cent: DataFrame, k: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vid, qv, *carry, cell_id, dist): nearest centroid per vector —
+    centroids broadcast, squared-L2 in exact bigints, argmin as a
+    map-side-combinable min over the scalar key dist*k + cell (ties ->
+    lowest cell, both engines identical). ``carry`` columns ride the
+    aggregation via first() (constant per vid)."""
     dist = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     key = dist * F.lit(k).cast("long") + F.col("cell_id").cast("long")
-    scored = embq.crossJoin(F.broadcast(cent)).select("vid", "qv", key.alias("_key"))
+    scored = embq.crossJoin(F.broadcast(cent)).select(
+        "vid", "qv", *carry, key.alias("_key")
+    )
     return (
         scored.groupBy("vid")
-        .agg(F.min("_key").alias("_key"), F.first("qv").alias("qv"))
+        .agg(
+            F.min("_key").alias("_key"),
+            F.first("qv").alias("qv"),
+            *[F.first(c).alias(c) for c in carry],
+        )
         .select(
             "vid",
             "qv",
+            *carry,
             (F.col("_key") % k).cast("int").alias("cell_id"),
             F.expr(f"_key div {int(k)}").alias("dist"),
         )
@@ -1371,4 +1399,65 @@ def kmeans_summary_sql(k: int = KM_K, n_iter: int = KM_ITER) -> str:
     return (
         f"WITH {ctes} SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,"
         f" CAST(sum(dist) AS BIGINT) AS inertia FROM a{n + 1} GROUP BY cell_id"
+    )
+
+
+# SemDeDup over TRAINED cells — the paper's actual pipeline shape
+# (arXiv:2303.09540 clusters with k-means, then dedups within clusters).
+SEM_TRAINED_K = 32     # same cell density the hash-sample variant uses
+SEM_TRAINED_ITER = 2
+
+
+def semdedup_trained_survivors(
+    emb: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    k: int = SEM_TRAINED_K,
+    n_iter: int = SEM_TRAINED_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with cells from the integer-exact Lloyd trainer instead
+    of the hash-sample init: train k centroids (kmeans_lloyd), assign
+    each vector to its nearest trained cell, then run the shared
+    within-cell cosine dedup tail. Trained cells follow the data's
+    density, so near-twins land in the same cell more reliably than
+    under sampled-point cells — the fidelity gap between the fast
+    variant and the paper. Same scale shape: all k-means rounds are
+    broadcast+map-side with bounded shuffles, the tail is
+    population-capped pair-gen."""
+    embq = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("_vec"),
+            _km_quant(F.col(vec_col)).alias("qv"),
+        )
+        .localCheckpoint(eager=False)  # quantization + scan run once
+    )
+    cent = _km_init(embq, k)
+    for _ in range(n_iter):
+        cent = _km_update(_km_assign(embq, cent, k))
+    assigned = (
+        _km_assign(embq, cent, k, carry=("_vec",))
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("_vec").alias(vec_col),
+            "cell_id",
+        )
+        # feeds FOUR consumers in the tail (ok agg, both pair sides,
+        # final corpus join) — same barrier rule as semdedup_survivors
+        .localCheckpoint(eager=False)
+    )
+    return _semdedup_within_cells(assigned, threshold, id_col, vec_col)
+
+
+def semdedup_trained_survivors_sql(
+    threshold: float = SEM_THRESHOLD,
+    k: int = SEM_TRAINED_K,
+    n_iter: int = SEM_TRAINED_ITER,
+) -> str:
+    ctes, n = _kmeans_ctes(k, n_iter)
+    return (
+        f"WITH RECURSIVE {ctes}, "
+        f"assigned AS (SELECT vid AS vec_id, cell_id FROM a{n + 1}), "
+        + _sem_within_sql(threshold)
     )

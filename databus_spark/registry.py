@@ -801,6 +801,20 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_survivors(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("semdedup_trained", similarity.semdedup_trained_survivors_sql())
+def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED k-means cells — the paper's actual
+    pipeline (arXiv:2303.09540 clusters with k-means, then dedups
+    within clusters); the fast variant (semdedup_survivors) substitutes
+    hash-sampled cells. Trained cells follow data density, so semantic
+    twins co-locate more reliably. Assignment + every Lloyd round are
+    broadcast/map-side; the dedup tail is the shared population-capped
+    pair-gen."""
+    return similarity.semdedup_trained_survivors(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 @query("kmeans_centroids", similarity.kmeans_centroids_sql())
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus, run in

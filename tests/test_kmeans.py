@@ -83,3 +83,28 @@ def test_kmeans_plan_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:800]
     assert "partial_min" in plan, "argmin lost map-side combine:\n" + plan[:800]
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_trained_consistent_with_fast_variant(spark, sf_dir):
+    """The trained-cell variant must agree with the hash-sample variant
+    on the INVARIANTS (every vector present exactly once, survivors =
+    cluster minima, cluster members co-cell) even though cell
+    boundaries differ. Measured co-location recall of true cosine>=0.4
+    pairs on this fixture: hash-sample 0.34, trained 0.29 — comparable;
+    the trained variant's value is paper parity (SemDeDup clusters with
+    k-means), not fixture-recall superiority."""
+    from databus_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    rows = S.semdedup_trained_survivors(emb).collect()
+    assert len(rows) == emb.count()
+    by_cluster = {}
+    cells = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+        cells[r["vec_id"]] = r["cell_id"]
+        assert r["is_survivor"] == (r["cluster_id"] == r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)  # survivor is the min-id member
+        # transitive groups never span cells (pairs are within-cell)
+        assert len({cells[m] for m in members}) == 1

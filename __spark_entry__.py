@@ -47,6 +47,9 @@ _WINDOW_SIZE = 50
 
 _WINDOW = [
     # (a) NEW this round — always first
+    "exactsubstr_spans",  # sliding-window ExactSubstr dedup (new this session)
+    "exactsubstr_dedup",
+    "exactsubstr_stats",
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -81,7 +84,6 @@ _WINDOW = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "dedup_span_windows",
     "length_histogram",
     "media_png_probe",
     "mixture_temperature_sample",
@@ -98,12 +100,13 @@ _WINDOW = [
     "stream_fetch_bounded",
     "text_fingerprint",
     "tfidf_top_terms",
-    "vocab_top_terms",
-    "zorder_events_key",
 ]
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "dedup_span_windows",  # displaced by the exactsubstr rows: same window-hash machinery, sliding variant now in-window
+    "vocab_top_terms",  # displaced: top-terms machinery in-window via tfidf_top_terms
+    "zorder_events_key",  # displaced: zorder manifest machinery in-window via zorder_box_read
     "simhash_sketch",  # displaced by the kmeans rows: the simhash base is in-window via dedup_simhash_pairs
     "media_wav_probe",  # displaced: probe machinery shared with in-window media_png_probe
     "dedup_canonical",  # displaced: exact-dedup machinery in-window via dedup_exact

@@ -1572,3 +1572,304 @@ def cdc_chunk_profile_sql(from_sql: str) -> str:
         FROM ch JOIN dfc USING (chunk)
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# 11. EXACT-SUBSTRING dedup (Lee et al., arXiv:2107.06499) — sliding windows
+# ---------------------------------------------------------------------------
+# The suffix-array ExactSubstr dedup, restated distributed: hash the
+# L-token window at EVERY position (sliding, unlike span_dedup_profile's
+# aligned non-overlapping segments — aligned windows miss duplicates at
+# different offsets, which is the common case for quoted/syndicated
+# text). Any duplicated substring of >= L tokens shares all of its
+# aligned L-windows between occurrences, so window-hash equality detects
+# exactly the >= L duplicated substrings, at granularity L. Overlapping
+# dup windows are merged into MAXIMAL spans (gaps-and-islands), and the
+# dedup variant cuts every occurrence except the globally first
+# ((doc_id, pos)-min, the paper's keep-one policy).
+#
+# Scale (100 TB): window generation is map-side O(n_tokens * L) CPU per
+# doc inside whole-stage codegen (no Python); the only shuffles are one
+# hash-agg on the 8-byte window hash (map-side partial), one join-back
+# keyed the same way (AQE handles hot boilerplate hashes; occurrences
+# join 1:1 to their hash row, never pairwise, so a window repeated 1e6
+# times costs 1e6 rows — not 1e12 pairs), and a per-doc window for the
+# island merge. The clean step never explodes tokens: removable spans
+# aggregate to a tiny per-doc array and a positional HOF filter drops
+# covered tokens in place.
+
+EXSUB_WIN = 8  # detection granularity in tokens (the paper uses 50 BPE
+               # tokens at web scale; 8 matches the fixture's ~50-token docs)
+
+
+def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
+    """(doc_id, pos, whash, occ_key): one row per sliding L-window.
+
+    pos is 1-based token index; occ_key packs (doc_id, pos) into one
+    long (doc_id << 32 | pos) so "globally first occurrence" is a plain
+    min both engines compute identically. Hashing happens INSIDE the
+    per-doc transform, so only 8-byte hashes are ever shuffled, never
+    window text."""
+    toks = tokens_col("text")
+    n_win = F.size(toks) - win + 1
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda p: portable_hash64(
+                F.array_join(F.slice(toks, p, win), "\x01"), seed=F.lit("xsub")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        docs.select("doc_id", F.posexplode(wins).alias("idx", "whash"))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).alias("pos"),
+            "whash",
+            (F.shiftleft(F.col("doc_id"), 32) + F.col("idx") + 1).alias("occ_key"),
+        )
+        # feeds the firsts agg AND the join-back: materialize the
+        # window explode once (the staged-index localCheckpoint rule)
+        .localCheckpoint(eager=False)
+    )
+
+
+def _exsub_islands(occ_dup: DataFrame, win: int) -> DataFrame:
+    """Merge overlapping/adjacent dup-window positions into maximal
+    token spans per doc. Windows [p, p+win-1] and [q, q+win-1] (p < q)
+    overlap or touch iff q - p <= win, so a new island starts when the
+    gap exceeds win. Returns (doc_id, span_start, span_end, n_windows)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > win, 1).otherwise(0)
+    return (
+        occ_dup.withColumn("_brk", brk)
+        .withColumn("_isl", F.sum("_brk").over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + win - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_isl")
+    )
+
+
+def exactsubstr_spans(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+    """Map of ALL duplicated >= win-token content: every occurrence of
+    every duplicated window (including the kept first one), merged into
+    maximal spans. (doc_id, span_start, span_end, span_tokens,
+    n_windows) in 1-based token indices."""
+    occ = _exsub_occurrences(docs, win)
+    dup = (
+        occ.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+    return _exsub_islands(occ.join(dup, "whash").select("doc_id", "pos"), win).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        "n_windows",
+    )
+
+
+def exactsubstr_dedup(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+    """Cut every duplicated >= win-token span except its globally first
+    occurrence (min (doc_id, pos)), the paper's keep-one policy.
+    Returns every doc: (doc_id, n_tokens, n_removed, clean_text), where
+    clean_text is the surviving tokens rejoined with single spaces
+    (whitespace-normalized, lowercased — the token domain all the dedup
+    operators share). In pathological self-overlapping repeats (period
+    < win) the cut can clip into the tail of the kept occurrence; both
+    engines apply the same greedy rule, and the paper accepts the same
+    approximation."""
+    occ = _exsub_occurrences(docs, win)
+    firsts = (
+        occ.groupBy("whash")
+        .agg(F.min("occ_key").alias("first_key"), F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+    removable = (
+        occ.join(firsts, "whash")
+        .where(F.col("occ_key") != F.col("first_key"))
+        .select("doc_id", "pos")
+    )
+    cuts = (
+        _exsub_islands(removable, win)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_cuts")
+        )
+    )
+    toks = tokens_col("text")
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_cuts"),
+            lambda s: (s["span_start"] <= i + 1) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .join(cuts, "doc_id", "left")
+        .withColumn("_cuts", F.coalesce(F.col("_cuts"), empty))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def exactsubstr_stats(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+    """Corpus rollup of the dedup: per source, how much of the token
+    mass is cut as duplicated. removed_frac uses the bigint micro-unit
+    floor-division (scaled numerator div total, THEN one IEEE divide) so
+    both engines round identically."""
+    per_doc = exactsubstr_dedup(docs, win).select("doc_id", "n_tokens", "n_removed")
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_removed").alias("removed_tokens"),
+        )
+        .withColumn(
+            "removed_frac",
+            (
+                F.expr("removed_tokens * 1000000 div total_tokens").cast("double")
+                / 1000000.0
+            ),
+        )
+    )
+
+
+def _exsub_occ_sql(from_sql: str, win: int) -> str:
+    whash = portable_hash64_sql(
+        f"array_to_string(toks[pos:pos+{win}-1], chr(1))", "'xsub'"
+    )
+    return f"""
+        base AS (
+            SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks
+            FROM ({from_sql})
+        ),
+        occ AS (
+            SELECT doc_id, pos, {whash} AS whash,
+                   (doc_id << 32) + pos AS occ_key
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {win} + 2)) AS pos
+                FROM base WHERE len(toks) >= {win}
+            )
+        )
+    """
+
+
+def _exsub_islands_sql(occ_dup_sql: str, win: int) -> str:
+    """gaps-and-islands over (doc_id, pos) rows -> spans CTE chain."""
+    return f"""
+        marks AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             > {win} THEN 1 ELSE 0 END AS brk
+            FROM ({occ_dup_sql})
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marks
+        ),
+        spans AS (
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {win} - 1 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, g
+        )
+    """
+
+
+def exactsubstr_spans_sql(from_sql: str, win: int = EXSUB_WIN) -> str:
+    occ = _exsub_occ_sql(from_sql, win)
+    islands = _exsub_islands_sql(
+        "SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (whash)", win
+    )
+    return f"""
+        WITH {occ},
+        dup AS (SELECT whash FROM occ GROUP BY 1 HAVING count(*) >= 2),
+        {islands}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_tokens, n_windows
+        FROM spans
+    """
+
+
+def _exsub_clean_ctes(from_sql: str, win: int) -> str:
+    """CTE chain ending in per-doc (doc_id, n_tokens, n_removed,
+    clean_text) as `clean` — shared by the dedup and stats oracles."""
+    occ = _exsub_occ_sql(from_sql, win)
+    islands = _exsub_islands_sql(
+        """SELECT o.doc_id, o.pos FROM occ o JOIN firsts f USING (whash)
+           WHERE o.occ_key <> f.first_key""",
+        win,
+    )
+    return f"""
+        {occ},
+        firsts AS (
+            SELECT whash, min(occ_key) AS first_key
+            FROM occ GROUP BY 1 HAVING count(*) >= 2
+        ),
+        {islands},
+        covered AS (
+            SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+            FROM spans
+        ),
+        toku AS (
+            SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+            FROM base
+        ),
+        keptu AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toku t LEFT JOIN covered c
+              ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ),
+        clean AS (
+            SELECT b.doc_id,
+                   CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(b.toks) - count(k.pos) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+            FROM base b LEFT JOIN keptu k USING (doc_id)
+            GROUP BY b.doc_id, b.toks
+        )
+    """
+
+
+def exactsubstr_dedup_sql(from_sql: str, win: int = EXSUB_WIN) -> str:
+    return f"""
+        WITH {_exsub_clean_ctes(from_sql, win)}
+        SELECT doc_id, n_tokens, n_removed, clean_text FROM clean
+    """
+
+
+def exactsubstr_stats_sql(from_sql: str, win: int = EXSUB_WIN) -> str:
+    return f"""
+        WITH {_exsub_clean_ctes(from_sql, win)}
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(c.n_removed) AS BIGINT) AS removed_tokens,
+               CAST((CAST(sum(c.n_removed) AS BIGINT) * 1000000)
+                    // CAST(sum(c.n_tokens) AS BIGINT) AS DOUBLE) / 1000000.0
+                   AS removed_frac
+        FROM clean c JOIN ({from_sql}) d USING (doc_id)
+        GROUP BY 1
+    """

@@ -626,6 +626,37 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cdc_chunk_profile(dedup.documents_with_dups(spark, sf_dir))
 
 
+@query("exactsubstr_spans", dedup.exactsubstr_spans_sql("SELECT * FROM documents"))
+def exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, detection half (Lee et al., arXiv:2107.06499):
+    maximal duplicated >= 8-token spans across the raw corpus, found by
+    hashing the sliding window at EVERY token position — unaligned
+    duplicates (quotes, syndication) that dedup_span_windows' aligned
+    segments miss. Map-side window hashing; shuffles only on the 8-byte
+    window hash; occurrences join 1:1 to hash rows, never pairwise."""
+    return dedup.exactsubstr_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query("exactsubstr_dedup", dedup.exactsubstr_dedup_sql("SELECT * FROM documents"))
+def exactsubstr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup, cut half: remove every duplicated >= 8-token
+    span except its globally-first occurrence (min (doc_id, pos) — the
+    paper's keep-one policy) and return each doc's cleaned text. The
+    clean step never explodes tokens: cut spans aggregate to a small
+    per-doc array and a positional HOF filter drops covered tokens in
+    place, so the output costs one broadcast-size join above the span
+    discovery."""
+    return dedup.exactsubstr_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query("exactsubstr_stats", dedup.exactsubstr_stats_sql("SELECT * FROM documents"))
+def exactsubstr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup of ExactSubstr dedup per source: docs, token mass,
+    removed duplicated-token mass, removed fraction (bigint micro-unit
+    floor division, cross-engine exact)."""
+    return dedup.exactsubstr_stats(load_table(spark, sf_dir, "documents"))
+
+
 @query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-shingle Jaccard >= 0.6 near-dup pairs via inverted-index join."""

@@ -50,6 +50,9 @@ _WINDOW = [
     "exactsubstr_spans",  # sliding-window ExactSubstr dedup (new this session)
     "exactsubstr_dedup",
     "exactsubstr_stats",
+    "dsir_feature_weights",  # DSIR importance selection (new this session)
+    "dsir_doc_scores",
+    "dsir_select_topk",
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -80,18 +83,15 @@ _WINDOW = [
     "value_histogram",
     # (c) staleness backlog — last external green r5
     "as_of_join_events",
-    "contamination_fraction",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "length_histogram",
     "media_png_probe",
     "mixture_temperature_sample",
     "oov_rate",
     "per_group_quota",
     "quality_topk_per_lang",
     "schema_key_compaction",
-    "schema_key_filter",
     "sequence_packing",
     "skew_salted_agg",
     "snapshot_diff",
@@ -104,6 +104,9 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "contamination_fraction",  # displaced by the dsir rows: decontaminate machinery in-window via decontaminate_vs_benchmark
+    "length_histogram",  # displaced: histogram machinery in-window via value_histogram
+    "schema_key_filter",  # displaced: schema-key machinery in-window via schema_key_compaction
     "dedup_span_windows",  # displaced by the exactsubstr rows: same window-hash machinery, sliding variant now in-window
     "vocab_top_terms",  # displaced: top-terms machinery in-window via tfidf_top_terms
     "zorder_events_key",  # displaced: zorder manifest machinery in-window via zorder_box_read

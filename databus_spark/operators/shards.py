@@ -402,3 +402,225 @@ def split_assign_sql(from_sql: str, id_col: str = "doc_id") -> str:
                     ELSE '{SPLIT_PCT[2][0]}' END AS split
         FROM ({from_sql})
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection (arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+# Data Selection with Importance Resampling: score every raw document by
+# how target-like its hashed n-gram feature distribution is, then keep
+# the top-scoring slice. Restated integer-exact for cross-engine
+# reproducibility: the paper's log-likelihood-ratio sum becomes a sum of
+# smoothed likelihood RATIOS in micro-units (one bigint floor-division
+# per feature — log replaced by the ratio keeps every step exact in
+# both engines; ranking quality is the same monotone signal family, and
+# the deterministic top-k replaces the paper's Gumbel resampling).
+#
+# Scale (100 TB): one token explode (map-side hash to DSIR_BUCKETS
+# buckets), ONE partial-agg shuffle builds the whole feature table
+# (DSIR_BUCKETS rows — counts for target and corpus in the same pass),
+# weights broadcast back onto the token stream, one per-doc sum. No
+# driver state; the feature table is O(buckets), never O(vocab).
+# Overflow bound: the weight numerator (c_t+1)*(t_r+B)*1e6 is computed
+# in DECIMAL(38,0) (DuckDB: HUGEINT) — 35 digits at 2.5e13 corpus
+# tokens; the final weight fits BIGINT while the target is >= ~1e-9
+# of the corpus.
+
+DSIR_BUCKETS = 256
+DSIR_SEED = "dsir"
+DSIR_TARGET_LANG = "en"  # the fixture's "target domain sample"
+DSIR_TOPK = 100
+
+
+def _dsir_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, f): one row per FEATURE instance — the paper's
+    hashed n-gram features are unigrams ++ bigrams (arXiv:2302.03169
+    §2.3) — hashed to its bucket. localCheckpointed: feeds BOTH the
+    feature-count agg and the per-doc scoring join."""
+    from databus_spark.operators.text import _ngrams
+
+    toks = tokens_col("text")
+    feats = F.concat(toks, _ngrams(toks, 2))
+    return (
+        docs.select("doc_id", "lang", F.explode(feats).alias("tok"))
+        .select(
+            "doc_id",
+            "lang",
+            (portable_hash64(F.col("tok"), seed=F.lit(DSIR_SEED)) % DSIR_BUCKETS)
+            .alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+_DSIR_W_EXPR = (
+    "CAST(((CAST(c_t AS DECIMAL(20,0)) + 1) * (t_r + {B}) * 1000000)"
+    " div ((CAST(c_r AS DECIMAL(20,0)) + 1) * (t_t + {B})) AS BIGINT)"
+)
+
+
+def dsir_feature_weights(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """Per-bucket smoothed likelihood ratio p_target/p_corpus in
+    micro-units: (f, c_target, c_corpus, weight_micro). Laplace +1 on
+    counts, +DSIR_BUCKETS on totals."""
+    tk = _dsir_tokens(docs)
+    cnt = tk.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum((F.col("lang") == target_lang).cast("long")).alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("f").cast("bigint").alias("f"),
+            F.col("c_t").alias("c_target"),
+            F.col("c_r").alias("c_corpus"),
+            F.expr(_DSIR_W_EXPR.format(B=DSIR_BUCKETS)).alias("weight_micro"),
+        )
+    )
+
+
+def dsir_doc_scores(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """(doc_id, lang, n_feats, score_micro, per_feat_micro): the DSIR
+    importance score — sum of per-feature-instance weights (unigrams ++
+    bigrams), plus the length-normalized form selection ranks on
+    (score div n_feats, another exact floor-division)."""
+    tk = _dsir_tokens(docs)
+    w = dsir_feature_weights(docs, target_lang).select("f", "weight_micro")
+    # NOTE: w re-derives from its own _dsir_tokens call — cheap at the
+    # 256-row output, and keeping the two entry points independent lets
+    # the driver check the weight table in isolation. For a fused
+    # pipeline reuse tk: the counts agg reads the same checkpoint.
+    return (
+        tk.join(F.broadcast(w), "f")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("weight_micro").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "score_micro",
+            F.expr("score_micro div n_feats").alias("per_feat_micro"),
+        )
+    )
+
+
+def dsir_select_topk(
+    docs: DataFrame, k: int = DSIR_TOPK, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """Deterministic top-k selection by length-normalized DSIR score
+    (ties -> lowest doc_id). orderBy+limit is Spark's distributed
+    TakeOrdered — per-partition top-k then a k-row merge, never a
+    global sort; the rank window runs AFTER the limit, over k rows."""
+    scored = dsir_doc_scores(docs, target_lang)
+    top = scored.orderBy(F.desc("per_feat_micro"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("per_feat_micro"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "lang",
+        "n_feats",
+        "per_feat_micro",
+    )
+
+
+def _dsir_ctes(from_sql: str, target_lang: str) -> str:
+    h = portable_hash64_sql("tok", f"'{DSIR_SEED}'")
+    B = DSIR_BUCKETS
+    w_expr = (
+        f"CAST(((CAST(c_t AS HUGEINT) + 1) * (t_r + {B}) * 1000000)"
+        f" // ((CAST(c_r AS HUGEINT) + 1) * (t_t + {B})) AS BIGINT)"
+    )
+    return f"""
+        tk AS (
+            SELECT doc_id, lang, ({h}) % {B} AS f
+            FROM (
+                SELECT doc_id, lang, unnest(feats) AS tok
+                FROM (
+                    SELECT doc_id, lang,
+                           t || CASE WHEN len(t) >= 2 THEN list_transform(
+                                    range(0, len(t) - 1),
+                                    i -> array_to_string(t[i+1:i+2], ' '))
+                                ELSE [] END AS feats
+                    FROM (SELECT doc_id, lang,
+                                 {TOKENS_SQL.format(col='text')} AS t
+                          FROM ({from_sql}))
+                )
+            )
+        ),
+        cnt AS (
+            SELECT f,
+                   CAST(count(*) AS BIGINT) AS c_r,
+                   CAST(sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_t
+            FROM tk GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(c_r) AS BIGINT) AS t_r,
+                   CAST(sum(c_t) AS BIGINT) AS t_t
+            FROM cnt
+        ),
+        w AS (
+            SELECT f, c_t, c_r, {w_expr} AS weight_micro
+            FROM cnt, tot
+        )
+    """
+
+
+def dsir_feature_weights_sql(
+    from_sql: str, target_lang: str = DSIR_TARGET_LANG
+) -> str:
+    return f"""
+        WITH {_dsir_ctes(from_sql, target_lang)}
+        SELECT CAST(f AS BIGINT) AS f, c_t AS c_target, c_r AS c_corpus,
+               weight_micro
+        FROM w
+    """
+
+
+def _dsir_scores_sql(from_sql: str, target_lang: str) -> str:
+    return f"""
+        {_dsir_ctes(from_sql, target_lang)},
+        scored AS (
+            SELECT tk.doc_id, tk.lang,
+                   CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(sum(w.weight_micro) AS BIGINT) AS score_micro
+            FROM tk JOIN w USING (f)
+            GROUP BY 1, 2
+        ),
+        final AS (
+            SELECT doc_id, lang, n_feats, score_micro,
+                   score_micro // n_feats AS per_feat_micro
+            FROM scored
+        )
+    """
+
+
+def dsir_doc_scores_sql(from_sql: str, target_lang: str = DSIR_TARGET_LANG) -> str:
+    return f"""
+        WITH {_dsir_scores_sql(from_sql, target_lang)}
+        SELECT doc_id, lang, n_feats, score_micro, per_feat_micro FROM final
+    """
+
+
+def dsir_select_topk_sql(
+    from_sql: str, k: int = DSIR_TOPK, target_lang: str = DSIR_TARGET_LANG
+) -> str:
+    return f"""
+        WITH {_dsir_scores_sql(from_sql, target_lang)}
+        SELECT CAST(row_number() OVER (ORDER BY per_feat_micro DESC, doc_id ASC)
+                    AS BIGINT) AS rank,
+               doc_id, lang, n_feats, per_feat_micro
+        FROM final
+        ORDER BY per_feat_micro DESC, doc_id ASC
+        LIMIT {k}
+    """

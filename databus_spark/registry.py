@@ -1104,6 +1104,46 @@ def curation_decisions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dsir_feature_weights",
+    shards.dsir_feature_weights_sql("SELECT * FROM documents"),
+)
+def dsir_feature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (arXiv:2302.03169), stage 1: per-bucket
+    smoothed likelihood ratio p_target/p_corpus over hashed
+    unigram+bigram features, in exact bigint micro-units (the paper's
+    log-ratio restated as a ratio so both engines floor-divide
+    identically; DECIMAL(38)/HUGEINT intermediates bound overflow to
+    >= 1e13-token corpora). One partial-agg shuffle builds the whole
+    256-row table — target and corpus counts in the same pass."""
+    return shards.dsir_feature_weights(load_table(spark, sf_dir, "documents"))
+
+
+@query("dsir_doc_scores", shards.dsir_doc_scores_sql("SELECT * FROM documents"))
+def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 2: per-doc importance score — the feature stream joins
+    the broadcast 256-row weight table and sums per doc; the
+    length-normalized form (score div n_feats) is the selection key.
+    NOTE the fixture's five langs share one 31-word lexicon (measured),
+    so separation here is structurally ~flat; discrimination is pinned
+    on a planted bimodal corpus in tests/test_dsir.py."""
+    return shards.dsir_doc_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dsir_select_topk",
+    shards.dsir_select_topk_sql("SELECT * FROM documents"),
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR stage 3: deterministic top-k selection by normalized score
+    (ties -> lowest doc_id) — orderBy+limit is Spark's distributed
+    TakeOrdered (per-partition top-k, k-row merge, no global sort); the
+    rank window runs after the limit over k rows. The paper's Gumbel
+    resampling is replaced by the deterministic top-k so the oracle can
+    pin every selected row."""
+    return shards.dsir_select_topk(load_table(spark, sf_dir, "documents"))
+
+
 @query("stratified_sample", shards.stratified_sample_sql())
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum-rate sample (ceil(rate*n) lowest-hash rows per

@@ -1607,27 +1607,33 @@ def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
 
     pos is 1-based token index; occ_key packs (doc_id, pos) into one
     long (doc_id << 32 | pos) so "globally first occurrence" is a plain
-    min both engines compute identically. Hashing happens INSIDE the
-    per-doc transform, so only 8-byte hashes are ever shuffled, never
-    window text."""
+    min both engines compute identically. Only 8-byte hashes are ever
+    shuffled, never window text.
+
+    Plan note: positions explode FIRST and the window hash is a
+    top-level expression over (toks, pos) — lambda HOFs are interpreted
+    per element (SCALE.md perf rule), and hashing inside transform()
+    measured 4x slower than this form, where slice+join+md5 compile
+    into the Generate's WholeStageCodegen. The token array rides the
+    Generate only inside that fused stage; the projection drops it
+    before anything materializes."""
     toks = tokens_col("text")
-    n_win = F.size(toks) - win + 1
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda p: portable_hash64(
-                F.array_join(F.slice(toks, p, win), "\x01"), seed=F.lit("xsub")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    base = docs.select("doc_id", toks.alias("_toks")).where(F.size(toks) >= win)
+    pos = base.select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks") - win + 1)).alias("pos"),
+    )
+    whash = portable_hash64(
+        F.array_join(F.slice(F.col("_toks"), F.col("pos"), win), "\x01"),
+        seed=F.lit("xsub"),
+    )
     return (
-        docs.select("doc_id", F.posexplode(wins).alias("idx", "whash"))
-        .select(
+        pos.select(
             "doc_id",
-            (F.col("idx") + 1).alias("pos"),
-            "whash",
-            (F.shiftleft(F.col("doc_id"), 32) + F.col("idx") + 1).alias("occ_key"),
+            "pos",
+            whash.alias("whash"),
+            (F.shiftleft(F.col("doc_id"), 32) + F.col("pos")).alias("occ_key"),
         )
         # feeds the firsts agg AND the join-back: materialize the
         # window explode once (the staged-index localCheckpoint rule)

@@ -1067,11 +1067,22 @@ def semdedup_survivors(
 
 
 def _semdedup_within_cells(
-    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    report: DataFrame | None = None,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
-    """Shared SemDeDup tail over ANY cell assignment (hash-sample IVF or
-    trained k-means): population-capped within-cell cosine pairs,
-    transitive grouping, min-id survivor."""
+    """Shared SemDeDup tail over ANY cell assignment (hash-sample IVF,
+    trained k-means, or multi-probe top-p): population-capped
+    within-cell cosine pairs, transitive grouping, min-id survivor.
+
+    ``report`` is the one-row-per-vector frame the final projection
+    joins (defaults to ``assigned``; multi-probe passes the rank-1
+    assignment so output stays one row per vector while pairs generate
+    over every probed cell). ``distinct_pairs`` dedups pair rows — only
+    needed when a pair can share more than one cell (multi-probe)."""
     from databus_spark.operators.dedup import dedup_clusters
 
     ok = (
@@ -1109,11 +1120,14 @@ def _semdedup_within_cells(
         .where(F.col("sim") >= threshold)
         .select("doc_a", "doc_b")
     )
+    if distinct_pairs:
+        pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
     clusters = dedup_clusters(pairs).select(
         F.col("doc_id").alias(id_col), "cluster_id"
     )
+    rep = assigned if report is None else report
     return (
-        assigned.select(id_col, "cell_id")
+        rep.select(id_col, "cell_id")
         .join(clusters, id_col, "left")
         .select(
             id_col,
@@ -1126,19 +1140,24 @@ def _semdedup_within_cells(
     )
 
 
-def _sem_within_sql(threshold: float) -> str:
+def _sem_within_sql(
+    threshold: float, report_cte: str = "assigned", distinct_pairs: bool = False
+) -> str:
     """SQL twin of _semdedup_within_cells: the CTE tail (ok -> pairs ->
     edges -> reach -> clusters -> final projection) over a previously
     defined `assigned(vec_id, cell_id)` CTE. Callers must open with
-    WITH RECURSIVE (reach is the recursive component)."""
+    WITH RECURSIVE (reach is the recursive component). ``report_cte``
+    is the one-row-per-vector CTE the final projection reads
+    (multi-probe passes its rank-1 CTE)."""
     sim = _cosine_sql("x.embedding", "y.embedding")
+    distinct = "DISTINCT " if distinct_pairs else ""
     return f"""
         ok AS (
             SELECT cell_id FROM assigned
             GROUP BY 1 HAVING count(*) BETWEEN 2 AND {MAX_BUCKET_VECS}
         ),
         pairs AS (
-            SELECT p.vec_id AS doc_a, q.vec_id AS doc_b
+            SELECT {distinct}p.vec_id AS doc_a, q.vec_id AS doc_b
             FROM (SELECT a.* FROM assigned a JOIN ok USING (cell_id)) p
             JOIN (SELECT a.* FROM assigned a JOIN ok USING (cell_id)) q
               ON p.cell_id = q.cell_id AND p.vec_id < q.vec_id
@@ -1161,7 +1180,7 @@ def _sem_within_sql(threshold: float) -> str:
         SELECT a.vec_id, a.cell_id,
                coalesce(c.cluster_id, a.vec_id) AS cluster_id,
                coalesce(c.cluster_id, a.vec_id) = a.vec_id AS is_survivor
-        FROM assigned a LEFT JOIN clusters c ON c.vec_id = a.vec_id
+        FROM {report_cte} a LEFT JOIN clusters c ON c.vec_id = a.vec_id
     """
 
 
@@ -1186,6 +1205,89 @@ def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
             ) WHERE rnk = 1
         ),
         {_sem_within_sql(threshold)}
+    """
+
+
+SEM_NPROBE = 2  # cells per vector under multi-probe
+
+
+def semdedup_multiprobe_survivors(
+    emb: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    n_cells: int = SEM_CELLS,
+    n_probe: int = SEM_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with MULTI-PROBE cell assignment: each vector joins its
+    top-``n_probe`` cells for pair generation (output stays one row per
+    vector, reported under its rank-1 cell). Single-assignment cells are
+    the family's measured recall cap — near-twins straddling a cell
+    boundary never meet (r8 fixture measurement: 0.34 co-location recall
+    hash-sample, 0.29 trained); probing the runner-up cell is the
+    standard IVF fix and the production lever SCALE.md names.
+
+    Scale shape unchanged: centroids broadcast, scoring map-side; top-p
+    selection is a per-vector collect over N_CELLS scored rows
+    (bounded, map-side-combinable); pair-gen fan-out doubles (2 rows
+    per vector) but stays population-capped per cell; pairs sharing
+    both probed cells dedup before clustering."""
+    cent = _ivf_centroids(emb, id_col, vec_col, n_cells=n_cells)
+    scored = _ivf_scored(emb, cent, id_col, vec_col)
+    top = (
+        scored.groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cell_sim")).alias("s"),
+                            F.col("cell_id").alias("c"),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("_top"),
+            F.first(vec_col).alias(vec_col),
+        )
+        # feeds BOTH the exploded assignment and the rank-1 report
+        .localCheckpoint(eager=False)
+    )
+    assigned = (
+        top.select(id_col, vec_col, F.explode(F.col("_top.c")).alias("cell_id"))
+        # four consumers in the tail (ok agg, pair sides a+b, norms)
+        .localCheckpoint(eager=False)
+    )
+    report = top.select(id_col, F.element_at("_top", 1)["c"].alias("cell_id"))
+    return _semdedup_within_cells(
+        assigned, threshold, id_col, vec_col, report=report, distinct_pairs=True
+    )
+
+
+def semdedup_multiprobe_sql(
+    threshold: float = SEM_THRESHOLD, n_probe: int = SEM_NPROBE
+) -> str:
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    return f"""
+        WITH RECURSIVE cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {SEM_CELLS}
+        ),
+        ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS rnk
+            FROM embeddings v CROSS JOIN cent c
+        ),
+        assigned AS (SELECT vec_id, cell_id FROM ranked WHERE rnk <= {n_probe}),
+        report AS (SELECT vec_id, cell_id FROM ranked WHERE rnk = 1),
+        {_sem_within_sql(threshold, report_cte="report", distinct_pairs=True)}
     """
 
 

@@ -50,9 +50,11 @@ _WINDOW = [
     "exactsubstr_spans",  # sliding-window ExactSubstr dedup (new this session)
     "exactsubstr_dedup",
     "exactsubstr_stats",
+    "exactsubstr_incremental",
     "dsir_feature_weights",  # DSIR importance selection (new this session)
     "dsir_doc_scores",
     "dsir_select_topk",
+    "mixture_waterfill",  # budget-constrained mixing (new this session)
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -87,9 +89,7 @@ _WINDOW = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "media_png_probe",
     "mixture_temperature_sample",
-    "oov_rate",
     "per_group_quota",
     "quality_topk_per_lang",
     "schema_key_compaction",
@@ -104,6 +104,8 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "media_png_probe",  # displaced by the incremental-exactsubstr row: PNG codec machinery in-window via media_dhash_dedup
+    "oov_rate",  # displaced by the waterfill row: token_stats machinery in-window via several text rows
     "sparse_tfidf_pairs",  # displaced by the multiprobe row: tfidf machinery in-window via tfidf_top_terms + text_fingerprint
     "contamination_fraction",  # displaced by the dsir rows: decontaminate machinery in-window via decontaminate_vs_benchmark
     "length_histogram",  # displaced: histogram machinery in-window via value_histogram

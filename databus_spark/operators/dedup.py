@@ -1702,6 +1702,13 @@ def exactsubstr_dedup(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
         .where(F.col("occ_key") != F.col("first_key"))
         .select("doc_id", "pos")
     )
+    return _exsub_cut(docs, removable, win)
+
+
+def _exsub_cut(docs: DataFrame, removable: DataFrame, win: int) -> DataFrame:
+    """Shared cut tail: merge removable window positions into spans,
+    aggregate to a small per-doc array, and drop covered tokens with a
+    positional HOF filter — never a token explode."""
     cuts = (
         _exsub_islands(removable, win)
         .groupBy("doc_id")
@@ -1731,6 +1738,38 @@ def exactsubstr_dedup(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
             F.array_join(kept, " ").alias("clean_text"),
         )
     )
+
+
+def exactsubstr_base_hashes(base: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+    """Distinct window hashes of the base corpus — the
+    materialize-at-ingest artifact the incremental check probes
+    (append-only per ingested batch at production scale, like the
+    banded-LSH base index)."""
+    return _exsub_occurrences(base, win).select("whash").distinct()
+
+
+def exactsubstr_incremental(
+    incoming: DataFrame,
+    base: DataFrame,
+    win: int = EXSUB_WIN,
+    base_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Rolling-ingestion ExactSubstr: every >= win-token span of an
+    incoming doc ALREADY PRESENT in the base corpus is cut (base always
+    wins — no first-occurrence contest, the incremental complement of
+    exactsubstr_dedup). The base is never re-hashed when ``base_hashes``
+    is passed (the staged index); the delta probe is one equi-join on
+    the 8-byte window hash. Incoming docs dedup only against the base
+    here — in-batch duplicates are exactsubstr_dedup's job on the
+    admitted survivors."""
+    if base_hashes is None:
+        base_hashes = exactsubstr_base_hashes(base, win)
+    removable = (
+        _exsub_occurrences(incoming, win)
+        .join(base_hashes, "whash")
+        .select("doc_id", "pos")
+    )
+    return _exsub_cut(incoming, removable, win)
 
 
 def exactsubstr_stats(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
@@ -1818,21 +1857,13 @@ def exactsubstr_spans_sql(from_sql: str, win: int = EXSUB_WIN) -> str:
     """
 
 
-def _exsub_clean_ctes(from_sql: str, win: int) -> str:
-    """CTE chain ending in per-doc (doc_id, n_tokens, n_removed,
-    clean_text) as `clean` — shared by the dedup and stats oracles."""
-    occ = _exsub_occ_sql(from_sql, win)
-    islands = _exsub_islands_sql(
-        """SELECT o.doc_id, o.pos FROM occ o JOIN firsts f USING (whash)
-           WHERE o.occ_key <> f.first_key""",
-        win,
-    )
+def _exsub_cut_sql(removable_sql: str, win: int) -> str:
+    """The cut chain (islands -> covered -> token unnest -> kept ->
+    clean) over an existing `base(doc_id, toks)` CTE and a removable
+    (doc_id, pos) SELECT — shared by the in-corpus and incremental
+    oracles."""
+    islands = _exsub_islands_sql(removable_sql, win)
     return f"""
-        {occ},
-        firsts AS (
-            SELECT whash, min(occ_key) AS first_key
-            FROM occ GROUP BY 1 HAVING count(*) >= 2
-        ),
         {islands},
         covered AS (
             SELECT DISTINCT doc_id, unnest(range(span_start, span_end + 1)) AS pos
@@ -1856,6 +1887,54 @@ def _exsub_clean_ctes(from_sql: str, win: int) -> str:
             FROM base b LEFT JOIN keptu k USING (doc_id)
             GROUP BY b.doc_id, b.toks
         )
+    """
+
+
+def _exsub_clean_ctes(from_sql: str, win: int) -> str:
+    """CTE chain ending in per-doc (doc_id, n_tokens, n_removed,
+    clean_text) as `clean` — shared by the dedup and stats oracles."""
+    occ = _exsub_occ_sql(from_sql, win)
+    cut = _exsub_cut_sql(
+        """SELECT o.doc_id, o.pos FROM occ o JOIN firsts f USING (whash)
+           WHERE o.occ_key <> f.first_key""",
+        win,
+    )
+    return f"""
+        {occ},
+        firsts AS (
+            SELECT whash, min(occ_key) AS first_key
+            FROM occ GROUP BY 1 HAVING count(*) >= 2
+        ),
+        {cut}
+    """
+
+
+def exactsubstr_incremental_sql(
+    incoming_from_sql: str, base_from_sql: str, win: int = EXSUB_WIN
+) -> str:
+    whash = portable_hash64_sql(
+        f"array_to_string(toks[pos:pos+{win}-1], chr(1))", "'xsub'"
+    )
+    occ = _exsub_occ_sql(incoming_from_sql, win)
+    cut = _exsub_cut_sql(
+        "SELECT o.doc_id, o.pos FROM occ o JOIN bocc USING (whash)", win
+    )
+    return f"""
+        WITH {occ},
+        bbase AS (
+            SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks
+            FROM ({base_from_sql})
+        ),
+        bocc AS (
+            SELECT DISTINCT {whash} AS whash
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {win} + 2)) AS pos
+                FROM bbase WHERE len(toks) >= {win}
+            )
+        ),
+        {cut}
+        SELECT doc_id, n_tokens, n_removed, clean_text FROM clean
     """
 
 

@@ -624,3 +624,114 @@ def dsir_select_topk_sql(
         ORDER BY per_feat_micro DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation (budget-constrained data mixing)
+# ---------------------------------------------------------------------------
+# The complement of mixture_temperature_sample: given a TOTAL token
+# budget, allocate per-source quotas by water-filling — every source
+# gets min(its tokens, L) where the level L is the largest integer that
+# keeps the total inside budget. Small sources are fully admitted; big
+# sources are capped at one common level — the standard epoch-budgeting
+# shape for pretraining mixtures.
+#
+# Exact integer construction (identical both engines): sort sources by
+# token count asc; rank-r source is FULLY satisfied iff
+# P_{r-1} + (n-r+1)*c_r <= B (giving everyone from rank r up at least
+# c_r fits). k = count of satisfied ranks (monotone), then
+# L = (B - P_k) div (n - k); quota = least(c, L). Everything bigint —
+# (n-r+1)*c_r stays < 2^63 up to ~1e4 sources of ~1e13 tokens.
+#
+# Scale: one map-side-combinable token-count agg per source (sources
+# are few), then all window math runs over the n-row counts frame —
+# the single-partition window is over SOURCES, not rows, same bounded
+# shape mixture_temperature_sample documents.
+
+WATERFILL_BUDGET_PPM = 500_000  # budget = half the corpus token mass
+
+
+def mixture_waterfill(
+    docs: DataFrame,
+    group_col: str = "source",
+    budget_ppm: int = WATERFILL_BUDGET_PPM,
+) -> DataFrame:
+    """(source, n_tokens, quota_tokens, is_capped): water-filled token
+    quotas under budget = total_tokens * budget_ppm / 1e6 (floored)."""
+    counts = docs.groupBy(group_col).agg(
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("c")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("c", group_col)
+    ranked = counts.select(
+        group_col,
+        "c",
+        F.row_number().over(w_ord).alias("r"),
+        F.sum("c").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.expr(f"sum(c) OVER () * {budget_ppm} div 1000000").alias("b"),
+    )
+    sat = ranked.withColumn(
+        "ok", (F.col("p") - F.col("c")) + (F.col("n") - F.col("r") + 1) * F.col("c") <= F.col("b")
+    )
+    lvl = sat.select(
+        group_col,
+        "c",
+        "ok",
+        F.sum(F.col("ok").cast("long")).over(w_all).alias("k"),
+        F.sum(F.when(F.col("ok"), F.col("c")).otherwise(0)).over(w_all).alias("pk"),
+        "n",
+        "b",
+    ).withColumn(
+        "lvl",
+        F.when(
+            F.col("k") < F.col("n"),
+            F.expr("(b - pk) div (n - k)"),
+        ).otherwise(F.col("c")),
+    )
+    return lvl.select(
+        group_col,
+        F.col("c").alias("n_tokens"),
+        F.least(F.col("c"), F.col("lvl")).alias("quota_tokens"),
+        (F.col("c") > F.col("lvl")).alias("is_capped"),
+    )
+
+
+def mixture_waterfill_sql(
+    from_sql: str,
+    group_col: str = "source",
+    budget_ppm: int = WATERFILL_BUDGET_PPM,
+) -> str:
+    return f"""
+        WITH counts AS (
+            SELECT {group_col},
+                   CAST(sum(len({TOKENS_SQL.format(col='text')})) AS BIGINT) AS c
+            FROM ({from_sql}) GROUP BY 1
+        ),
+        ranked AS (
+            SELECT {group_col}, c,
+                   row_number() OVER (ORDER BY c, {group_col}) AS r,
+                   sum(c) OVER (ORDER BY c, {group_col}
+                                ROWS UNBOUNDED PRECEDING) AS p,
+                   count(*) OVER () AS n,
+                   sum(c) OVER () * {budget_ppm} // 1000000 AS b
+            FROM counts
+        ),
+        sat AS (
+            SELECT *, (p - c) + (n - r + 1) * c <= b AS ok FROM ranked
+        ),
+        lvl AS (
+            SELECT {group_col}, c, ok,
+                   sum(CASE WHEN ok THEN 1 ELSE 0 END) OVER () AS k,
+                   sum(CASE WHEN ok THEN c ELSE 0 END) OVER () AS pk,
+                   n, b
+            FROM sat
+        )
+        SELECT {group_col},
+               c AS n_tokens,
+               CAST(least(c, CASE WHEN k < n THEN (b - pk) // (n - k) ELSE c END)
+                    AS BIGINT) AS quota_tokens,
+               c > CASE WHEN k < n THEN (b - pk) // (n - k) ELSE c END
+                   AS is_capped
+        FROM lvl
+    """

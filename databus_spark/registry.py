@@ -657,6 +657,50 @@ def exactsubstr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exactsubstr_stats(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "exactsubstr_incremental",
+    dedup.exactsubstr_incremental_sql(
+        f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",
+        "SELECT * FROM documents",
+    ),
+)
+def exactsubstr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingestion ExactSubstr: incoming docs' >= 8-token spans
+    already present in the base corpus are cut (base always wins). The
+    base window-hash set is the materialize-at-ingest artifact — staged
+    once (content-fingerprinted, file-locked) and probed by one
+    equi-join on the 8-byte hash; the base corpus is never re-hashed.
+    The sliding property shows here: the first-token-dropped edited
+    copies are fully cut (every one of their windows is a base window),
+    which the aligned-window profile structurally misses."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    base = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(
+        base.withColumn(
+            "_tcrc",
+            F.crc32(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).cast(
+                    "binary"
+                )
+            ),
+        ),
+        "doc_id",
+        "n_chars",
+        "_tcrc",
+    )
+
+    def build(d: str) -> None:
+        dedup.exactsubstr_base_hashes(base).write.parquet(os.path.join(d, "whash"))
+
+    idx_dir = _staged_artifact(
+        "databus_xsubidx", sf_dir, fingerprint, build, version="xsub-v1"
+    )
+    base_hashes = spark.read.parquet(os.path.join(idx_dir, "whash"))
+    return dedup.exactsubstr_incremental(incoming, base, base_hashes=base_hashes)
+
+
 @query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-shingle Jaccard >= 0.6 near-dup pairs via inverted-index join."""
@@ -1157,6 +1201,17 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resampling is replaced by the deterministic top-k so the oracle can
     pin every selected row."""
     return shards.dsir_select_topk(load_table(spark, sf_dir, "documents"))
+
+
+@query("mixture_waterfill", shards.mixture_waterfill_sql("SELECT * FROM documents"))
+def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained data mixing: water-filled per-source token
+    quotas under budget = half the corpus token mass. Small sources
+    admit fully; big sources cap at one common level L — the exact
+    integer construction (sorted prefix sums, bigint floor-divisions)
+    is identical in both engines. One map-side token-count agg per
+    source; window math runs over the n-source frame only."""
+    return shards.mixture_waterfill(load_table(spark, sf_dir, "documents"))
 
 
 @query("stratified_sample", shards.stratified_sample_sql())

@@ -91,3 +91,44 @@ def test_clean_plan_never_explodes_tokens(spark, sf_dir):
     plan = D.exactsubstr_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") <= 2, plan[:1200]  # posexplode + its codegen echo
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_cuts_against_base_only(spark):
+    """Incoming content already in the base is cut even at a shifted
+    offset; incoming-only duplication is NOT this operator's job
+    (in-batch dedup belongs to exactsubstr_dedup on the survivors)."""
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    base = spark.createDataFrame(
+        [(1, f"intro words {shared} outro")], "doc_id long, text string"
+    )
+    rep = "one two three four five six seven eight nine ten eleven twelve"
+    incoming = spark.createDataFrame(
+        [
+            (10, f"prefix {shared} suffix tokens"),  # base content, new offset
+            (11, rep),   # duplicated only WITHIN the batch
+            (12, rep),
+            (13, "totally fresh text with nothing shared anywhere at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.exactsubstr_incremental(incoming, base, win=8).collect()}
+    assert out[10]["n_removed"] == 12  # exactly the shared sentence
+    assert "quick" not in out[10]["clean_text"]
+    assert out[10]["clean_text"].startswith("prefix") and out[10]["clean_text"].endswith("suffix tokens")
+    # in-batch dups untouched by the incremental check
+    assert out[11]["n_removed"] == 0 and out[12]["n_removed"] == 0
+    assert out[13]["n_removed"] == 0
+
+
+def test_incremental_staged_index_equals_inline(spark, sf_dir):
+    """Passing a pre-staged base hash set must be result-identical to
+    inline hashing (the staging is a pure materialization)."""
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    incoming = D.documents_with_dups(spark, sf_dir).where("doc_id >= 1000000")
+    inline = D.exactsubstr_incremental(incoming, docs)
+    staged = D.exactsubstr_incremental(
+        incoming, docs, base_hashes=D.exactsubstr_base_hashes(docs)
+    )
+    a = {tuple(r) for r in inline.collect()}
+    b = {tuple(r) for r in staged.collect()}
+    assert a == b and a

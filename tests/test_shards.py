@@ -234,3 +234,37 @@ def test_ivf_pruning_pays_off_on_clustered_embeddings(spark, sf_dir):
     assert clustered_recall >= 0.8, (clustered_recall, iso_recall)
     assert clustered_recall > iso_recall, (clustered_recall, iso_recall)
     assert scan_fraction <= 0.6, scan_fraction
+
+
+def test_waterfill_planted_level(spark):
+    """Hand-checkable water level: sources with 10/20/100/200 tokens,
+    budget = half of 330 = 165. Satisfied: 10, 20 (P2=30, remaining
+    2 sources at level L = (165-30) div 2 = 67). Quotas: 10, 20, 67,
+    67 = 164; remainder 1 < n."""
+    from databus_spark.operators.shards import mixture_waterfill
+
+    rows = []
+    for src, n in (("a", 10), ("b", 20), ("c", 100), ("d", 200)):
+        rows.append((hash(src) % 100, "tok " * n, src))
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, (t, s) in enumerate((r[1], r[2]) for r in rows)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in mixture_waterfill(docs).collect()}
+    assert out["a"]["quota_tokens"] == 10 and not out["a"]["is_capped"]
+    assert out["b"]["quota_tokens"] == 20 and not out["b"]["is_capped"]
+    assert out["c"]["quota_tokens"] == 67 and out["c"]["is_capped"]
+    assert out["d"]["quota_tokens"] == 67 and out["d"]["is_capped"]
+
+
+def test_waterfill_uncapped_when_budget_covers_all(spark):
+    """budget_ppm=1e6 -> everyone fully admitted, nobody capped."""
+    from databus_spark.operators.shards import mixture_waterfill
+
+    docs = spark.createDataFrame(
+        [(1, "x y z", "a"), (2, "p q", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_waterfill(docs, budget_ppm=1_000_000).collect()
+    for r in out:
+        assert r["quota_tokens"] == r["n_tokens"] and not r["is_capped"]

@@ -144,6 +144,23 @@ def fam_exact_dedup(spark, docs, emb, sf_dir):
     dedup.exact_dedup(docs).write.format("noop").mode("overwrite").save()
 
 
+def fam_exactsubstr(spark, docs, emb, sf_dir):
+    # no cap knob to outgrow: occurrence counting is a pure agg and the
+    # join-back is 1:1 — the family the scale-knob comment above does
+    # NOT apply to, which is itself worth measuring
+    from databus_spark.operators import dedup
+
+    dedup.exactsubstr_dedup(docs).write.format("noop").mode("overwrite").save()
+
+
+def fam_dsir(spark, docs, emb, sf_dir):
+    # weight table is O(256) regardless of corpus size; the measured
+    # question is the feature-explode agg + broadcast-join scaling
+    from databus_spark.operators import shards
+
+    shards.dsir_doc_scores(docs).write.format("noop").mode("overwrite").save()
+
+
 def fam_batch_apply(spark, docs, emb, sf_dir):
     from databus_spark.envelope import orders_changelog
     from databus_spark.operators.compaction import latest_by_key
@@ -207,6 +224,8 @@ FAMILIES = {
     "ann_ivfpq_build": fam_ann_ivfpq,
     "curation_v2": fam_curation,
     "exact_dedup": fam_exact_dedup,
+    "exactsubstr": fam_exactsubstr,
+    "dsir": fam_dsir,
     "batch_apply": fam_batch_apply,
 }
 

@@ -128,6 +128,12 @@ def main() -> None:
         # (dedup_minhash_lsh itself stays unstaged so pair-generation
         # cost remains a visible row)
         "dedup_cluster_survivors",
+        # trained k-means models are staged per geometry (k8 and k32);
+        # the queries measure the assignment/serve path, not training
+        "kmeans_centroids",
+        "semdedup_trained",
+        # the incremental-substring base window-hash index
+        "exactsubstr_incremental",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

@@ -1433,15 +1433,23 @@ def kmeans_assign(
     n_iter: int = KM_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """(vid, qv, cell_id, dist) against the TRAINED centroids."""
+    """(vid, qv, cell_id, dist) against the TRAINED centroids.
+
+    ``centroids`` short-circuits training with a pre-trained
+    (cell_id, cent) frame — the staged-model serve path (a clustering
+    model trains once at ingest and assigns everywhere; results are
+    identical because training is deterministic)."""
     embq = (
         emb.select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
         .localCheckpoint(eager=False)
     )
-    cent = _km_init(embq, k)
-    for _ in range(n_iter):
-        cent = _km_update(_km_assign(embq, cent, k))
+    cent = centroids
+    if cent is None:
+        cent = _km_init(embq, k)
+        for _ in range(n_iter):
+            cent = _km_update(_km_assign(embq, cent, k))
     return _km_assign(embq, cent, k)
 
 
@@ -1517,6 +1525,7 @@ def semdedup_trained_survivors(
     n_iter: int = SEM_TRAINED_ITER,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup with cells from the integer-exact Lloyd trainer instead
     of the hash-sample init: train k centroids (kmeans_lloyd), assign
@@ -1535,9 +1544,11 @@ def semdedup_trained_survivors(
         )
         .localCheckpoint(eager=False)  # quantization + scan run once
     )
-    cent = _km_init(embq, k)
-    for _ in range(n_iter):
-        cent = _km_update(_km_assign(embq, cent, k))
+    cent = centroids
+    if cent is None:
+        cent = _km_init(embq, k)
+        for _ in range(n_iter):
+            cent = _km_update(_km_assign(embq, cent, k))
     assigned = (
         _km_assign(embq, cent, k, carry=("_vec",))
         .select(

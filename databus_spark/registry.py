@@ -884,9 +884,13 @@ def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-sampled cells. Trained cells follow data density, so semantic
     twins co-locate more reliably. Assignment + every Lloyd round are
     broadcast/map-side; the dedup tail is the shared population-capped
-    pair-gen."""
+    pair-gen. Assigns against the STAGED trained model (train-once/
+    serve-many; staged == inline pinned by test)."""
     return similarity.semdedup_trained_survivors(
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=_staged_kmeans(
+            spark, sf_dir, similarity.SEM_TRAINED_K, similarity.SEM_TRAINED_ITER
+        ),
     )
 
 
@@ -905,6 +909,42 @@ def semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_kmeans(spark: SparkSession, sf_dir: str, k: int, n_iter: int) -> DataFrame:
+    """Trained k-means centroids (cell_id, cent) staged per fixture and
+    geometry — a clustering model trains ONCE at ingest and assigns
+    everywhere (the staged-model rule the PQ codebook and BPE rule
+    table follow); training is deterministic, so staged == inline.
+    Content-fingerprinted over the FULL vector content."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fingerprint = (
+        _content_fingerprint(
+            emb.withColumn(
+                "_ecrc",
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("vec_id").cast("string"),
+                        F.col("embedding").cast("string"),
+                    ).cast("binary")
+                ),
+            ),
+            "vec_id",
+            "_ecrc",
+        )
+        + f"|k{k}i{n_iter}s{similarity.KM_SCALE}"
+    )
+
+    def build(d: str) -> None:
+        similarity.kmeans_lloyd(emb, k=k, n_iter=n_iter).write.parquet(
+            os.path.join(d, "cent")
+        )
+
+    idx_dir = _staged_artifact(
+        "databus_kmeans", sf_dir, fingerprint, build, version="km-v1"
+    )
+    return spark.read.parquet(os.path.join(idx_dir, "cent"))
+
+
 @query("kmeans_centroids", similarity.kmeans_centroids_sql())
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding corpus, run in
@@ -913,11 +953,12 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_centroids' hash-sample init is round 0). Per round: broadcast
     centroids, map-side exact-bigint distances + scalar-key argmin, one
     O(n) assignment shuffle + one O(n*dim) dimension-sum shuffle; no
-    driver state. Output: (cell_id, pos, c) — the final centroid
-    matrix, exact."""
+    driver state. The trained model is STAGED (train-once/serve-many);
+    staged == inline is pinned by test. Output: (cell_id, pos, c) —
+    the final centroid matrix, exact."""
     from pyspark.sql import functions as F
 
-    cent = similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+    cent = _staged_kmeans(spark, sf_dir, similarity.KM_K, similarity.KM_ITER)
     return (
         cent.select("cell_id", F.posexplode("cent"))
         .withColumnRenamed("col", "c")
@@ -930,10 +971,13 @@ def kmeans_assign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final k-means assignment profile: members + exact integer
     inertia (sum of squared fixed-point L2 distances) per trained
     cell — the convergence/balance observability a clustering stage
-    feeds back to the pipeline."""
+    feeds back to the pipeline. Assigns against the STAGED model."""
     from pyspark.sql import functions as F
 
-    asg = similarity.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+    asg = similarity.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=_staged_kmeans(spark, sf_dir, similarity.KM_K, similarity.KM_ITER),
+    )
     return asg.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("inertia")
     )

@@ -141,3 +141,23 @@ def test_semdedup_multiprobe_supersets_single_probe_pairs(spark, sf_dir):
     assert single_merged <= multi_merged | {
         min(m) for m in by_cluster.values()
     }
+
+
+def test_staged_centroids_equal_inline_training(spark, sf_dir):
+    """The staged-model serve path (registry._staged_kmeans) must be
+    result-identical to inline training — training is deterministic, so
+    staging is a pure materialization."""
+    from databus_spark import registry
+    from databus_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    staged = registry._staged_kmeans(spark, sf_dir, S.KM_K, S.KM_ITER)
+    inline = S.kmeans_lloyd(emb, k=S.KM_K, n_iter=S.KM_ITER)
+    a = {(r["cell_id"], tuple(r["cent"])) for r in staged.collect()}
+    b = {(r["cell_id"], tuple(r["cent"])) for r in inline.collect()}
+    assert a == b and a
+    # and assignment through the staged model matches inline assignment
+    sa = {(r["vid"], r["cell_id"], r["dist"])
+          for r in S.kmeans_assign(emb, centroids=staged).collect()}
+    ia = {(r["vid"], r["cell_id"], r["dist"]) for r in S.kmeans_assign(emb).collect()}
+    assert sa == ia

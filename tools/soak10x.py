@@ -361,8 +361,20 @@ def main() -> None:
                 results[fam][label].update(m)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, f"SOAK_{args.scale}X.json"), "w") as f:
-        json.dump(results, f, indent=2, sort_keys=True)
+    out_path = os.path.join(here, f"SOAK_{args.scale}X.json")
+    # MERGE with any prior record: a --families subset run must not
+    # clobber families measured earlier (bit r8: a 2-family run erased
+    # the 8-family record)
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except ValueError:
+            merged = {}
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2, sort_keys=True)
     print(json.dumps({k: v for k, v in results.items() if not k.startswith("_")}, indent=2))
 
 

@@ -459,13 +459,9 @@ _DSIR_W_EXPR = (
 )
 
 
-def dsir_feature_weights(
-    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
-) -> DataFrame:
-    """Per-bucket smoothed likelihood ratio p_target/p_corpus in
-    micro-units: (f, c_target, c_corpus, weight_micro). Laplace +1 on
-    counts, +DSIR_BUCKETS on totals."""
-    tk = _dsir_tokens(docs)
+def _dsir_weight_table(tk: DataFrame, target_lang: str) -> DataFrame:
+    """Weight table from an (already checkpointed) feature stream —
+    target and corpus counts in ONE pass."""
     cnt = tk.groupBy("f").agg(
         F.count(F.lit(1)).alias("c_r"),
         F.sum((F.col("lang") == target_lang).cast("long")).alias("c_t"),
@@ -484,6 +480,15 @@ def dsir_feature_weights(
     )
 
 
+def dsir_feature_weights(
+    docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
+) -> DataFrame:
+    """Per-bucket smoothed likelihood ratio p_target/p_corpus in
+    micro-units: (f, c_target, c_corpus, weight_micro). Laplace +1 on
+    counts, +DSIR_BUCKETS on totals."""
+    return _dsir_weight_table(_dsir_tokens(docs), target_lang)
+
+
 def dsir_doc_scores(
     docs: DataFrame, target_lang: str = DSIR_TARGET_LANG
 ) -> DataFrame:
@@ -492,11 +497,11 @@ def dsir_doc_scores(
     bigrams), plus the length-normalized form selection ranks on
     (score div n_feats, another exact floor-division)."""
     tk = _dsir_tokens(docs)
-    w = dsir_feature_weights(docs, target_lang).select("f", "weight_micro")
-    # NOTE: w re-derives from its own _dsir_tokens call — cheap at the
-    # 256-row output, and keeping the two entry points independent lets
-    # the driver check the weight table in isolation. For a fused
-    # pipeline reuse tk: the counts agg reads the same checkpoint.
+    # ONE feature stream serves both the weight-table agg and the
+    # scoring join (the checkpoint materializes the explode+hash once;
+    # deriving the table from its own _dsir_tokens call doubled the
+    # dominant map-side work and cost ~2x at sf0.1)
+    w = _dsir_weight_table(tk, target_lang).select("f", "weight_micro")
     return (
         tk.join(F.broadcast(w), "f")
         .groupBy("doc_id", "lang")

@@ -33,6 +33,13 @@ HEADLINE = [
     ("dedup_incremental_near", "delta vs base LSH index: one band-key equi-join, base never re-deduped"),
     ("data_expectations", "guardrail suite: anti-joins + aggs reduced to one-row verdicts"),
     ("approx_quantiles_binned", "binned quantiles: scalar min/max broadcast, 64-row quantile math"),
+    ("exactsubstr_dedup", "ExactSubstr: codegen window hashing, 1:1 hash join-back, per-doc HOF cut (no token explode)"),
+    ("exactsubstr_incremental", "delta vs staged base window-hash set: one 8-byte equi-join"),
+    ("dsir_doc_scores", "DSIR: one feature-stream checkpoint, 256-row weight table broadcast back"),
+    ("dsir_select_topk", "DSIR top-k: TakeOrderedAndProject, never a global sort"),
+    ("semdedup_multiprobe", "multi-probe cells: broadcast-scored top-2 collect, capped pair join"),
+    ("kmeans_assign_summary", "k-means serve path: staged centroids broadcast, partial_min argmin"),
+    ("mixture_waterfill", "water-fill: corpus-side count agg only; window math over the n-source frame"),
 ]
 
 spark = build_session("plans", cpus=8)

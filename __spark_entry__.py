@@ -55,6 +55,7 @@ _WINDOW = [
     "dsir_doc_scores",
     "dsir_select_topk",
     "mixture_waterfill",  # budget-constrained mixing (new this session)
+    "dedup_sketch_eval",  # LSH precision/recall vs exact Jaccard (new this session)
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -91,7 +92,6 @@ _WINDOW = [
     "dedup_simhash_pairs",
     "mixture_temperature_sample",
     "per_group_quota",
-    "quality_topk_per_lang",
     "schema_key_compaction",
     "sequence_packing",
     "skew_salted_agg",
@@ -104,6 +104,7 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "quality_topk_per_lang",  # displaced by the sketch-eval row: two-phase top-k machinery in-window via grouped_topk users
     "media_png_probe",  # displaced by the incremental-exactsubstr row: PNG codec machinery in-window via media_dhash_dedup
     "oov_rate",  # displaced by the waterfill row: token_stats machinery in-window via several text rows
     "sparse_tfidf_pairs",  # displaced by the multiprobe row: tfidf machinery in-window via tfidf_top_terms + text_fingerprint

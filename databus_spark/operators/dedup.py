@@ -1958,3 +1958,80 @@ def exactsubstr_stats_sql(from_sql: str, win: int = EXSUB_WIN) -> str:
         FROM clean c JOIN ({from_sql}) d USING (doc_id)
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# 12. Sketch self-evaluation: measured precision/recall of MinHash-LSH
+# ---------------------------------------------------------------------------
+# Pipeline observability for the dedup family: score the sketch pipeline
+# (banded MinHash-LSH candidates + signature-estimate threshold) against
+# the exact inverted-index Jaccard scorer on the SAME corpus and
+# threshold, and emit one confusion-matrix row with integer-exact
+# precision/recall/F1 in micro-units. This is the measurement a 100 TB
+# deployment runs on a sample slice before trusting sketch parameters
+# (N_HASHES/N_BANDS) at full scale — here it is a first-class operator
+# with an oracle, not a notebook ritual.
+#
+# "Truth" is the exact-Jaccard pair set computable at scale: pairs
+# sharing >= 1 rare shingle (the MAX_SHINGLE_DF cap applies to BOTH
+# sides' candidate generation, so the comparison isolates the SKETCH
+# error — banding misses + estimator bias — from the shared blocking).
+
+def sketch_eval(
+    docs: DataFrame, k: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """One row: (tp, fp, fn, precision_micro, recall_micro, f1_micro)
+    of minhash_lsh_pairs vs exact ngram_jaccard_pairs at the same
+    shingle size and threshold."""
+    truth = ngram_jaccard_pairs(docs, k, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    pred = minhash_lsh_pairs(docs, k, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("_p")
+    )
+    j = truth.join(pred, ["doc_a", "doc_b"], "full")
+    agg = j.agg(
+        F.sum((F.col("_t").isNotNull() & F.col("_p").isNotNull()).cast("long")).alias("tp"),
+        F.sum((F.col("_t").isNull() & F.col("_p").isNotNull()).cast("long")).alias("fp"),
+        F.sum((F.col("_t").isNotNull() & F.col("_p").isNull()).cast("long")).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr("1000000 * tp div greatest(tp + fp, 1)").alias("precision_micro"),
+        F.expr("1000000 * tp div greatest(tp + fn, 1)").alias("recall_micro"),
+        F.expr("2000000 * tp div greatest(2 * tp + fp + fn, 1)").alias("f1_micro"),
+    )
+
+
+def sketch_eval_sql(k: int = 5, threshold: float = 0.5) -> str:
+    return f"""
+        WITH truth AS ({ngram_jaccard_sql(k, threshold)}),
+        pred AS ({minhash_lsh_sql(k, threshold)}),
+        conf AS (
+            SELECT
+                CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL
+                     THEN 1 ELSE 0 END AS is_tp,
+                CASE WHEN t.doc_a IS NULL AND p.doc_a IS NOT NULL
+                     THEN 1 ELSE 0 END AS is_fp,
+                CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NULL
+                     THEN 1 ELSE 0 END AS is_fn
+            FROM truth t
+            FULL JOIN pred p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+        ),
+        agg AS (
+            SELECT CAST(sum(is_tp) AS BIGINT) AS tp,
+                   CAST(sum(is_fp) AS BIGINT) AS fp,
+                   CAST(sum(is_fn) AS BIGINT) AS fn
+            FROM conf
+        )
+        SELECT tp, fp, fn,
+               CAST(1000000 * tp // greatest(tp + fp, 1) AS BIGINT)
+                   AS precision_micro,
+               CAST(1000000 * tp // greatest(tp + fn, 1) AS BIGINT)
+                   AS recall_micro,
+               CAST(2000000 * tp // greatest(2 * tp + fp + fn, 1) AS BIGINT)
+                   AS f1_micro
+        FROM agg
+    """

@@ -713,6 +713,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5)
 
 
+@query("dedup_sketch_eval", dedup.sketch_eval_sql(k=5, threshold=0.5))
+def dedup_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch self-evaluation: MinHash-LSH candidates + estimate
+    threshold scored against the exact inverted-index Jaccard pairs on
+    the same corpus/threshold — one confusion row with integer-exact
+    precision/recall/F1 in micro-units. The measurement a deployment
+    runs on a sample slice before trusting N_HASHES/N_BANDS at 100 TB,
+    as a first-class oracle-checked operator."""
+    return dedup.sketch_eval(
+        dedup.documents_with_dups(spark, sf_dir), k=5, threshold=0.5
+    )
+
+
 @query("dedup_canonical", dedup.CANONICAL_DEDUP_SQL)
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over the canonical text form (lowercase, punctuation

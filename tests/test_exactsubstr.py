@@ -132,3 +132,18 @@ def test_incremental_staged_index_equals_inline(spark, sf_dir):
     a = {tuple(r) for r in inline.collect()}
     b = {tuple(r) for r in staged.collect()}
     assert a == b and a
+
+
+def test_sketch_eval_confusion_consistency(spark, sf_dir):
+    """The confusion row must reconcile exactly with the two pair sets
+    it scores, and the micro-ratios must be their floored definitions."""
+    corpus = D.documents_with_dups(spark, sf_dir)
+    truth = {(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs(corpus, 5, 0.5).collect()}
+    pred = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(corpus, 5, 0.5).collect()}
+    row = D.sketch_eval(corpus, 5, 0.5).collect()[0]
+    assert row["tp"] == len(truth & pred)
+    assert row["fp"] == len(pred - truth)
+    assert row["fn"] == len(truth - pred)
+    assert row["precision_micro"] == 1_000_000 * row["tp"] // max(row["tp"] + row["fp"], 1)
+    assert row["recall_micro"] == 1_000_000 * row["tp"] // max(row["tp"] + row["fn"], 1)
+    assert row["tp"] + row["fn"] == len(truth) and len(truth) > 0

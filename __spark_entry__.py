@@ -56,6 +56,7 @@ _WINDOW = [
     "dsir_select_topk",
     "mixture_waterfill",  # budget-constrained mixing (new this session)
     "dedup_sketch_eval",  # LSH precision/recall vs exact Jaccard (new this session)
+    "ann_recall_eval",  # index-family recall vs brute force (new this session)
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -80,7 +81,6 @@ _WINDOW = [
     "filter_composite_json",
     "keyset_page",
     "lag_percentiles",
-    "max_scn_probe",
     "per_source_stats",
     "pricing_summary",
     "txn_window_stats",
@@ -104,6 +104,7 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "max_scn_probe",  # displaced by the ann-eval row: scn-probe machinery in-window via checkpoint/stream rows
     "quality_topk_per_lang",  # displaced by the sketch-eval row: two-phase top-k machinery in-window via grouped_topk users
     "media_png_probe",  # displaced by the incremental-exactsubstr row: PNG codec machinery in-window via media_dhash_dedup
     "oov_rate",  # displaced by the waterfill row: token_stats machinery in-window via several text rows

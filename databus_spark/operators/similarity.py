@@ -1574,3 +1574,78 @@ def semdedup_trained_survivors_sql(
         f"assigned AS (SELECT vid AS vec_id, cell_id FROM a{n + 1}), "
         + _sem_within_sql(threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: measured recall of the index families vs brute force
+# ---------------------------------------------------------------------------
+# The ANN sibling of dedup.sketch_eval: score each index family's top-k
+# against the exact brute-force cosine top-k on the same queries, one
+# confusion row per method with integer micro-unit recall. This is the
+# pre-flight a deployment runs on a sample slice before trusting
+# N_CELLS/IVF_NPROBE/N_TABLES/N_PLANES at full corpus size — here a
+# first-class oracle-checked operator. Truth is bounded (n_queries * k
+# rows), so the eval costs ~one brute-force pass over the sample.
+
+def ann_recall_eval(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """(method, hits, n_truth, recall_micro) for the ivf and lsh index
+    families vs exact cosine top-k; recall = fraction of true top-k
+    pairs the index surfaces, floored to micro-units identically in
+    both engines."""
+    truth = cosine_topk(emb, n_queries, k).select("query_id", "neighbor_id")
+    rows = []
+    for method, fn in (("ivf", ivf_topk), ("lsh", lsh_topk)):
+        pred = fn(emb, n_queries, k).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        rows.append(
+            truth.join(pred, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_truth"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long")).alias(
+                    "hits"
+                ),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "hits",
+                "n_truth",
+                F.expr("1000000 * hits div greatest(n_truth, 1)").alias(
+                    "recall_micro"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ann_recall_eval_sql(n_queries: int = 10, k: int = 5) -> str:
+    """Each method's existing standalone oracle nests as a subquery
+    (its internal CTE names scope to the subquery, so `cent`/`banded`
+    can't collide across methods — the nested-CTE discipline)."""
+    legs = []
+    for method, inner in (
+        ("ivf", ivf_topk_sql(n_queries, k)),
+        ("lsh", lsh_topk_sql(n_queries, k)),
+    ):
+        legs.append(f"""
+        SELECT '{method}' AS method,
+               CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(1000000 * sum(CASE WHEN p.neighbor_id IS NOT NULL
+                                       THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1) AS BIGINT) AS recall_micro
+        FROM truth t
+        LEFT JOIN ({inner}) p
+          ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+        """)
+    union = " UNION ALL ".join(legs)
+    return f"""
+        WITH truth AS ({cosine_topk_sql(n_queries, k)})
+        {union}
+    """

@@ -907,6 +907,17 @@ def semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_recall_eval", similarity.ann_recall_eval_sql())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: each index family's top-k (IVF cells,
+    sign-LSH tables) scored against brute-force cosine top-k on the
+    same queries — one row per method with integer micro-unit recall.
+    The pre-flight a deployment runs on a sample slice before trusting
+    N_CELLS/IVF_NPROBE/N_TABLES at corpus scale, as a first-class
+    oracle-checked operator (the ANN sibling of dedup_sketch_eval)."""
+    return similarity.ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("semdedup_multiprobe", similarity.semdedup_multiprobe_sql())
 def semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with multi-probe assignment: every vector joins its

@@ -161,3 +161,21 @@ def test_staged_centroids_equal_inline_training(spark, sf_dir):
           for r in S.kmeans_assign(emb, centroids=staged).collect()}
     ia = {(r["vid"], r["cell_id"], r["dist"]) for r in S.kmeans_assign(emb).collect()}
     assert sa == ia
+
+
+def test_ann_recall_eval_reconciles_with_pair_sets(spark, sf_dir):
+    """The recall rows must reconcile exactly with the pair sets they
+    score, and ivf/lsh recall must be positive on the fixture."""
+    from databus_spark.operators import similarity as S
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb).collect()}
+    rows = {r["method"]: r for r in S.ann_recall_eval(emb).collect()}
+    assert set(rows) == {"ivf", "lsh"}
+    for method, fn in (("ivf", S.ivf_topk), ("lsh", S.lsh_topk)):
+        pred = {(r["query_id"], r["neighbor_id"]) for r in fn(emb).collect()}
+        r = rows[method]
+        assert r["n_truth"] == len(truth)
+        assert r["hits"] == len(truth & pred)
+        assert r["recall_micro"] == 1_000_000 * r["hits"] // max(r["n_truth"], 1)
+        assert r["hits"] > 0

@@ -336,3 +336,60 @@ def test_bithash_near_pairs_matches_bruteforce(spark, hashes, max_hamming):
         if bin(hashes[i] ^ hashes[j]).count("1") <= max_hamming
     }
     assert got == want
+
+
+# --- ExactSubstr differential: Spark pipeline vs a brute-force Python
+# reference on random small corpora (window hashing, span merging, and
+# the keep-globally-first policy re-derived independently) -------------
+
+def _exsub_reference(texts: dict[int, str], win: int):
+    """Brute-force ExactSubstr: returns {doc_id: set(removed 1-based
+    token positions)} under keep-globally-first."""
+    toks = {d: t.lower().strip().split() for d, t in texts.items()}
+    occs: dict[tuple, list] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(1, len(ts) - win + 2):
+            occs.setdefault(tuple(ts[p - 1 : p - 1 + win]), []).append((d, p))
+    removed: dict[int, set] = {d: set() for d in toks}
+    for w, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        first = min(lst)
+        for d, p in lst:
+            if (d, p) != first:
+                removed[d].update(range(p, p + win))
+    return toks, removed
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=40).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=words_strategy)
+def test_exactsubstr_matches_bruteforce_reference(spark, texts):
+    """Random corpora over a 6-word alphabet (dense repeats, heavy
+    self-overlap — the pathological class for greedy span cutting):
+    the distributed pipeline must equal the brute-force reference
+    exactly, doc by doc, token by token. win=3 keeps windows dense."""
+    from databus_spark.operators import dedup as D
+
+    win = 3
+    corpus = {i: t for i, t in enumerate(texts)}
+    toks, removed = _exsub_reference(corpus, win)
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in D.exactsubstr_dedup(docs, win=win).collect()}
+    assert set(out) == set(corpus)
+    for d in corpus:
+        keep = [t for i, t in enumerate(toks[d], start=1) if i not in removed[d]]
+        assert out[d]["n_tokens"] == len(toks[d])
+        assert out[d]["n_removed"] == len(removed[d] & set(range(1, len(toks[d]) + 1)))
+        assert out[d]["clean_text"] == " ".join(keep)

@@ -57,6 +57,8 @@ _WINDOW = [
     "mixture_waterfill",  # budget-constrained mixing (new this session)
     "dedup_sketch_eval",  # LSH precision/recall vs exact Jaccard (new this session)
     "ann_recall_eval",  # index-family recall vs brute force (new this session)
+    "curation_decisions_v3",  # v2 + dup-mass + DSIR signals (new this session)
+    "mixture_waterfill_sample",  # quota -> admitted docs (new this session)
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -72,9 +74,7 @@ _WINDOW = [
     "zorder_box_read",
     "jsonl_ingest_audit",
     # (c) staleness backlog — last external green r4
-    "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "decontaminate_vs_benchmark",
     "dedup_exact",
     "event_rate_anomaly",
@@ -104,6 +104,8 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "ann_cosine_topk",  # displaced by the v3 row: recomputed verbatim inside in-window ann_recall_eval (truth leg)
+    "ann_lsh_topk",  # displaced by the waterfill-sample row: recomputed verbatim inside in-window ann_recall_eval (lsh leg)
     "max_scn_probe",  # displaced by the ann-eval row: scn-probe machinery in-window via checkpoint/stream rows
     "quality_topk_per_lang",  # displaced by the sketch-eval row: two-phase top-k machinery in-window via grouped_topk users
     "media_png_probe",  # displaced by the incremental-exactsubstr row: PNG codec machinery in-window via media_dhash_dedup

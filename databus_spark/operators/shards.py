@@ -740,3 +740,69 @@ def mixture_waterfill_sql(
                    AS is_capped
         FROM lvl
     """
+
+
+def mixture_waterfill_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    budget_ppm: int = WATERFILL_BUDGET_PPM,
+) -> DataFrame:
+    """The selection half of water-filling: per source, admit docs in
+    deterministic hash order until the source's token quota is reached
+    (a doc whose inclusive running total would overflow the quota is
+    dropped — under-fill by at most one doc per source, the same
+    boundary rule sequence_packing uses). Output: the admitted docs
+    with their running token totals.
+
+    Scale: quotas broadcast (n-source frame); one window per source
+    (bounded like stratified_sample's strata windows — for massive
+    sources swap the exact cumsum for a hash threshold on
+    quota/total)."""
+    quotas = mixture_waterfill(docs, group_col, budget_ppm).select(
+        group_col, "quota_tokens"
+    )
+    h = portable_hash64(F.col("doc_id").cast("string"), F.lit("wfill"))
+    base = docs.select(
+        "doc_id",
+        group_col,
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    w = Window.partitionBy(group_col).orderBy("_h", "doc_id")
+    return (
+        base.join(F.broadcast(quotas), group_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("quota_tokens"))
+        .select("doc_id", group_col, "n_tokens", "cum_tokens")
+    )
+
+
+def mixture_waterfill_sample_sql(
+    from_sql: str,
+    group_col: str = "source",
+    budget_ppm: int = WATERFILL_BUDGET_PPM,
+) -> str:
+    h = portable_hash64_sql("doc_id", "'wfill'")
+    return f"""
+        WITH quotas AS (
+            SELECT {group_col}, quota_tokens
+            FROM ({mixture_waterfill_sql(from_sql, group_col, budget_ppm)})
+        ),
+        base AS (
+            SELECT doc_id, {group_col},
+                   CAST(len({TOKENS_SQL.format(col='text')}) AS BIGINT)
+                       AS n_tokens,
+                   {h} AS h
+            FROM ({from_sql})
+        ),
+        runs AS (
+            SELECT doc_id, {group_col}, n_tokens, quota_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY {group_col}
+                                            ORDER BY h, doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS cum_tokens
+            FROM base JOIN quotas USING ({group_col})
+        )
+        SELECT doc_id, {group_col}, n_tokens, cum_tokens
+        FROM runs WHERE cum_tokens <= quota_tokens
+    """

@@ -1231,6 +1231,74 @@ def curation_decisions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+V3_DUP_MICRO = 300_000   # >= 30% of tokens duplicated corpus-wide -> drop
+V3_DSIR_MICRO = 975_000  # per-feature target-likeness tail -> downsample
+
+
+def _curation_v3_sql() -> str:
+    """v2 decisions + the round's two new signal families: ExactSubstr
+    duplicated-token mass and DSIR target-likeness. Each pipeline's
+    standalone oracle nests as a scoped subquery (CTE names cannot
+    collide across subquery scopes — the ann_recall_eval discipline)."""
+    ex = dedup.exactsubstr_dedup_sql("SELECT * FROM documents")
+    ds = shards.dsir_doc_scores_sql("SELECT * FROM documents")
+    return f"""
+    WITH combo AS (
+        SELECT v2.doc_id, v2.decision AS v2_decision,
+               CAST(1000000 * ex.n_removed // greatest(ex.n_tokens, 1)
+                    AS BIGINT) AS dup_frac_micro,
+               ds.per_feat_micro
+        FROM ({_curation_v2_sql()}) v2
+        JOIN ({ex}) ex ON ex.doc_id = v2.doc_id
+        JOIN ({ds}) ds ON ds.doc_id = v2.doc_id
+    )
+    SELECT doc_id, v2_decision, dup_frac_micro, per_feat_micro,
+           CASE WHEN v2_decision <> 'keep' THEN v2_decision
+                WHEN dup_frac_micro >= {V3_DUP_MICRO} THEN 'drop_dup_mass'
+                WHEN per_feat_micro < {V3_DSIR_MICRO}
+                     THEN 'downsample_offtarget'
+                ELSE 'keep' END AS decision
+    FROM combo
+    """
+
+
+@query("curation_decisions_v3", _curation_v3_sql())
+def curation_decisions_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v3: the v2 composite (quality / repetition / lang /
+    decontamination / LM NLL) extended with the round's two new signal
+    families — corpus-wide duplicated-token mass (ExactSubstr: a doc
+    that is >= 30% already-seen spans is dropped as redundant even if
+    its quality signals pass) and DSIR target-likeness (the off-target
+    tail is demoted to downsample, not dropped — distribution shift is
+    a mixing decision, not a quality verdict). Composes the three
+    oracle-checked pipelines doc_id-keyed; every expensive stage is the
+    respective family's own scale-shaped plan."""
+    v2 = curation_decisions_v2(spark, sf_dir).select(
+        "doc_id", F.col("decision").alias("v2_decision")
+    )
+    ex = exactsubstr_dedup(spark, sf_dir).select(
+        "doc_id",
+        F.expr("1000000 * n_removed div greatest(n_tokens, 1)").alias(
+            "dup_frac_micro"
+        ),
+    )
+    ds = dsir_doc_scores(spark, sf_dir).select("doc_id", "per_feat_micro")
+    combo = v2.join(ex, "doc_id").join(ds, "doc_id")
+    decision = (
+        F.when(F.col("v2_decision") != "keep", F.col("v2_decision"))
+        .when(F.col("dup_frac_micro") >= V3_DUP_MICRO, "drop_dup_mass")
+        .when(F.col("per_feat_micro") < V3_DSIR_MICRO, "downsample_offtarget")
+        .otherwise("keep")
+    )
+    return combo.select(
+        "doc_id",
+        "v2_decision",
+        "dup_frac_micro",
+        "per_feat_micro",
+        decision.alias("decision"),
+    )
+
+
 @query(
     "dsir_feature_weights",
     shards.dsir_feature_weights_sql("SELECT * FROM documents"),
@@ -1280,6 +1348,18 @@ def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical in both engines. One map-side token-count agg per
     source; window math runs over the n-source frame only."""
     return shards.mixture_waterfill(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mixture_waterfill_sample",
+    shards.mixture_waterfill_sample_sql("SELECT * FROM documents"),
+)
+def mixture_waterfill_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection half of water-filling: admit docs per source in
+    deterministic hash order until the water-filled token quota fills —
+    budget -> allocation -> actual training slice, end to end. Quotas
+    broadcast; one bounded window per source."""
+    return shards.mixture_waterfill_sample(load_table(spark, sf_dir, "documents"))
 
 
 @query("stratified_sample", shards.stratified_sample_sql())

@@ -268,3 +268,25 @@ def test_waterfill_uncapped_when_budget_covers_all(spark):
     out = mixture_waterfill(docs, budget_ppm=1_000_000).collect()
     for r in out:
         assert r["quota_tokens"] == r["n_tokens"] and not r["is_capped"]
+
+
+def test_waterfill_sample_respects_quotas(spark, sf_dir):
+    """Admitted docs never exceed a source's quota; the next doc in
+    hash order would have overflowed it (greedy maximality); docs
+    admitted are a prefix of the per-source hash order."""
+    from databus_spark.operators.shards import (
+        mixture_waterfill,
+        mixture_waterfill_sample,
+    )
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    quotas = {r["source"]: r["quota_tokens"] for r in mixture_waterfill(docs).collect()}
+    by_src: dict[str, list] = {}
+    for r in mixture_waterfill_sample(docs).collect():
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["cum_tokens"])
+        total = sum(r["n_tokens"] for r in rows)
+        assert total <= quotas[src]
+        assert rows[-1]["cum_tokens"] == total  # contiguous prefix

@@ -393,3 +393,114 @@ def test_exactsubstr_matches_bruteforce_reference(spark, texts):
         assert out[d]["n_tokens"] == len(toks[d])
         assert out[d]["n_removed"] == len(removed[d] & set(range(1, len(toks[d]) + 1)))
         assert out[d]["clean_text"] == " ".join(keep)
+
+
+# --- Water-fill differential: Spark vs a brute-force Python reference
+# (sorted-prefix water level re-derived independently) -----------------
+
+wf_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2", "s3", "s4"]),
+        st.integers(min_value=1, max_value=40),  # tokens in the doc
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _waterfill_reference(counts: dict[str, int], budget_ppm: int):
+    total = sum(counts.values())
+    b = total * budget_ppm // 1_000_000
+    items = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    prefix = 0
+    k = 0
+    pk = 0
+    for r, (_, c) in enumerate(items, start=1):
+        if prefix + (n - r + 1) * c <= b:
+            k += 1
+            pk = prefix + c
+        prefix += c
+    lvl = (b - pk) // (n - k) if k < n else max(counts.values())
+    return {s: min(c, lvl) for s, c in counts.items()}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=wf_strategy, ppm=st.sampled_from([100_000, 500_000, 900_000]))
+def test_waterfill_matches_bruteforce_reference(spark, docs, ppm):
+    from databus_spark.operators.shards import mixture_waterfill
+
+    rows = [(i, "tok " * n, src) for i, (src, n) in enumerate(docs)]
+    counts: dict[str, int] = {}
+    for _, (src, n) in zip(rows, docs):
+        counts[src] = counts.get(src, 0) + n
+    expect = _waterfill_reference(counts, ppm)
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    got = {r["source"]: r["quota_tokens"] for r in mixture_waterfill(df, budget_ppm=ppm).collect()}
+    assert got == expect
+
+
+# --- DSIR differential: Spark vs a pure-Python re-derivation of the
+# hashed-feature likelihood-ratio arithmetic --------------------------
+
+import hashlib as _hl
+
+
+def _h64(s: str, seed: str) -> int:
+    return int(_hl.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+
+def _dsir_reference(texts, langs, target="en", B=256):
+    feats_by_doc = {}
+    for d, t in texts.items():
+        toks = t.lower().strip().split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        feats_by_doc[d] = [_h64(f, "dsir") % B for f in feats]
+    c_r, c_t = {}, {}
+    for d, fs in feats_by_doc.items():
+        for f in fs:
+            c_r[f] = c_r.get(f, 0) + 1
+            if langs[d] == target:
+                c_t[f] = c_t.get(f, 0) + 1
+    t_r = sum(c_r.values())
+    t_t = sum(c_t.values())
+    w = {
+        f: ((c_t.get(f, 0) + 1) * (t_r + B) * 1_000_000)
+        // ((c_r[f] + 1) * (t_t + B))
+        for f in c_r
+    }
+    out = {}
+    for d, fs in feats_by_doc.items():
+        score = sum(w[f] for f in fs)
+        out[d] = (len(fs), score, score // len(fs))
+    return out
+
+
+dsir_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(list("pqrstu")), min_size=1, max_size=20).map(" ".join),
+        st.sampled_from(["en", "zh"]),
+    ),
+    min_size=2,
+    max_size=12,
+).filter(lambda rows: any(l == "en" for _, l in rows))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=dsir_strategy)
+def test_dsir_matches_pure_python_reference(spark, rows):
+    from databus_spark.operators.shards import dsir_doc_scores
+
+    texts = {i: t for i, (t, _) in enumerate(rows)}
+    langs = {i: l for i, (_, l) in enumerate(rows)}
+    expect = _dsir_reference(texts, langs)
+    df = spark.createDataFrame(
+        [(i, texts[i], langs[i]) for i in texts], "doc_id long, text string, lang string"
+    )
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"], r["per_feat_micro"])
+        for r in dsir_doc_scores(df).collect()
+    }
+    assert got == expect

@@ -59,6 +59,7 @@ _WINDOW = [
     "ann_recall_eval",  # index-family recall vs brute force (new this session)
     "curation_decisions_v3",  # v2 + dup-mass + DSIR signals (new this session)
     "mixture_waterfill_sample",  # quota -> admitted docs (new this session)
+    "dsir_incremental",  # staged-estimator ingest scoring (new this session)
     "kmeans_centroids",  # integer-exact Lloyd trainer (new this session)
     "kmeans_assign_summary",
     "semdedup_trained",  # SemDeDup over trained cells (paper pipeline)
@@ -77,7 +78,6 @@ _WINDOW = [
     "ann_ivf_topk",
     "decontaminate_vs_benchmark",
     "dedup_exact",
-    "event_rate_anomaly",
     "filter_composite_json",
     "keyset_page",
     "lag_percentiles",
@@ -104,6 +104,7 @@ _WINDOW = [
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "event_rate_anomaly",  # displaced by the incremental-dsir row: rate-window machinery in-window via txn_window_stats
     "ann_cosine_topk",  # displaced by the v3 row: recomputed verbatim inside in-window ann_recall_eval (truth leg)
     "ann_lsh_topk",  # displaced by the waterfill-sample row: recomputed verbatim inside in-window ann_recall_eval (lsh leg)
     "max_scn_probe",  # displaced by the ann-eval row: scn-probe machinery in-window via checkpoint/stream rows

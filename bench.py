@@ -134,6 +134,8 @@ def main() -> None:
         "semdedup_trained",
         # the incremental-substring base window-hash index
         "exactsubstr_incremental",
+        # the staged DSIR importance estimator (train-once weights)
+        "dsir_incremental",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

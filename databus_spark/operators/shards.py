@@ -806,3 +806,89 @@ def mixture_waterfill_sample_sql(
         SELECT doc_id, {group_col}, n_tokens, cum_tokens
         FROM runs WHERE cum_tokens <= quota_tokens
     """
+
+
+def dsir_incremental_scores(
+    incoming: DataFrame,
+    base: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Score an INCOMING batch against DSIR weights trained on the BASE
+    corpus — the production ingest shape (arXiv:2302.03169 trains the
+    importance estimator once on a raw+target sample, then scores the
+    stream): the base is never re-tokenized when ``weights`` (the
+    staged model: dsir_feature_weights output) is passed. Buckets the
+    base never populated score at the unseen-bucket smoothed default
+    (c_t=0, c_r=0 -> (t_r+B)*1e6 // (t_t+B)), derived from the weight
+    table's own totals — no second base pass. Output: (doc_id,
+    n_feats, score_micro, per_feat_micro) per incoming doc."""
+    if weights is None:
+        weights = dsir_feature_weights(base, target_lang)
+    w = weights.select("f", "weight_micro")
+    default_w = weights.agg(
+        F.expr(
+            f"CAST(((CAST(sum(c_corpus) AS DECIMAL(20,0)) + {DSIR_BUCKETS})"
+            f" * 1000000) div (sum(c_target) + {DSIR_BUCKETS}) AS BIGINT)"
+        ).alias("default_w")
+    )
+    tk = _dsir_tokens(incoming)
+    return (
+        tk.join(F.broadcast(w), "f", "left")
+        .crossJoin(F.broadcast(default_w))
+        .withColumn("weight_micro", F.coalesce("weight_micro", "default_w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("weight_micro").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "score_micro",
+            F.expr("score_micro div n_feats").alias("per_feat_micro"),
+        )
+    )
+
+
+def dsir_incremental_scores_sql(
+    incoming_from_sql: str,
+    base_from_sql: str,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> str:
+    h = portable_hash64_sql("tok", f"'{DSIR_SEED}'")
+    B = DSIR_BUCKETS
+    return f"""
+        WITH {_dsir_ctes(base_from_sql, target_lang)},
+        dflt AS (
+            SELECT CAST(((sum(c_r) + {B}) * 1000000) // (sum(c_t) + {B})
+                        AS BIGINT) AS default_w
+            FROM w
+        ),
+        itk AS (
+            SELECT doc_id, ({h}) % {B} AS f
+            FROM (
+                SELECT doc_id, unnest(feats) AS tok
+                FROM (
+                    SELECT doc_id,
+                           t || CASE WHEN len(t) >= 2 THEN list_transform(
+                                    range(0, len(t) - 1),
+                                    i -> array_to_string(t[i+1:i+2], ' '))
+                                ELSE [] END AS feats
+                    FROM (SELECT doc_id,
+                                 {TOKENS_SQL.format(col='text')} AS t
+                          FROM ({incoming_from_sql}))
+                )
+            )
+        )
+        SELECT itk.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(coalesce(w.weight_micro, dflt.default_w)) AS BIGINT)
+                   AS score_micro,
+               CAST(sum(coalesce(w.weight_micro, dflt.default_w))
+                    // count(*) AS BIGINT) AS per_feat_micro
+        FROM itk
+        LEFT JOIN w ON w.f = itk.f
+        CROSS JOIN dflt
+        GROUP BY 1
+    """

@@ -1326,6 +1326,50 @@ def dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_incremental",
+    shards.dsir_incremental_scores_sql(
+        f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",
+        "SELECT * FROM documents",
+    ),
+)
+def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR — the production ingest shape: the importance
+    estimator trains ONCE on the base corpus (staged,
+    content-fingerprinted, staged == inline pinned by test) and scores
+    the incoming batch without re-tokenizing the base; unseen buckets
+    get the smoothed default derived from the weight table's own
+    totals. One broadcast join over the incoming feature stream."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    base = load_table(spark, sf_dir, "documents")
+    fingerprint = (
+        _content_fingerprint(
+            base.withColumn(
+                "_tcrc",
+                F.crc32(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.col("text")
+                    ).cast("binary")
+                ),
+            ),
+            "doc_id",
+            "_tcrc",
+        )
+        + f"|t{shards.DSIR_TARGET_LANG}b{shards.DSIR_BUCKETS}"
+    )
+
+    def build(d: str) -> None:
+        shards.dsir_feature_weights(base).write.parquet(os.path.join(d, "w"))
+
+    idx_dir = _staged_artifact(
+        "databus_dsirw", sf_dir, fingerprint, build, version="dsirw-v1"
+    )
+    weights = spark.read.parquet(os.path.join(idx_dir, "w"))
+    return shards.dsir_incremental_scores(incoming, base, weights=weights)
+
+
+@query(
     "dsir_select_topk",
     shards.dsir_select_topk_sql("SELECT * FROM documents"),
 )

@@ -80,3 +80,32 @@ def test_scores_plan_broadcasts_weights_no_global_sort(spark, sf_dir):
     # top-k must be TakeOrdered (per-partition heads + k-row merge),
     # never a full Sort+Exchange of the scored corpus
     assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_incremental_staged_weights_equal_inline(spark, sf_dir):
+    """Scoring through staged weights must be result-identical to
+    inline training, and an exact copy of a base doc must score
+    exactly what the base doc scores in-corpus (same feature stream,
+    same weights)."""
+    from databus_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(sf_dir + "/documents.parquet")
+    incoming = D.documents_with_dups(spark, sf_dir).where(F.col("doc_id") >= 1_000_000)
+    inline = S.dsir_incremental_scores(incoming, base)
+    staged = S.dsir_incremental_scores(
+        incoming, base, weights=S.dsir_feature_weights(base)
+    )
+    a = {tuple(r) for r in inline.collect()}
+    b = {tuple(r) for r in staged.collect()}
+    assert a == b and a
+    # mirrored copies (doc_id = base + 1M) score identically to their
+    # base doc under the base-trained weights
+    base_scores = {
+        r["doc_id"]: (r["n_feats"], r["score_micro"])
+        for r in S.dsir_doc_scores(base).collect()
+    }
+    for r in inline.collect():
+        if r["doc_id"] < 2_000_000:  # the exact mirrors
+            orig = base_scores[r["doc_id"] - 1_000_000]
+            assert (r["n_feats"], r["score_micro"]) == orig

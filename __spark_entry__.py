@@ -201,8 +201,6 @@ _REST = [
     "partition_spread_per_source",
     "null_rate_profile",
     "buffer_info",
-    "media_features",
-    "media_png_resize",
     "media_video_frames",
     "media_jpeg_probe",
     "event_metadata_extract",
@@ -211,38 +209,6 @@ _REST = [
     "jdbc_txlog_pull",
     "sql_txlog_pull",
     "trail_file_seek",
-    "data_expectations",
-    "lm2_quality_score",
-    "funnel_conversion",
-    "retention_cohorts",
-    "ann_filtered_topk",
-    "bpe_pair_counts",
-    "dedup_incremental",
-    "curation_decisions",
-    "curation_decisions_v2",
-    "decontaminate_bloom",
-    "key_skew_profile",
-    "repetition_filter",
-    "text_quality",
-    "text_lang_id",
-    "lm_quality_score",
-    "bootstrap_snapshot_catchup",
-    "snapshot_orders",
-    "snapshot_customer",
-    "filter_keyrange",
-    "filter_keymod_strkey",
-    "filter_keymod_longkey",
-    "filter_keymod_subscribe",
-    "filter_payload_fields",
-    "topk_orders_per_segment",
-    "cube_rollup",
-    "scalar_functions",
-    "dtail_json",
-    "checkpoint_mult_fetch",
-    "xml_trail_parse",
-    "hash_sample",
-    "partition_router",
-    "pivot_events_daily",
 ]
 
 _PRIORITY = _WINDOW + _REST

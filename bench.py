@@ -17,11 +17,18 @@ import sys
 import time
 
 
+# THE idle-box reference band for the calibration probe (single source
+# of truth, emitted into every record): min/max probe seconds observed
+# across the r7-r9 idle-box records (0.34-0.56) plus margin. A probe
+# outside this band at either end means the record was contended.
+IDLE_PROBE_REF_S = (0.25, 0.60)
+
+
 def _calibration_probe_s() -> float:
     """Fixed-work CPU probe (numpy matmul, deterministic size): its
     wall time depends only on box contention, never on the engine, so a
-    drifted value flags a loaded-box record. Idle-box reference on the
-    round-8 hardware: ~0.5 s."""
+    drifted value flags a loaded-box record. Idle-box reference:
+    IDLE_PROBE_REF_S."""
     import numpy as np
 
     a = np.arange(640_000, dtype=np.float64).reshape(800, 800) % 251
@@ -271,12 +278,13 @@ def main() -> None:
         "microbatch_p50_ms": p50_batch_ms,
         "n_microbatches": applier.batches_applied,
         # validity guard: 1-min load avg should be ~0 at start on an idle
-        # box; calibration probe should match its idle-box reference
-        # (~0.25-0.45 s) at BOTH ends, or the record is contended
+        # box; calibration probe should sit inside IDLE_PROBE_REF_S at
+        # BOTH ends, or the record is contended
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "calibration_probe_start_s": calib_start_s,
         "calibration_probe_end_s": _calibration_probe_s(),
+        "idle_probe_ref_s": list(IDLE_PROBE_REF_S),
     }
     # Full result (all per-query timings) goes to a file AND one full JSON
     # line; the LAST stdout line is a compact (<1 KB) headline so the

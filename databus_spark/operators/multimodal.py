@@ -124,9 +124,15 @@ def parse_media_meta(payload: bytes) -> dict:
     headers, WAV audio via the stdlib wave/audioop modules (channels,
     sample rate, duration, RMS energy). Unknown formats degrade to the
     opaque-bytes row, never an error — a corrupt header is data, not an
-    ingest crash."""
+    ingest crash. Only PARSE-LAYER exception types degrade (same
+    contract as decode_media's WAV leg and extract_features): genuine
+    programming bugs (AttributeError, NameError, TypeError, ...) must
+    propagate, or a future edit silently reclassifies every payload as
+    opaque and no test fails."""
+    import audioop
     import io
     import struct
+    import wave
 
     out = dict(_NO_META)
     try:
@@ -156,9 +162,6 @@ def parse_media_meta(payload: bytes) -> dict:
                     break
                 i += 2 + seg_len
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            import audioop
-            import wave
-
             with wave.open(io.BytesIO(payload)) as wf:
                 rate = wf.getframerate()
                 frames = wf.getnframes()
@@ -172,7 +175,13 @@ def parse_media_meta(payload: bytes) -> dict:
                     if frames
                     else 0,
                 )
-    except Exception:
+    except (
+        struct.error,  # unpack on a truncated header slice
+        wave.Error,
+        EOFError,
+        audioop.error,
+        RuntimeError,  # stdlib wave's torn-chunk path (see decode_media)
+    ):
         return dict(_NO_META)  # torn/corrupt header -> opaque bytes
     return out
 

@@ -999,10 +999,10 @@ def bpe_encode_sql(
     toks = TOKENS_SQL.format(col="replace(text, chr(1), '')")
     d = "chr(1)"
     n_rounds = -(-n_merges // k_per_round)
-    # rule derivation reuses the learn generator verbatim (same CTE
-    # names, same recursion); corpus application is re-threaded with
-    # doc_id in the e{r} chain below so the per-doc result survives.
-    learn = bpe_learn_merges_batched_sql(from_sql, n_merges, k_per_round)
+    # rule derivation reuses the learn generator's CTE chain verbatim
+    # (same CTE names, same recursion); corpus application is
+    # re-threaded with doc_id in the e{r} chain below so the per-doc
+    # result survives.
     ctes = [
         f"e1 AS MATERIALIZED (SELECT doc_id,"
         f" {d} || array_to_string({toks}, {d}) || {d} AS s FROM ({from_sql}))"
@@ -1026,12 +1026,10 @@ def bpe_encode_sql(
     )
     # learn's WITH-clause CTEs (t/p/c/s chains) + our e chain share one
     # WITH; learn CTE names (t,p,c,s,g) never collide with e{r}. The
-    # learn text is "WITH <ctes> SELECT CAST(...rank outputs...)" and
-    # " SELECT CAST(" appears nowhere inside the CTE bodies (their
-    # selects are aliased/aggregate forms), so the split is exact.
-    cut = learn.index(" SELECT CAST(")
-    learn_ctes = learn[len("WITH "):cut]
-    return "WITH " + learn_ctes + ", " + ", ".join(ctes) + " " + final
+    # CTE list comes back STRUCTURALLY from the shared generator — no
+    # textual split of the rendered SQL to drift out of sync with it.
+    learn_ctes, _ = _bpe_batched_parts(from_sql, n_merges, k_per_round)
+    return "WITH " + ", ".join(learn_ctes + ctes) + " " + final
 
 
 def bpe_learn_merges_batched_sql(
@@ -1042,6 +1040,17 @@ def bpe_learn_merges_batched_sql(
     (greedy disjoint selection is inherently sequential — the recursion
     IS the walk), and a second recursive CTE folds the adopted
     replaces over the corpus in adoption order."""
+    ctes, selects = _bpe_batched_parts(from_sql, n_merges, k_per_round)
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _bpe_batched_parts(
+    from_sql: str, n_merges: int, k_per_round: int
+) -> tuple[list[str], list[str]]:
+    """The batched-greedy learn SQL as STRUCTURED parts: the CTE chain
+    (t/p/c/s per round) and the per-round rank selects. bpe_encode_sql
+    grafts the CTE list into its own WITH clause, so the shape is
+    shared by construction instead of by splitting rendered SQL."""
     toks = TOKENS_SQL.format(col="replace(text, chr(1), '')")
     d = "chr(1)"
     n_rounds = -(-n_merges // k_per_round)
@@ -1117,7 +1126,7 @@ def bpe_learn_merges_batched_sql(
             f"SELECT CAST({offset} + adopt_rank AS INT) AS rank,"
             f" a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM s{r}"
         )
-    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+    return ctes, selects
 
 
 def bpe_learn_merges_sql(from_sql: str, n_merges: int = 3) -> str:

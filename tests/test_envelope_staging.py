@@ -54,3 +54,39 @@ def test_staged_writes_once(spark, sf_dir, staged_env):
     mtime = os.path.getmtime(os.path.join(root, dirs[0], "_SUCCESS"))
     env.orders_changelog(spark, sf_dir)  # second call reads, no rewrite
     assert os.path.getmtime(os.path.join(root, dirs[0], "_SUCCESS")) == mtime
+
+
+def test_bpe_staged_fingerprint_sees_text_content(spark):
+    """A regenerated documents fixture with IDENTICAL doc_ids and
+    n_chars but different text must change the staged-rules
+    fingerprint (the r9 ADVICE finding: an id+length fingerprint
+    serves a stale tokenizer)."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.registry import _content_fingerprint
+
+    def fp(df):
+        return _content_fingerprint(
+            df.withColumn(
+                "_tcrc",
+                F.crc32(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.col("text")
+                    ).cast("binary")
+                ),
+            ),
+            "doc_id",
+            "n_chars",
+            "_tcrc",
+        )
+
+    a = spark.createDataFrame(
+        [(1, "aaaa bbbb", 9), (2, "cccc dddd", 9)],
+        "doc_id long, text string, n_chars long",
+    )
+    b = spark.createDataFrame(
+        [(1, "aaaa cccc", 9), (2, "cccc eeee", 9)],  # same ids, same lengths
+        "doc_id long, text string, n_chars long",
+    )
+    assert fp(a) == fp(a)
+    assert fp(a) != fp(b)

@@ -91,6 +91,27 @@ def test_parse_media_meta_real_formats():
     torn = parse_media_meta(b"\x89PNG\r\n\x1a\n\x00\x00")
     assert torn["mime"] == "application/octet-stream"
 
+    # torn WAV (truncated mid-container): parse-layer error -> opaque
+    torn_wav = parse_media_meta(make_wav(8000, 4000)[:32])
+    assert torn_wav["mime"] == "application/octet-stream"
+
+
+def test_parse_media_meta_propagates_programming_bugs(monkeypatch):
+    """The degrade-to-opaque handler is narrowed to parse-layer
+    exception types: a planted AttributeError (the canonical
+    future-edit bug) must PROPAGATE, not silently reclassify every
+    payload as opaque bytes."""
+    import wave
+
+    import pytest
+
+    def broken_open(*a, **k):
+        raise AttributeError("planted bug: future edit touched wave usage")
+
+    monkeypatch.setattr(wave, "open", broken_open)
+    with pytest.raises(AttributeError, match="planted bug"):
+        parse_media_meta(make_wav(8000, 400))
+
 
 def test_media_meta_probe_distributed(spark):
     rows = [

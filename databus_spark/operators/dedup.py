@@ -596,6 +596,35 @@ def bithash_bands(
 
 
 _HAMMING_KEY_SHIFT = 40  # (hamming << 40) | doc_id: one scalar min both engines agree on
+OCC_POS_BITS = 20  # (doc_id << 20) | pos occurrence keys: doc_id < 2^43, 1M-token docs
+
+
+def packed_key(high, low, low_bits: int, what: str):
+    """(high << low_bits) + low as one orderable signed long, with a
+    LOUD width guard: ids outside [0, 2^low_bits) for the low part or
+    [0, 2^(63-low_bits)) for the high part raise inside codegen
+    (F.raise_error — no extra job, no driver collect) instead of
+    silently aliasing two distinct (high, low) pairs to one key. The
+    docs position these operators for corpora where doc_id >= 2^31 is
+    plausible, so overflow must be an error, not corruption."""
+    high = high.cast("long")
+    low = low.cast("long")
+    ok = (
+        (low >= 0)
+        & (low < F.lit(1 << low_bits))
+        & (high >= 0)
+        & (high < F.lit(1 << (63 - low_bits)))
+    )
+    return F.when(ok, F.shiftleft(high, low_bits) + low).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: packed key overflow (low_bits={low_bits}): high="),
+                high.cast("string"),
+                F.lit(" low="),
+                low.cast("string"),
+            )
+        )
+    )
 
 
 def incremental_bithash_dedup(
@@ -633,7 +662,9 @@ def incremental_bithash_dedup(
         .distinct()
     )
     hamming = F.bit_count(F.col("in_doc_h").bitwiseXOR(F.col("base_doc_h")))
-    key = F.shiftleft(hamming.cast("long"), _HAMMING_KEY_SHIFT) + F.col("base_doc")
+    key = packed_key(
+        hamming, F.col("base_doc"), _HAMMING_KEY_SHIFT, "incremental_bithash_dedup"
+    )
     matches = (
         cand.where(hamming <= max_hamming)
         .groupBy("in_doc")
@@ -1168,15 +1199,17 @@ def span_dedup_profile(docs: DataFrame, win: int = SPAN_WIN) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     # occurrence key packs (doc_id, position) into one long with a
-    # 32-bit shift: safe for doc_id < 2^31 and up to 2^32 windows per
-    # doc (a decimal-multiplier pack aliased at 1M windows); the lazy
-    # checkpoint materializes the explode once for its two consumers
-    # (firsts agg + join-back) instead of re-tokenizing the corpus
+    # 20-bit position field: valid for doc_id < 2^43 (the r10 100x soak
+    # FIRED the old 32-bit guard — replica-strided ids reach 9.9e9 >
+    # 2^31, so earlier x100 records silently aliased keys) and 2^20
+    # windows per doc, raising loudly in codegen past either bound; the
+    # lazy checkpoint materializes the explode once for its two
+    # consumers (firsts agg + join-back)
     occ = (
         docs.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
         .withColumn(
             "occ_key",
-            F.shiftleft(F.col("doc_id"), 32) + F.col("seg_idx").cast("long"),
+            packed_key(F.col("doc_id"), F.col("seg_idx"), OCC_POS_BITS, "span_dedup"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1207,7 +1240,7 @@ def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
         ),
         occ AS (
             SELECT doc_id, (u).seg_idx AS seg_idx, (u).seg AS seg,
-                   (doc_id << 32) + (u).seg_idx AS occ_key
+                   (doc_id << 20) + (u).seg_idx AS occ_key
             FROM (
                 SELECT doc_id, unnest(list_transform(
                            range(0, CAST(floor(len(toks) / {win}) AS BIGINT)),
@@ -1601,12 +1634,164 @@ def cdc_chunk_profile_sql(from_sql: str) -> str:
 EXSUB_WIN = 8  # detection granularity in tokens (the paper uses 50 BPE
                # tokens at web scale; 8 matches the fixture's ~50-token docs)
 
+# Winnowing pre-filter geometry. Selection density is 2/(w+1) with
+# w = win-k+1 (the winnowing window over k-gram hashes; guarantee
+# threshold w+k-1 == win exactly), so SMALL k buys density — but the
+# candidate test is "this k-gram occurs >= 2 times among selected
+# fingerprints", and k must be long enough that k-gram repetition
+# without a real win-window dup is rare. Measured on the sf0.1 corpus
+# (docs containing a corpus-duplicated k-gram, vs 477 docs with a true
+# duplicated 8-window): k=4 -> 4971 docs (vacuous), k=5 -> 2064,
+# k=6 -> 529, k=7 -> 477. The rule below takes w ~ win/3: at win=8
+# that is k=6/w=3 (density 1/2 — weak, which is why the pre-filter
+# auto-engages only at larger windows); at the paper's win=50 it is
+# k=34/w=17 (density ~1/9 with an effectively collision-free 34-token
+# anchor).
+EXSUB_PREFILTER_MIN_WIN = 16  # auto threshold: below this the measured
+# trade is negative (x10 soak at win=8: 1.56x shuffle cut for ~4x wall
+# — the selection pass is interpreted HOF work while the brute
+# pipeline is whole-stage codegen); at win>=16 density <= 1/3 and the
+# anchor is sharp, so the corpus-sized occurrence shuffle collapses to
+# the candidate fraction.
+_EXSUB_KPOS_BITS = 20  # pre-filter packs (hash43 << 20 | kpos): 1M-token doc cap
+
+
+def _exsub_anchor(win: int) -> tuple[int, int]:
+    """(k, w) for the winnowing pass: w ~ win/3 (>= 3), k = win-w+1."""
+    w = max(3, (win + 2) // 3)
+    return win - w + 1, w
+
+
+def _exsub_prefilter_on(prefilter: bool | None, win: int) -> bool:
+    return win >= EXSUB_PREFILTER_MIN_WIN if prefilter is None else prefilter
+
+
+def _exsub_candidates(docs: DataFrame, win: int) -> DataFrame:
+    """Docs that MAY contain a duplicated >= win-token window — the
+    shuffle pre-filter (r8 verdict ask #3): the full sliding-window
+    pipeline then runs only on these.
+
+    Winnowing (Schleimer et al., SIGMOD'03 — the MOSS fingerprinting
+    scheme), tuned so the guarantee threshold equals win exactly:
+    k-gram hashes (k, w from _exsub_anchor) at every position, and in each
+    window of w = win - k + 1 consecutive k-gram hashes the minimal
+    (hash, pos) is SELECTED. Guarantee: a duplicated win-token window
+    contains exactly w k-gram positions, i.e. ONE complete selection
+    window lying wholly inside the match; its minimal hash is selected
+    in EVERY occurrence, at the same content-determined in-match
+    offset. So each occurrence emits the same k-gram hash (at distinct
+    absolute (doc, pos)), and a global selected-count >= 2 flags every
+    doc holding any duplicated window — 100% recall, hence PROVABLY
+    identical final output; false positives (shared k-grams without a
+    shared win-window, rare 43-bit collisions) only send extra docs to
+    the exact phase.
+
+    Scale: selection density is ~2/(w+1) (~1/3 of positions at win=8),
+    the selection itself is per-doc array work that never leaves the
+    map side, and a shuffled row is 16 bytes of (doc_id, hash) — so
+    the pre-filter shuffle is ~1/3 the rows at ~half the width of the
+    full occurrence shuffle, and the occurrence pipeline then pays
+    data-proportional cost only on the candidate fraction (~10% on the
+    fixture corpus). The k-gram hashing runs in interpreted HOF lambdas
+    (SCALE.md perf rule: ~4x codegen CPU) — deliberate: map CPU scales
+    with executors, the shuffle fabric is the 100 TB bottleneck."""
+    rows = _exsub_selected(docs, win)
+    dup_h = (
+        rows.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("_h")
+    )
+    return rows.join(dup_h, "_h").select("doc_id").distinct()
+
+
+def _exsub_selected(docs: DataFrame, win: int) -> DataFrame:
+    """(doc_id, _h) winnowing-selected k-gram hash occurrences — the
+    shared selection pass behind _exsub_candidates (batch) and the
+    incremental probe. One row per selected (doc, k-position); a
+    within-doc duplicate therefore contributes two rows of the same _h
+    (array_distinct collapses only same-position reselections by
+    adjacent windows), so global row counts per _h are occurrence
+    counts."""
+    k, w = _exsub_anchor(win)
+    toks = tokens_col("text")
+    base = docs.select("doc_id", toks.alias("_toks")).where(F.size(toks) >= win)
+    n = F.col("_n")
+    n_g = n - k + 1  # k-gram count; >= w whenever n_toks >= win
+
+    # Interpreted HOF expressions are re-evaluated PER REFERENCE (no
+    # common-subexpression elimination outside codegen), so any
+    # expression tree that references a hash array more than once
+    # multiplies the whole upstream cost: a binary-doubling tree here
+    # measured 73 s vs 2 s brute at win=50 — xxhash64 re-ran ~500x per
+    # row. The fix is to MATERIALIZE the two reused arrays once each
+    # (lazy localCheckpoint -> they become plain attributes, free to
+    # reference) and build everything between as LINEAR zip_with chains
+    # where each step references the previous level exactly once:
+    # total work is O((k + w) * n) element ops per doc, all map-side.
+    def _mix(a, b):
+        # rotate-xor: bit ops only (ANSI mode makes arithmetic overflow
+        # an ERROR, so no polynomial multiply); inputs are already
+        # xxhash64-mixed, and a collision only adds a candidate
+        rot = F.shiftleft(a, 13).bitwiseOR(F.shiftrightunsigned(a, 51))
+        return rot.bitwiseXOR(b)
+
+    hashed = base.select(
+        "doc_id",
+        F.size("_toks").alias("_n"),
+        F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_th"),
+    ).localCheckpoint(eager=False)  # tokenize + per-token hash run ONCE
+
+    th = F.col("_th")
+    gh = F.slice(th, 1, n_g)
+    for j in range(1, k):
+        gh = F.zip_with(gh, F.slice(th, j + 1, n_g), _mix)
+    # 43-bit hash field keeps packed non-negative: (2^43-1) << 20 + pos
+    # < 2^63, so signed ordering == content ordering
+    mask43 = F.lit((1 << 43) - 1)
+    packed = F.zip_with(
+        gh,
+        F.sequence(F.lit(1), n_g),
+        lambda h, p: F.shiftleft(h.bitwiseAND(mask43), _EXSUB_KPOS_BITS)
+        + p.cast("long"),
+    )
+    # kpos must fit its field (same discipline as packed_key): raise,
+    # never alias, on docs past the 2^20-token pre-filter cap
+    packed = F.when(n_g < F.lit(1 << _EXSUB_KPOS_BITS), packed).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("exactsubstr pre-filter: doc exceeds 2^20 tokens: doc_id="),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    pk = hashed.select("doc_id", "_n", packed.alias("_pk")).localCheckpoint(
+        eager=False  # the min chain references this w times
+    )
+    # rolling min over w consecutive packed values, linear least() chain
+    n_w = n_g - w + 1
+    mins = F.slice(F.col("_pk"), 1, n_w)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins,
+            F.slice(F.col("_pk"), j + 1, n_w),
+            lambda a, b: F.least(a, b),
+        )
+    sel = F.array_distinct(mins)
+    return (
+        pk.select("doc_id", F.explode(sel).alias("_sel"))
+        .select("doc_id", F.shiftright(F.col("_sel"), _EXSUB_KPOS_BITS).alias("_h"))
+        # feeds the dup-count agg AND the join-back (the two-consumer
+        # localCheckpoint rule)
+        .localCheckpoint(eager=False)
+    )
+
 
 def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
     """(doc_id, pos, whash, occ_key): one row per sliding L-window.
 
     pos is 1-based token index; occ_key packs (doc_id, pos) into one
-    long (doc_id << 32 | pos) so "globally first occurrence" is a plain
+    long (doc_id << 20 | pos) so "globally first occurrence" is a plain
     min both engines compute identically. Only 8-byte hashes are ever
     shuffled, never window text.
 
@@ -1633,7 +1818,9 @@ def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
             "doc_id",
             "pos",
             whash.alias("whash"),
-            (F.shiftleft(F.col("doc_id"), 32) + F.col("pos")).alias("occ_key"),
+            packed_key(F.col("doc_id"), F.col("pos"), OCC_POS_BITS, "exactsubstr").alias(
+                "occ_key"
+            ),
         )
         # feeds the firsts agg AND the join-back: materialize the
         # window explode once (the staged-index localCheckpoint rule)
@@ -1661,11 +1848,22 @@ def _exsub_islands(occ_dup: DataFrame, win: int) -> DataFrame:
     )
 
 
-def exactsubstr_spans(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+def exactsubstr_spans(
+    docs: DataFrame, win: int = EXSUB_WIN, prefilter: bool | None = None
+) -> DataFrame:
     """Map of ALL duplicated >= win-token content: every occurrence of
     every duplicated window (including the kept first one), merged into
     maximal spans. (doc_id, span_start, span_end, span_tokens,
-    n_windows) in 1-based token indices."""
+    n_windows) in 1-based token indices.
+
+    prefilter=True runs the winnowing candidate pass first:
+    non-candidate docs provably contain no duplicated window, so the
+    sliding explode + hash shuffle pays only for the candidate
+    fraction. prefilter=False is the brute path the differential test
+    pins equivalence against; the default (None) auto-engages at
+    win >= EXSUB_PREFILTER_MIN_WIN, where the measured trade wins."""
+    if _exsub_prefilter_on(prefilter, win):
+        docs = docs.join(_exsub_candidates(docs, win), "doc_id")
     occ = _exsub_occurrences(docs, win)
     dup = (
         occ.groupBy("whash")
@@ -1681,7 +1879,9 @@ def exactsubstr_spans(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
     )
 
 
-def exactsubstr_dedup(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+def exactsubstr_dedup(
+    docs: DataFrame, win: int = EXSUB_WIN, prefilter: bool | None = None
+) -> DataFrame:
     """Cut every duplicated >= win-token span except its globally first
     occurrence (min (doc_id, pos)), the paper's keep-one policy.
     Returns every doc: (doc_id, n_tokens, n_removed, clean_text), where
@@ -1690,8 +1890,20 @@ def exactsubstr_dedup(docs: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
     operators share). In pathological self-overlapping repeats (period
     < win) the cut can clip into the tail of the kept occurrence; both
     engines apply the same greedy rule, and the paper accepts the same
-    approximation."""
-    occ = _exsub_occurrences(docs, win)
+    approximation.
+
+    With the pre-filter on (default: auto at win >=
+    EXSUB_PREFILTER_MIN_WIN) the occurrence explode runs only on
+    winnowing candidates (every doc holding a duplicated window is a
+    candidate — see _exsub_candidates); the cut tail still runs over
+    ALL docs, so non-candidates come back verbatim with n_removed=0,
+    exactly as the brute path returns them."""
+    occ_docs = (
+        docs.join(_exsub_candidates(docs, win), "doc_id")
+        if _exsub_prefilter_on(prefilter, win)
+        else docs
+    )
+    occ = _exsub_occurrences(occ_docs, win)
     firsts = (
         occ.groupBy("whash")
         .agg(F.min("occ_key").alias("first_key"), F.count(F.lit(1)).alias("n_occ"))
@@ -1748,11 +1960,22 @@ def exactsubstr_base_hashes(base: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
     return _exsub_occurrences(base, win).select("whash").distinct()
 
 
+def exactsubstr_base_khashes(base: DataFrame, win: int = EXSUB_WIN) -> DataFrame:
+    """Distinct winnowing-selected k-gram hashes of the base corpus —
+    the pre-filter twin of the whash index, staged alongside it. An
+    incoming doc sharing NO selected k-hash with the base provably
+    shares no >= win-token window with it (the winnowing guarantee),
+    so only k-hash-matching incoming docs pay the window explode."""
+    return _exsub_selected(base, win).select("_h").distinct()
+
+
 def exactsubstr_incremental(
     incoming: DataFrame,
     base: DataFrame,
     win: int = EXSUB_WIN,
     base_hashes: DataFrame | None = None,
+    base_khashes: DataFrame | None = None,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Rolling-ingestion ExactSubstr: every >= win-token span of an
     incoming doc ALREADY PRESENT in the base corpus is cut (base always
@@ -1761,11 +1984,26 @@ def exactsubstr_incremental(
     is passed (the staged index); the delta probe is one equi-join on
     the 8-byte window hash. Incoming docs dedup only against the base
     here — in-batch duplicates are exactsubstr_dedup's job on the
-    admitted survivors."""
+    admitted survivors. With the pre-filter on (default: auto at
+    win >= EXSUB_PREFILTER_MIN_WIN), incoming docs are first screened
+    against the base's selected-k-hash index (staged next to the whash
+    index); only matching docs explode windows — the cut still returns
+    EVERY incoming doc."""
     if base_hashes is None:
         base_hashes = exactsubstr_base_hashes(base, win)
+    probe = incoming
+    if _exsub_prefilter_on(prefilter, win):
+        if base_khashes is None:
+            base_khashes = exactsubstr_base_khashes(base, win)
+        cand = (
+            _exsub_selected(incoming, win)
+            .join(base_khashes, "_h")
+            .select("doc_id")
+            .distinct()
+        )
+        probe = incoming.join(cand, "doc_id")
     removable = (
-        _exsub_occurrences(incoming, win)
+        _exsub_occurrences(probe, win)
         .join(base_hashes, "whash")
         .select("doc_id", "pos")
     )
@@ -1808,7 +2046,7 @@ def _exsub_occ_sql(from_sql: str, win: int) -> str:
         ),
         occ AS (
             SELECT doc_id, pos, {whash} AS whash,
-                   (doc_id << 32) + pos AS occ_key
+                   (doc_id << 20) + pos AS occ_key
             FROM (
                 SELECT doc_id, toks,
                        unnest(range(1, len(toks) - {win} + 2)) AS pos

@@ -194,3 +194,36 @@ def test_bithash_near_pairs_pigeonhole_recall(spark):
     assert got[(0, 1)] == 2 and got[(0, 2)] == 2 and got[(0, 3)] == 2
     assert got[(0, 5)] == 0 and got[(1, 5)] == 2
     assert not any(4 in p for p in got)
+
+
+def test_packed_key_width_guard(spark):
+    """packed_key must raise inside codegen on out-of-range ids (silent
+    aliasing of two distinct (high, low) pairs is corruption, not an
+    error state the pipeline can observe) and stay exact in range."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.range(1).select(
+        dedup.packed_key(F.lit(3), F.lit(5), 32, "t").alias("k")
+    )
+    assert df.collect()[0]["k"] == (3 << 32) + 5
+
+    # low part overflows its 32-bit field -> loud error
+    bad_low = spark.range(1).select(
+        dedup.packed_key(F.lit(1), F.lit(1 << 32), 32, "t").alias("k")
+    )
+    with pytest.raises(SparkRuntimeException, match="packed key overflow"):
+        bad_low.collect()
+
+    # high part would shift past 63 bits -> loud error
+    bad_high = spark.range(1).select(
+        dedup.packed_key(F.lit(1 << 31), F.lit(0), 32, "t").alias("k")
+    )
+    with pytest.raises(SparkRuntimeException, match="packed key overflow"):
+        bad_high.collect()
+
+    # negative ids are out of contract too
+    bad_neg = spark.range(1).select(
+        dedup.packed_key(F.lit(1), F.lit(-1), 32, "t").alias("k")
+    )
+    with pytest.raises(SparkRuntimeException, match="packed key overflow"):
+        bad_neg.collect()

@@ -147,3 +147,103 @@ def test_sketch_eval_confusion_consistency(spark, sf_dir):
     assert row["precision_micro"] == 1_000_000 * row["tp"] // max(row["tp"] + row["fp"], 1)
     assert row["recall_micro"] == 1_000_000 * row["tp"] // max(row["tp"] + row["fn"], 1)
     assert row["tp"] + row["fn"] == len(truth) and len(truth) > 0
+
+
+# ---------------------------------------------------------------------------
+# Winnowing pre-filter equivalence (r8 verdict ask #3)
+# ---------------------------------------------------------------------------
+
+def _adversarial_corpus(spark):
+    """Every shape that could break the pre-filter's recall guarantee:
+    a dup of EXACTLY win=8 tokens (the guarantee threshold, no slack),
+    a 7-token near-miss (must NOT be cut by either path), a within-doc
+    duplicate, a self-overlapping repeat with period < win, a long
+    cross-doc dup at different offsets, and clean docs."""
+    exactly8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    long_dup = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, f"aa bb cc {exactly8} dd ee"),
+        (2, f"xx {exactly8} yy zz qq rr"),
+        (3, "p1 p2 p3 p4 p5 p6 p7 other p1 p2 p3 p4 p5 p6 p7 end"),  # 7-token dup: below win
+        (4, f"intro {long_dup} outro words here"),
+        (5, f"{long_dup} trailing content of doc five"),
+        (6, f"selfdup {exactly8} middle filler tokens {exactly8} tail"),  # within-doc
+        (7, "rep rep rep rep rep rep rep rep rep rep rep rep"),  # period 1 < win
+        (8, "entirely unique text with no repeated content of any kind"),
+        (9, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_prefilter_differential_equivalence(spark, sf_dir):
+    """Pre-filtered output must be row-identical to the brute path on
+    the adversarial corpus AND on the real fixture corpus."""
+    adv = _adversarial_corpus(spark)
+    for docs in (adv, D.documents_with_dups(spark, sf_dir)):
+        assert _sorted_rows(D.exactsubstr_dedup(docs, prefilter=True)) == \
+            _sorted_rows(D.exactsubstr_dedup(docs, prefilter=False))
+        assert _sorted_rows(D.exactsubstr_spans(docs, prefilter=True)) == \
+            _sorted_rows(D.exactsubstr_spans(docs, prefilter=False))
+
+
+def test_prefilter_candidates_exact_recall(spark):
+    """Every doc holding a duplicated win-window is a candidate; the
+    clean docs are pruned (that pruning IS the shuffle saving)."""
+    adv = _adversarial_corpus(spark)
+    cand = {r["doc_id"] for r in D._exsub_candidates(adv, D.EXSUB_WIN).collect()}
+    assert {1, 2, 4, 5, 6, 7} <= cand      # all true dup docs present
+    assert len(cand) < 9                   # and SOME doc was pruned
+    assert 9 not in cand                   # <win tokens can never dup
+
+
+def test_prefilter_incremental_differential(spark):
+    """Incremental probe with the staged k-hash screen equals the
+    unfiltered probe, including the edited-copy (offset-shifted) shape
+    the aligned profile misses."""
+    base = _adversarial_corpus(spark)
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    incoming = spark.createDataFrame(
+        [
+            (101, f"new prefix {shared} new suffix"),     # dup vs base
+            (102, "totally fresh tokens never seen before anywhere at all"),
+            (103, "the quick brown fox jumps over the lazy dog near the river bank shifted"),
+        ],
+        "doc_id long, text string",
+    )
+    a = _sorted_rows(D.exactsubstr_incremental(incoming, base, prefilter=True))
+    b = _sorted_rows(D.exactsubstr_incremental(incoming, base, prefilter=False))
+    assert a == b
+    cut = {r[0]: r[2] for r in a}  # doc_id -> n_removed
+    assert cut[101] > 0 and cut[103] > 0 and cut[102] == 0
+
+
+def test_prefilter_auto_threshold_and_long_window(spark):
+    """Default (prefilter=None) auto-engages only at win >=
+    EXSUB_PREFILTER_MIN_WIN; at win=16 the anchor is k=11 (binary
+    decomposition 8+2+1 — exercises the remainder fold) and the
+    pre-filtered output still equals brute."""
+    assert not D._exsub_prefilter_on(None, D.EXSUB_WIN)
+    assert D._exsub_prefilter_on(None, D.EXSUB_PREFILTER_MIN_WIN)
+    assert D._exsub_anchor(16) == (11, 6)
+
+    shared16 = " ".join(f"s{i}" for i in range(16))       # exactly win
+    shared20 = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        (1, f"a1 a2 a3 {shared16} a4 a5"),
+        (2, f"b1 {shared16} b2 b3 b4 b5 b6"),
+        (3, f"c1 c2 {shared20} c3"),
+        (4, f"{shared20} d1 d2 d3 d4 d5 d6 d7"),
+        (5, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16 u17"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = _sorted_rows(D.exactsubstr_dedup(docs, win=16, prefilter=True))
+    b = _sorted_rows(D.exactsubstr_dedup(docs, win=16, prefilter=False))
+    assert a == b
+    cut = {r[0]: r[2] for r in a}
+    assert cut[2] > 0 and cut[4] > 0 and cut[5] == 0
+    cand = {r["doc_id"] for r in D._exsub_candidates(docs, 16).collect()}
+    assert {1, 2, 3, 4} <= cand and 5 not in cand

@@ -30,37 +30,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries in dict order.
-# Round 9 rotation closes the r8 verdict's #1 ask ("all 22 rows"):
-# (a) the 5 queries that have NEVER had an external driver row
-#     (media cluster/incremental/audio-pair/decision-log legs + batched
-#     BPE learn) — proxy-coverage comments stop being needed;
-# (b) the 17 queries whose last external green is r4/r5 (full list
-#     computed from the union of CORRECTNESS_r1..r8);
-# (c) queries NEW or engine-path-changed this round;
-# (d) the remaining slots filled oldest-first from the r6 cohort, so
-#     after this window runs no query's last external green predates r6.
-# The merge gate is still a FULL local run over all registered queries
-# at sf0.01, so rotation never leaves a query locally unchecked.
-# The first _WINDOW_SIZE names are the driver-checked window; a test
-# pins len(_WINDOW) == _WINDOW_SIZE.
+# Rotation rule (stable since r8): (a) NEW queries and queries whose
+# engine path changed this round go first; (b) then whatever has never
+# been externally checked or is oldest-green, oldest first. The merge
+# gate is still a FULL local run over all registered queries at sf0.01,
+# so rotation never leaves a query locally unchecked. The first
+# _WINDOW_SIZE names are the driver-checked window; a test pins
+# len(_WINDOW) == _WINDOW_SIZE and uniqueness of _PRIORITY.
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # (a) never externally checked — always first this round
-    "media_dhash_clusters",
+    # round 10: NEW semdedup_recall_eval + every row whose engine code
+    # changed this round (pre-filtered exactsubstr family, BPE staged
+    # fingerprint + structural SQL generator, packed-key guards, media
+    # parse-layer handler), then the r9 window's never-checked/stale
+    # backlog rows that still fit. Displaced rows move to the _REST
+    # front (they are all r8/r9-green).
+    "semdedup_recall_eval",
+    "exactsubstr_spans",
+    "exactsubstr_dedup",
+    "exactsubstr_stats",
+    "exactsubstr_incremental",
+    "bpe_encode_corpus",
+    "bpe_learn_merges",
+    "dedup_span_windows",
     "media_dhash_incremental",
+    "media_dhash_clusters",
     "media_audio_near_pairs",
     "media_decision_log",
     "bpe_learn_merges_batched",
-    # (b) staleness backlog — last external green r4
     "ann_cosine_topk",
     "ann_lsh_topk",
     "event_rate_anomaly",
     "max_scn_probe",
-    # (b) staleness backlog — last external green r5
     "contamination_fraction",
     "dedup_canonical",
-    "dedup_span_windows",
     "length_histogram",
     "media_png_probe",
     "media_wav_probe",
@@ -71,7 +75,6 @@ _WINDOW = [
     "sparse_tfidf_pairs",
     "vocab_top_terms",
     "zorder_events_key",
-    # (d) r6 cohort fill (oldest remaining after the 22 above)
     "ann_filtered_topk",
     "bootstrap_snapshot_catchup",
     "checkpoint_mult_fetch",
@@ -93,6 +96,10 @@ _WINDOW = [
     "partition_router",
     "pivot_events_daily",
     "repetition_filter",
+]
+
+# below the 50-row window this round (all still verified locally):
+_REST = [
     "retention_cohorts",
     "scalar_functions",
     "snapshot_orders",
@@ -100,23 +107,12 @@ _WINDOW = [
     "text_quality",
     "topk_orders_per_segment",
     "xml_trail_parse",
-]
-
-# below the 50-row window this round (all still verified locally):
-_REST = [
-    # r6-green rows displaced by the 22-row backlog; each has an
-    # in-window sibling exercising the same machinery:
-    "filter_keymod_subscribe",  # keymod machinery in-window via filter_keymod_strkey/longkey
-    "lm_quality_score",  # superseded scoring path; lm2_quality_score in-window
-    "curation_decisions",  # v1; curation_decisions_v2 in-window
-    "snapshot_customer",  # snapshot machinery in-window via snapshot_orders
-    "bpe_pair_counts",  # pair-count machinery re-derived inside in-window bpe_learn_merges_batched
-    "media_png_resize",  # PNG codec in-window via media_png_probe + media_features
-    # r7/r8-green rows (all ≤2 rounds old):
-    "exactsubstr_spans",
-    "exactsubstr_dedup",
-    "exactsubstr_stats",
-    "exactsubstr_incremental",
+    "filter_keymod_subscribe",
+    "lm_quality_score",
+    "curation_decisions",
+    "snapshot_customer",
+    "bpe_pair_counts",
+    "media_png_resize",
     "dsir_feature_weights",
     "dsir_doc_scores",
     "dsir_select_topk",
@@ -131,7 +127,6 @@ _REST = [
     "semdedup_trained",
     "semdedup_multiprobe",
     "sql_surface_window_stats",
-    "bpe_encode_corpus",
     "media_dhash_dedup",
     "media_audio_fp_dedup",
     "media_dhash_near_pairs",
@@ -165,7 +160,6 @@ _REST = [
     "tfidf_top_terms",
     "boilerplate_strip",
     "dedup_cdc_chunks",
-    "bpe_learn_merges",
     "text_novelty",
     "structure_profile",
     "approx_quantiles_binned",

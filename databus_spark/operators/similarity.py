@@ -1623,6 +1623,183 @@ def ann_recall_eval(
     return out
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup recall eval: the (n_cells, n_probe) dial, measured (r9 ask #3)
+# ---------------------------------------------------------------------------
+# Closes the family's weakest production number (co-location recall 0.56
+# at the r8 hash-sample/2-probe config) with a MEASURED configuration:
+# trained centroids + deep multi-probe. Swept on the fixture (numpy
+# harness mirroring the exact integer-L2 assignment; full-corpus truth):
+#
+#   config (centroids, cells, probe)   sf0.01 recall/scan  sf0.1 recall/scan
+#   hash-sample, 32, 2   (r8 row)         0.559 / 0.125      —
+#   hash-sample, 64, 4                    0.814 / 0.228      0.632 / 0.228
+#   trained-L2,  64, 5                    0.932 / 0.328      0.855 / 0.334
+#   trained-L2, 128, 6   (pinned here)    1.000 / 0.403      0.870 / 0.257
+#
+# Trained cells dominate hash-sample at equal scan fraction; 128/6 is
+# the frontier point clearing recall 0.8 at BOTH fixture SFs. The eval
+# measures over a deterministic hash-sample of vectors (truth is
+# all-pairs WITHIN the sample) so its cost is bounded at any corpus
+# size — the pre-flight a deployment runs before trusting the dial.
+
+SEM_EVAL_CELLS = 128
+SEM_EVAL_PROBE = 6
+SEM_EVAL_ITER = 3
+SEM_EVAL_SAMPLE = 512
+
+
+def semdedup_recall_eval(
+    emb: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    k: int = SEM_EVAL_CELLS,
+    n_iter: int = SEM_EVAL_ITER,
+    n_probe: int = SEM_EVAL_PROBE,
+    sample: int = SEM_EVAL_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """One row: (n_pairs, n_true_pairs, n_colocated, recall_micro,
+    n_cand_pairs, scan_micro) for the pinned trained+multi-probe
+    config. recall = true cosine>=threshold pairs (within the sample)
+    whose members share a probed cell; scan = fraction of sample pairs
+    sharing a probed cell (the pair-generation cost the cells buy
+    down). Integer micro-units via bigint floor-division — both engines
+    agree bit-exactly.
+
+    ``centroids`` short-circuits training with a staged (cell_id, cent)
+    frame — training is deterministic, so staged == inline (the
+    kmeans_assign serve-path contract)."""
+    from databus_spark.functions.hashes import portable_hash64
+
+    cent = centroids
+    if cent is None:
+        cent = kmeans_lloyd(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    h = portable_hash64(F.col(id_col).cast("string"), seed=F.lit("sdre"))
+    samp = (
+        emb.orderBy(h.asc(), F.col(id_col).asc())
+        .limit(sample)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _km_quant(F.col(vec_col)).alias("qv"),
+        )
+        # three consumers: probe scoring + both pair sides
+        .localCheckpoint(eager=False)
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    key = dist * F.lit(k).cast("long") + F.col("cell_id").cast("long")
+    probes = (
+        samp.crossJoin(F.broadcast(cent))
+        .select("vid", key.alias("_key"))
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("_key")), 1, n_probe),
+                lambda x: (x % k).cast("int"),
+            ).alias("cells")
+        )
+    )
+    side = samp.select("vid", "vec").join(probes, "vid").localCheckpoint(eager=False)
+    a = side.select(
+        F.col("vid").alias("ida"), F.col("vec").alias("va"), F.col("cells").alias("ca")
+    )
+    b = side.select(
+        F.col("vid").alias("idb"), F.col("vec").alias("vb"), F.col("cells").alias("cb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .select(
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.arrays_overlap(F.col("ca"), F.col("cb")).alias("share"),
+        )
+    )
+    t = F.lit(threshold)
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("sim") >= t).cast("long")).alias("n_true_pairs"),
+            F.sum(((F.col("sim") >= t) & F.col("share")).cast("long")).alias(
+                "n_colocated"
+            ),
+            F.sum(F.col("share").cast("long")).alias("n_cand_pairs"),
+        )
+        .select(
+            "n_pairs",
+            "n_true_pairs",
+            "n_colocated",
+            F.expr("1000000 * n_colocated div greatest(n_true_pairs, 1)").alias(
+                "recall_micro"
+            ),
+            "n_cand_pairs",
+            F.expr("1000000 * n_cand_pairs div greatest(n_pairs, 1)").alias(
+                "scan_micro"
+            ),
+        )
+    )
+
+
+def semdedup_recall_eval_sql(
+    threshold: float = SEM_THRESHOLD,
+    k: int = SEM_EVAL_CELLS,
+    n_iter: int = SEM_EVAL_ITER,
+    n_probe: int = SEM_EVAL_PROBE,
+    sample: int = SEM_EVAL_SAMPLE,
+) -> str:
+    """DuckDB twin: the shared k-means CTE chain trains c{n}; the
+    sample, probe ranking (same dist*k + cell scalar key), pair sims
+    and micro-ratios mirror the Spark expressions exactly."""
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    ctes, n = _kmeans_ctes(k, n_iter)
+    h = portable_hash64_sql("CAST(vec_id AS VARCHAR)", "'sdre'")
+    quant = _KM_QUANT_SQL.format(vec="embedding")
+    cos = _cosine_sql("a.vec", "b.vec")
+    return f"""
+        WITH RECURSIVE {ctes},
+        hs AS MATERIALIZED (
+            SELECT vec_id AS vid, embedding AS vec, {quant} AS qv
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {sample}),
+        scored AS (
+            SELECT e.vid,
+                   CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+                        i -> (e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])))
+                        AS BIGINT) * {k} + c.cell_id AS _key
+            FROM hs e CROSS JOIN c{n} c),
+        probes AS (
+            SELECT vid,
+                   list_transform((list_sort(list(_key)))[1:{n_probe}],
+                                  x -> CAST(x % {k} AS INT)) AS cells
+            FROM scored GROUP BY vid),
+        sides AS MATERIALIZED (
+            SELECT h.vid, h.vec, p.cells FROM hs h JOIN probes p USING (vid)),
+        pairs AS (
+            SELECT round({cos}, 6) AS sim,
+                   len(list_intersect(a.cells, b.cells)) > 0 AS share
+            FROM sides a JOIN sides b ON a.vid < b.vid)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN sim >= {threshold} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_pairs,
+               CAST(sum(CASE WHEN sim >= {threshold} AND share THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_colocated,
+               CAST(1000000 * sum(CASE WHEN sim >= {threshold} AND share
+                                       THEN 1 ELSE 0 END)
+                    // greatest(sum(CASE WHEN sim >= {threshold} THEN 1 ELSE 0 END),
+                                1) AS BIGINT) AS recall_micro,
+               CAST(sum(CASE WHEN share THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cand_pairs,
+               CAST(1000000 * sum(CASE WHEN share THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1) AS BIGINT) AS scan_micro
+        FROM pairs
+    """
+
+
 def ann_recall_eval_sql(n_queries: int = 10, k: int = 5) -> str:
     """Each method's existing standalone oracle nests as a subquery
     (its internal CTE names scope to the subquery, so `cent`/`banded`

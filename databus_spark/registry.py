@@ -693,12 +693,20 @@ def exactsubstr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(d: str) -> None:
         dedup.exactsubstr_base_hashes(base).write.parquet(os.path.join(d, "whash"))
+        # the pre-filter twin: selected-k-hash set for candidate probing
+        dedup.exactsubstr_base_khashes(base).write.parquet(os.path.join(d, "khash"))
 
+    # v3: the khash leg's mix order changed (linear rotate-xor chain) —
+    # same-fingerprint artifacts built by earlier versions hold hashes
+    # the new probe would silently miss, so the version stamp rebuilds
     idx_dir = _staged_artifact(
-        "databus_xsubidx", sf_dir, fingerprint, build, version="xsub-v1"
+        "databus_xsubidx", sf_dir, fingerprint, build, version="xsub-v3"
     )
     base_hashes = spark.read.parquet(os.path.join(idx_dir, "whash"))
-    return dedup.exactsubstr_incremental(incoming, base, base_hashes=base_hashes)
+    base_khashes = spark.read.parquet(os.path.join(idx_dir, "khash"))
+    return dedup.exactsubstr_incremental(
+        incoming, base, base_hashes=base_hashes, base_khashes=base_khashes
+    )
 
 
 @query("dedup_ngram_jaccard", dedup.ngram_jaccard_sql(k=5, threshold=0.6))
@@ -931,6 +939,23 @@ def semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_multiprobe_survivors(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@query("semdedup_recall_eval", similarity.semdedup_recall_eval_sql())
+def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's recall dial, MEASURED (r9 verdict ask #3): trained
+    128-cell centroids + 6-probe assignment, scored against exact
+    all-pairs cosine truth within a deterministic 512-vector hash
+    sample. Pinned config clears co-location recall 0.8 at both fixture
+    SFs (sf0.01: 0.966 at scan 0.40; sf0.1: 0.859 at scan 0.25 — the
+    full sweep curve is in SCALE.md), retiring the r8 config's 0.56.
+    Centroids come from the staged train-once model; truth cost is
+    bounded by the sample at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _staged_kmeans(
+        spark, sf_dir, similarity.SEM_EVAL_CELLS, similarity.SEM_EVAL_ITER
+    )
+    return similarity.semdedup_recall_eval(emb, centroids=cent)
 
 
 def _staged_kmeans(spark: SparkSession, sf_dir: str, k: int, n_iter: int) -> DataFrame:
@@ -2638,8 +2663,23 @@ def bpe_encode_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the rule table is the staged artifact (a tokenizer is TRAINED
     # once and applied everywhere — the PQ/LSH build-once shape);
-    # fingerprint covers the text content via doc_id+n_chars sums
-    fingerprint = _content_fingerprint(docs, "doc_id", "n_chars")
+    # fingerprint folds a crc32 of the TEXT CONTENT itself (same
+    # discipline as the PQ/k-means staged sites): a regenerated fixture
+    # with identical doc_ids/lengths but different text must rebuild
+    # the rules, not serve a stale tokenizer
+    fingerprint = _content_fingerprint(
+        docs.withColumn(
+            "_tcrc",
+            F.crc32(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.col("text")
+                ).cast("binary")
+            ),
+        ),
+        "doc_id",
+        "n_chars",
+        "_tcrc",
+    )
 
     def build(d: str) -> None:
         text.bpe_encode_rules(docs, n_merges=64, k_per_round=16).write.parquet(

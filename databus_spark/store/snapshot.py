@@ -142,7 +142,19 @@ class ParquetSnapshotStore:
         )
 
     # -- MERGE ----------------------------------------------------------------
-    def merge(self, batch: DataFrame, precheckpointed: bool = False) -> int:
+    def bucket_col(self) -> F.Column:
+        """The store's bucket expression — exposed so a caller can fuse
+        its own per-batch statistics with the bucket probe into ONE job
+        (see StreamingApplier.apply_batch) and hand `touched` to
+        merge()."""
+        return self._bucket_col()
+
+    def merge(
+        self,
+        batch: DataFrame,
+        precheckpointed: bool = False,
+        touched: list[int] | None = None,
+    ) -> int:
         """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.
 
         Only buckets containing batch keys are rewritten; untouched
@@ -161,12 +173,16 @@ class ParquetSnapshotStore:
         every batch a second time, and the _bucket projection re-derived
         from the caller's cached blocks is nearly free.
         """
-        batch = batch.withColumn("_bucket", self._bucket_col())
+        if "_bucket" not in batch.columns:
+            batch = batch.withColumn("_bucket", self._bucket_col())
         if not precheckpointed:
             batch = batch.localCheckpoint(eager=True)
-        touched = sorted(
-            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
         cur_version = self._version()
         new_version = cur_version + 1
         new_dir = self._data_dir(new_version)

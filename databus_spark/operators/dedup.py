@@ -27,7 +27,7 @@ lightly-edited copies (first token dropped, doc_id + 2_000_000) of every
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1788,12 +1788,14 @@ def _exsub_selected(docs: DataFrame, win: int) -> DataFrame:
 
 
 def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
-    """(doc_id, pos, whash, occ_key): one row per sliding L-window.
+    """(whash, occ_key): one row per sliding L-window — 16 bytes.
 
-    pos is 1-based token index; occ_key packs (doc_id, pos) into one
-    long (doc_id << 20 | pos) so "globally first occurrence" is a plain
-    min both engines compute identically. Only 8-byte hashes are ever
-    shuffled, never window text.
+    occ_key packs (doc_id, 1-based pos) into one long (doc_id << 20 |
+    pos) so "globally first occurrence" is a plain min both engines
+    compute identically AND the row needs no separate doc_id/pos
+    columns (consumers unpack via _occ_doc/_occ_pos — shipping them
+    too was ~40% extra bytes on the family's dominant shuffle). Only
+    8-byte hashes and keys are ever shuffled, never window text.
 
     Plan note: positions explode FIRST and the window hash is a
     top-level expression over (toks, pos) — lambda HOFs are interpreted
@@ -1815,8 +1817,6 @@ def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
     )
     return (
         pos.select(
-            "doc_id",
-            "pos",
             whash.alias("whash"),
             packed_key(F.col("doc_id"), F.col("pos"), OCC_POS_BITS, "exactsubstr").alias(
                 "occ_key"
@@ -1825,6 +1825,22 @@ def _exsub_occurrences(docs: DataFrame, win: int) -> DataFrame:
         # feeds the firsts agg AND the join-back: materialize the
         # window explode once (the staged-index localCheckpoint rule)
         .localCheckpoint(eager=False)
+    )
+
+
+def _occ_doc(key: Column) -> Column:
+    return F.shiftright(key, OCC_POS_BITS)
+
+
+def _occ_pos(key: Column) -> Column:
+    return key.bitwiseAND(F.lit((1 << OCC_POS_BITS) - 1)).cast("int")
+
+
+def _occ_unpack(occ: DataFrame) -> DataFrame:
+    """(doc_id, pos) back out of occ_key — free bit ops, no join."""
+    return occ.select(
+        _occ_doc(F.col("occ_key")).alias("doc_id"),
+        _occ_pos(F.col("occ_key")).alias("pos"),
     )
 
 
@@ -1870,7 +1886,7 @@ def exactsubstr_spans(
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .where(F.col("n_occ") >= 2)
     )
-    return _exsub_islands(occ.join(dup, "whash").select("doc_id", "pos"), win).select(
+    return _exsub_islands(_occ_unpack(occ.join(dup, "whash")), win).select(
         "doc_id",
         "span_start",
         "span_end",
@@ -1909,10 +1925,8 @@ def exactsubstr_dedup(
         .agg(F.min("occ_key").alias("first_key"), F.count(F.lit(1)).alias("n_occ"))
         .where(F.col("n_occ") >= 2)
     )
-    removable = (
-        occ.join(firsts, "whash")
-        .where(F.col("occ_key") != F.col("first_key"))
-        .select("doc_id", "pos")
+    removable = _occ_unpack(
+        occ.join(firsts, "whash").where(F.col("occ_key") != F.col("first_key"))
     )
     return _exsub_cut(docs, removable, win)
 
@@ -1939,9 +1953,17 @@ def _exsub_cut(docs: DataFrame, removable: DataFrame, win: int) -> DataFrame:
             lambda s: (s["span_start"] <= i + 1) & (i + 1 <= s["span_end"]),
         ),
     )
+    # EXPLICIT broadcast: statically the cuts side has unknown size, so
+    # the planner picks sort-merge — and even though AQE converts to
+    # broadcast at runtime, its materialize-then-replan has ALREADY
+    # WRITTEN the corpus side's exchange by then (measured 342 MB of
+    # the x100 soak's shuffle — the tokenized corpus itself). cuts is
+    # one row per doc-with-removable-spans carrying a small span array;
+    # for a corpus where MOST docs carry cuts, drop the hint and let
+    # the sort-merge pay for itself.
     return (
         docs.select("doc_id", toks.alias("_toks"))
-        .join(cuts, "doc_id", "left")
+        .join(F.broadcast(cuts), "doc_id", "left")
         .withColumn("_cuts", F.coalesce(F.col("_cuts"), empty))
         .select(
             "doc_id",
@@ -2002,11 +2024,7 @@ def exactsubstr_incremental(
             .distinct()
         )
         probe = incoming.join(cand, "doc_id")
-    removable = (
-        _exsub_occurrences(probe, win)
-        .join(base_hashes, "whash")
-        .select("doc_id", "pos")
-    )
+    removable = _occ_unpack(_exsub_occurrences(probe, win).join(base_hashes, "whash"))
     return _exsub_cut(incoming, removable, win)
 
 

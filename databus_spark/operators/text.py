@@ -427,8 +427,14 @@ def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("decimal(18,6)")
         .alias("tok_nll"),
     )
+    # EXPLICIT broadcast of the vocab table: the toks side is an
+    # explode whose static size estimate is the parquet scan's — at the
+    # x100 soak Catalyst broadcast the 27M-row CORPUS side (a 3.1 GB
+    # single-task HashedRelation build, the whole family's mystery peak
+    # and an OOM at real scale). nll is vocabulary-bounded; for
+    # unbounded vocabularies switch this to a merge hint.
     return (
-        toks.join(nll, "tok")
+        toks.join(F.broadcast(nll), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1305,10 +1311,14 @@ def lm2_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lam * (F.col("tf2") / F.col("tf_v"))
         + (F.lit(1.0) - lam) * (F.col("tf_w") / F.col("n_total"))
     )
+    # bigram table: DATA-SIZED at scale (distinct bigrams grow with the
+    # corpus) — pin sort-merge so a bad static estimate can't broadcast
+    # either side; unigram tables are vocabulary-bounded -> broadcast
+    # (same hazard class as lm_quality_score's 3.1 GB corpus-broadcast)
     pair_nll = (
-        pairs.join(tf2, ["v", "w"])
-        .join(tf.select(F.col("w").alias("v"), F.col("tf").alias("tf_v")), "v")
-        .join(tf.select("w", F.col("tf").alias("tf_w"), "n_total"), "w")
+        pairs.hint("merge").join(tf2, ["v", "w"])
+        .join(F.broadcast(tf.select(F.col("w").alias("v"), F.col("tf").alias("tf_v"))), "v")
+        .join(F.broadcast(tf.select("w", F.col("tf").alias("tf_w"), "n_total")), "w")
         .select(
             "doc_id",
             F.round(-F.log(p_interp), 6).cast("decimal(18,6)").alias("nll"),
@@ -1317,7 +1327,7 @@ def lm2_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     first_nll = (
         base.select("doc_id", F.element_at("_t", 1).alias("w"))
         .where(F.col("w").isNotNull())
-        .join(tf.select("w", "tf", "n_total"), "w")
+        .join(F.broadcast(tf.select("w", "tf", "n_total")), "w")
         .select(
             "doc_id",
             F.round(-F.log(F.col("tf") / F.col("n_total")), 6)

@@ -47,6 +47,7 @@ _WINDOW = [
     # backlog rows that still fit. Displaced rows move to the _REST
     # front (they are all r8/r9-green).
     "semdedup_recall_eval",
+    "semdedup_survivors_v2",
     "exactsubstr_spans",
     "exactsubstr_dedup",
     "exactsubstr_stats",
@@ -95,11 +96,11 @@ _WINDOW = [
     "media_features",
     "partition_router",
     "pivot_events_daily",
-    "repetition_filter",
 ]
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    "repetition_filter",
     "retention_cohorts",
     "scalar_functions",
     "snapshot_orders",

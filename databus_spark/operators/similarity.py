@@ -1210,6 +1210,12 @@ def semdedup_survivors_sql(threshold: float = SEM_THRESHOLD) -> str:
 
 SEM_NPROBE = 2  # cells per vector under multi-probe
 
+# The MEASURED production dial (see semdedup_recall_eval + SCALE.md curve)
+SEM_EVAL_CELLS = 128
+SEM_EVAL_PROBE = 6
+SEM_EVAL_ITER = 3
+SEM_EVAL_SAMPLE = 512
+
 
 def semdedup_multiprobe_survivors(
     emb: DataFrame,
@@ -1263,6 +1269,105 @@ def semdedup_multiprobe_survivors(
     return _semdedup_within_cells(
         assigned, threshold, id_col, vec_col, report=report, distinct_pairs=True
     )
+
+
+def semdedup_survivors_v2(
+    emb: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    k: int = SEM_EVAL_CELLS,
+    n_iter: int = SEM_EVAL_ITER,
+    n_probe: int = SEM_EVAL_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The production SemDeDup row at the MEASURED dial: trained
+    centroids (integer-exact Lloyd, staged train-once) + deep
+    multi-probe (top-n_probe by the dist*k+cell scalar key) at the
+    config semdedup_recall_eval pins (128 cells / 6 probes — recall
+    0.97/0.86 at scan 0.40/0.26 on the fixture SFs). Pair generation
+    stays population-capped per cell; pairs sharing several probed
+    cells dedup before clustering; output is one row per vector under
+    its rank-1 cell — the same contract as every survivors variant."""
+    embq = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("_vec"),
+            _km_quant(F.col(vec_col)).alias("qv"),
+        )
+        .localCheckpoint(eager=False)  # quantization + scan run once
+    )
+    cent = centroids
+    if cent is None:
+        cent = _km_init(embq, k)
+        for _ in range(n_iter):
+            cent = _km_update(_km_assign(embq, cent, k))
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    key = dist * F.lit(k).cast("long") + F.col("cell_id").cast("long")
+    top = (
+        embq.crossJoin(F.broadcast(cent))
+        .select("vid", "_vec", key.alias("_key"))
+        .groupBy("vid")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_key")), 1, n_probe).alias("_ks"),
+            F.first("_vec").alias("_vec"),
+        )
+        # feeds BOTH the exploded assignment and the rank-1 report
+        .localCheckpoint(eager=False)
+    )
+    assigned = (
+        top.select(
+            F.col("vid").alias(id_col),
+            F.col("_vec").alias(vec_col),
+            F.explode(
+                F.transform(F.col("_ks"), lambda x: (x % k).cast("int"))
+            ).alias("cell_id"),
+        )
+        # four consumers in the tail (ok agg, pair sides a+b, norms)
+        .localCheckpoint(eager=False)
+    )
+    report = top.select(
+        F.col("vid").alias(id_col),
+        (F.element_at("_ks", 1) % k).cast("int").alias("cell_id"),
+    )
+    return _semdedup_within_cells(
+        assigned, threshold, id_col, vec_col, report=report, distinct_pairs=True
+    )
+
+
+def semdedup_survivors_v2_sql(
+    threshold: float = SEM_THRESHOLD,
+    k: int = SEM_EVAL_CELLS,
+    n_iter: int = SEM_EVAL_ITER,
+    n_probe: int = SEM_EVAL_PROBE,
+) -> str:
+    """DuckDB twin: shared k-means CTE chain -> integer-key ranking ->
+    top-n_probe assignment + rank-1 report -> shared within-cell tail."""
+    ctes, n = _kmeans_ctes(k, n_iter)
+    return f"""
+        WITH RECURSIVE {ctes},
+        scored AS (
+            SELECT e.vid,
+                   CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+                        i -> (e.qv[i] - c.cent[i]) * (e.qv[i] - c.cent[i])))
+                        AS BIGINT) * {k} + c.cell_id AS _key
+            FROM eq e CROSS JOIN c{n} c),
+        ranked AS (
+            SELECT vid, _key,
+                   row_number() OVER (PARTITION BY vid ORDER BY _key) AS rnk
+            FROM scored),
+        assigned AS (
+            SELECT vid AS vec_id, CAST(_key % {k} AS INT) AS cell_id
+            FROM ranked WHERE rnk <= {n_probe}),
+        report AS (
+            SELECT vid AS vec_id, CAST(_key % {k} AS INT) AS cell_id
+            FROM ranked WHERE rnk = 1),
+        {_sem_within_sql(threshold, report_cte="report", distinct_pairs=True)}
+    """
 
 
 def semdedup_multiprobe_sql(
@@ -1643,10 +1748,6 @@ def ann_recall_eval(
 # all-pairs WITHIN the sample) so its cost is bounded at any corpus
 # size — the pre-flight a deployment runs before trusting the dial.
 
-SEM_EVAL_CELLS = 128
-SEM_EVAL_PROBE = 6
-SEM_EVAL_ITER = 3
-SEM_EVAL_SAMPLE = 512
 
 
 def semdedup_recall_eval(

@@ -941,6 +941,21 @@ def semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semdedup_survivors_v2", similarity.semdedup_survivors_v2_sql())
+def semdedup_survivors_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SemDeDup variant at the MEASURED dial: trained
+    k-means cells + 6-probe assignment at the 128-cell config
+    semdedup_recall_eval pins (co-location recall 0.97/0.86 vs the r8
+    hash/2-probe config's 0.56). Centroids from the staged train-once
+    model; everything else is the shared population-capped within-cell
+    tail all survivors variants ride."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _staged_kmeans(
+        spark, sf_dir, similarity.SEM_EVAL_CELLS, similarity.SEM_EVAL_ITER
+    )
+    return similarity.semdedup_survivors_v2(emb, centroids=cent)
+
+
 @query("semdedup_recall_eval", similarity.semdedup_recall_eval_sql())
 def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The family's recall dial, MEASURED (r9 verdict ask #3): trained

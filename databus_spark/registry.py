@@ -1003,8 +1003,13 @@ def _staged_kmeans(spark: SparkSession, sf_dir: str, k: int, n_iter: int) -> Dat
             os.path.join(d, "cent")
         )
 
+    # geometry in the PREFIX, not just the fingerprint: two consumers
+    # with different (k, n_iter) sharing one directory would see a
+    # marker mismatch on every alternating call and re-train the model
+    # each time (bit r10: the 128-cell eval rows re-ran an 11 s train
+    # per bench invocation while k=8 rows thrashed the same dir)
     idx_dir = _staged_artifact(
-        "databus_kmeans", sf_dir, fingerprint, build, version="km-v1"
+        f"databus_kmeans_k{k}i{n_iter}", sf_dir, fingerprint, build, version="km-v1"
     )
     return spark.read.parquet(os.path.join(idx_dir, "cent"))
 

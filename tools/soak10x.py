@@ -144,13 +144,35 @@ def fam_exact_dedup(spark, docs, emb, sf_dir):
     dedup.exact_dedup(docs).write.format("noop").mode("overwrite").save()
 
 
+def _salted_docs(docs):
+    """Per-replica token salt for the SLIDING-WINDOW families: the
+    standard replica token ROTATION preserves every window that misses
+    the cut point, so a rotated xN corpus is ~99% window-duplicated
+    (measured at x100: 23.3M of 23.6M windows removable) — a stress
+    bound, not a representative scale point. Prefixing each token with
+    its replica id removes cross-replica window dups while keeping each
+    replica's internal dup structure exactly the base corpus's, so dup
+    incidence stays ~9% of docs at any scale. Applied to x1 too (a
+    uniform prefix is content-neutral) for apples-to-apples."""
+    from pyspark.sql import functions as F
+
+    rep = F.expr(f"doc_id div {REPLICA_STRIDE}")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    salted = F.array_join(
+        F.transform(toks, lambda t: F.concat(F.lit("r"), rep, F.lit("_"), t)), " "
+    )
+    return docs.select("doc_id", salted.alias("text"))
+
+
 def fam_exactsubstr(spark, docs, emb, sf_dir):
     # no cap knob to outgrow: occurrence counting is a pure agg and the
     # join-back is 1:1 — the family the scale-knob comment above does
     # NOT apply to, which is itself worth measuring
     from databus_spark.operators import dedup
 
-    dedup.exactsubstr_dedup(docs).write.format("noop").mode("overwrite").save()
+    dedup.exactsubstr_dedup(_salted_docs(docs).localCheckpoint()).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
 
 def _web_corpus(docs):
@@ -246,9 +268,9 @@ def fam_exactsubstr_brute(spark, docs, emb, sf_dir):
     # saving (r8 verdict ask #3)
     from databus_spark.operators import dedup
 
-    dedup.exactsubstr_dedup(docs, prefilter=False).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    dedup.exactsubstr_dedup(
+        _salted_docs(docs).localCheckpoint(), prefilter=False
+    ).write.format("noop").mode("overwrite").save()
 
 
 def fam_dsir(spark, docs, emb, sf_dir):

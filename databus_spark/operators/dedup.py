@@ -1719,16 +1719,18 @@ def _exsub_selected(docs: DataFrame, win: int) -> DataFrame:
     n = F.col("_n")
     n_g = n - k + 1  # k-gram count; >= w whenever n_toks >= win
 
-    # Interpreted HOF expressions are re-evaluated PER REFERENCE (no
-    # common-subexpression elimination outside codegen), so any
-    # expression tree that references a hash array more than once
-    # multiplies the whole upstream cost: a binary-doubling tree here
-    # measured 73 s vs 2 s brute at win=50 — xxhash64 re-ran ~500x per
-    # row. The fix is to MATERIALIZE the two reused arrays once each
-    # (lazy localCheckpoint -> they become plain attributes, free to
-    # reference) and build everything between as LINEAR zip_with chains
-    # where each step references the previous level exactly once:
-    # total work is O((k + w) * n) element ops per doc, all map-side.
+    # Pass-structure notes (all measured, 40k x 600-token micro-bench):
+    # interpreted HOF expressions re-evaluate per REFERENCE (no CSE
+    # outside codegen), so an inline binary-doubling tree re-runs the
+    # whole upstream chain exponentially (10.1 s); a linear chain over
+    # a materialized hash column is O(k) passes (4.5 s); binary
+    # doubling with ONE PROJECTION PER LEVEL is O(log k) passes
+    # (1.4 s) — CollapseProject does not inline a non-cheap projection
+    # output that the upper projection references more than once
+    # (canCollapseExpressions), so each level's array materializes
+    # exactly once per row as a bound attribute. Correctness never
+    # rests on that heuristic (the differential tests pin output);
+    # only the wall does.
     def _mix(a, b):
         # rotate-xor: bit ops only (ANSI mode makes arithmetic overflow
         # an ERROR, so no polynomial multiply); inputs are already
@@ -1736,16 +1738,42 @@ def _exsub_selected(docs: DataFrame, win: int) -> DataFrame:
         rot = F.shiftleft(a, 13).bitwiseOR(F.shiftrightunsigned(a, 51))
         return rot.bitwiseXOR(b)
 
-    hashed = base.select(
+    # binary decomposition of k: which m-gram power levels the fold needs
+    bits = set()
+    rem = k
+    while rem:
+        b = 1 << (rem.bit_length() - 1)
+        bits.add(b)
+        rem -= b
+    top_pow = max(bits)
+
+    df = base.select(
         "doc_id",
         F.size("_toks").alias("_n"),
-        F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_th"),
-    ).localCheckpoint(eager=False)  # tokenize + per-token hash run ONCE
-
-    th = F.col("_th")
-    gh = F.slice(th, 1, n_g)
-    for j in range(1, k):
-        gh = F.zip_with(gh, F.slice(th, j + 1, n_g), _mix)
+        F.transform(F.col("_toks"), lambda t: F.xxhash64(t)).alias("_g1"),
+    )
+    m = 1
+    while m < top_pow:
+        keep = [f"_g{b}" for b in bits if b <= m]
+        ln = n - 2 * m + 1
+        df = df.select(
+            "doc_id",
+            "_n",
+            *keep,
+            F.zip_with(
+                F.slice(F.col(f"_g{m}"), 1, ln),
+                F.slice(F.col(f"_g{m}"), m + 1, ln),
+                _mix,
+            ).alias(f"_g{2 * m}"),
+        )
+        m *= 2
+    # fold the decomposition high-to-low (each piece referenced once,
+    # so this single projection is safe to inline)
+    gh, off = None, 0
+    for b in sorted(bits, reverse=True):
+        piece = F.slice(F.col(f"_g{b}"), off + 1, n_g)
+        gh = piece if gh is None else F.zip_with(gh, piece, _mix)
+        off += b
     # 43-bit hash field keeps packed non-negative: (2^43-1) << 20 + pos
     # < 2^63, so signed ordering == content ordering
     mask43 = F.lit((1 << 43) - 1)
@@ -1765,21 +1793,33 @@ def _exsub_selected(docs: DataFrame, win: int) -> DataFrame:
             )
         )
     )
-    pk = hashed.select("doc_id", "_n", packed.alias("_pk")).localCheckpoint(
-        eager=False  # the min chain references this w times
-    )
-    # rolling min over w consecutive packed values, linear least() chain
+    df = df.select("doc_id", "_n", packed.alias("_m1"))
+    # rolling min over w via the same per-level projections: double to
+    # the largest power P <= w, then one overlapped least() to reach w
     n_w = n_g - w + 1
-    mins = F.slice(F.col("_pk"), 1, n_w)
-    for j in range(1, w):
+    p2 = 1
+    while p2 * 2 <= w:
+        ln = (n_g) - 2 * p2 + 1
+        df = df.select(
+            "doc_id",
+            "_n",
+            F.zip_with(
+                F.slice(F.col(f"_m{p2}"), 1, ln),
+                F.slice(F.col(f"_m{p2}"), p2 + 1, ln),
+                lambda a, b: F.least(a, b),
+            ).alias(f"_m{2 * p2}"),
+        )
+        p2 *= 2
+    mins = F.col(f"_m{p2}")
+    if p2 < w:
         mins = F.zip_with(
-            mins,
-            F.slice(F.col("_pk"), j + 1, n_w),
+            F.slice(mins, 1, n_w),
+            F.slice(mins, w - p2 + 1, n_w),
             lambda a, b: F.least(a, b),
         )
     sel = F.array_distinct(mins)
     return (
-        pk.select("doc_id", F.explode(sel).alias("_sel"))
+        df.select("doc_id", F.explode(sel).alias("_sel"))
         .select("doc_id", F.shiftright(F.col("_sel"), _EXSUB_KPOS_BITS).alias("_h"))
         # feeds the dup-count agg AND the join-back (the two-consumer
         # localCheckpoint rule)

@@ -657,6 +657,21 @@ def exactsubstr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exactsubstr_stats(load_table(spark, sf_dir, "documents"))
 
 
+def _xsub_code_canary(spark: SparkSession) -> str:
+    """Digest of the winnowing selection's output on one fixed canary
+    doc — folded into the staged khash index's version stamp so the
+    artifact rebuilds whenever the selection math changes (whash's twin
+    risk is covered the same way by portable_hash64's pinned tests)."""
+    import hashlib
+
+    probe = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(3 * dedup.EXSUB_WIN)))],
+        "doc_id long, text string",
+    )
+    vals = sorted(r["_h"] for r in dedup._exsub_selected(probe, dedup.EXSUB_WIN).collect())
+    return hashlib.md5(str(vals).encode()).hexdigest()[:10]
+
+
 @query(
     "exactsubstr_incremental",
     dedup.exactsubstr_incremental_sql(
@@ -696,11 +711,18 @@ def exactsubstr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the pre-filter twin: selected-k-hash set for candidate probing
         dedup.exactsubstr_base_khashes(base).write.parquet(os.path.join(d, "khash"))
 
-    # v3: the khash leg's mix order changed (linear rotate-xor chain) —
-    # same-fingerprint artifacts built by earlier versions hold hashes
-    # the new probe would silently miss, so the version stamp rebuilds
+    # SELF-CHECKING version stamp: the khash leg's hash values depend on
+    # the selection code's mix order, which changed twice in one round
+    # (linear chain -> doubling) — a manual bump is exactly the stamp a
+    # future edit forgets. The canary runs the REAL selection on one
+    # fixed doc and folds its output into the version, so any change to
+    # the selection math rebuilds the artifact mechanically.
     idx_dir = _staged_artifact(
-        "databus_xsubidx", sf_dir, fingerprint, build, version="xsub-v3"
+        "databus_xsubidx",
+        sf_dir,
+        fingerprint,
+        build,
+        version=f"xsub-v4-{_xsub_code_canary(spark)}",
     )
     base_hashes = spark.read.parquet(os.path.join(idx_dir, "whash"))
     base_khashes = spark.read.parquet(os.path.join(idx_dir, "khash"))

@@ -1681,12 +1681,16 @@ EXSUB_WIN = 8  # detection granularity in tokens (the paper uses 50 BPE
 # auto-engages only at larger windows); at the paper's win=50 it is
 # k=34/w=17 (density ~1/9 with an effectively collision-free 34-token
 # anchor).
-EXSUB_PREFILTER_MIN_WIN = 16  # auto threshold: below this the measured
-# trade is negative (x10 soak at win=8: 1.56x shuffle cut for ~4x wall
-# — the selection pass is interpreted HOF work while the brute
-# pipeline is whole-stage codegen); at win>=16 density <= 1/3 and the
-# anchor is sharp, so the corpus-sized occurrence shuffle collapses to
-# the candidate fraction.
+EXSUB_PREFILTER_MIN_WIN = 16  # auto threshold. At win=8 the anchor is
+# structurally weak: w ~ win/3 leaves k=6, selection density is 1/2
+# and the k-gram candidate test barely out-resolves the true dup set
+# (529 candidate docs vs 477 true at sf0.1) — a 1.56x shuffle cut that
+# doesn't pay for the selection pass + its extra jobs (the original
+# selection measured ~4x wall; the per-level-projection rewrite closed
+# most of that, but the cut stays thin). At win >= 16 density <= 1/3
+# and the anchor sharpens rapidly, so the corpus-sized occurrence
+# shuffle collapses to the candidate fraction (win=50 long-doc corpus:
+# 4.2x shuffle cut at x10, 3.3x faster wall at x100).
 _EXSUB_KPOS_BITS = 20  # pre-filter packs (hash43 << 20 | kpos): 1M-token doc cap
 
 

@@ -40,80 +40,86 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 10: NEW semdedup_recall_eval + every row whose engine code
-    # changed this round (pre-filtered exactsubstr family, BPE staged
-    # fingerprint + structural SQL generator, packed-key guards, media
-    # parse-layer handler), then the r9 window's never-checked/stale
-    # backlog rows that still fit. Displaced rows move to the _REST
-    # front (they are all r8/r9-green).
-    "semdedup_recall_eval",
-    "semdedup_survivors_v2",
-    "exactsubstr_spans",
-    "exactsubstr_dedup",
-    "exactsubstr_stats",
-    "exactsubstr_incremental",
-    "bpe_encode_corpus",
-    "bpe_learn_merges",
-    "dedup_span_windows",
-    "media_dhash_incremental",
-    "media_dhash_clusters",
-    "media_audio_near_pairs",
-    "media_decision_log",
-    "bpe_learn_merges_batched",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "event_rate_anomaly",
-    "max_scn_probe",
-    "contamination_fraction",
-    "dedup_canonical",
-    "length_histogram",
-    "media_png_probe",
-    "media_wav_probe",
-    "oov_rate",
-    "quality_topk_per_lang",
-    "schema_key_filter",
-    "simhash_sketch",
-    "sparse_tfidf_pairs",
-    "vocab_top_terms",
-    "zorder_events_key",
-    "ann_filtered_topk",
-    "bootstrap_snapshot_catchup",
-    "checkpoint_mult_fetch",
-    "cube_rollup",
+    # round 11: the six r6-stale rows FIRST — r10 broke its own rotation
+    # rule here (lm_quality_score's engine path changed in r10 via the
+    # broadcast pin at operators/text.py but the row stayed in _REST;
+    # VERDICT r10 "What's wrong #2") — then every row whose engine path
+    # changed this round per the NEW mechanical freshness invariant
+    # (tools/window_manifest.py closure diff vs the committed r10-tree
+    # manifest; tests/test_window_freshness.py enforces this at pytest
+    # time so the rule can't be hand-missed again), then the oldest
+    # (r7-green) backlog rows that fit. No registered query is older
+    # than r7-green after this window lands.
+    "lm_quality_score",
+    "bpe_pair_counts",
+    "curation_decisions",
+    "filter_keymod_subscribe",
+    "media_png_resize",
+    "snapshot_customer",
+    "dedup_cluster_star",
+    "dedup_cluster_survivors",
+    "dedup_survivor_corpus",
+    "semdedup_survivors",
+    "curation_decisions_v3",
+    "dedup_decision_log",
+    "semdedup_multiprobe",
+    "semdedup_trained",
     "curation_decisions_v2",
-    "data_expectations",
-    "decontaminate_bloom",
-    "dedup_incremental",
-    "dtail_json",
-    "filter_keymod_longkey",
-    "filter_keymod_strkey",
-    "filter_keyrange",
-    "filter_payload_fields",
-    "funnel_conversion",
-    "hash_sample",
-    "key_skew_profile",
+    "dedup_span_windows",
+    "exactsubstr_dedup",
+    "exactsubstr_incremental",
+    "exactsubstr_spans",
+    "exactsubstr_stats",
     "lm2_quality_score",
-    "media_features",
-    "partition_router",
-    "pivot_events_daily",
+    "media_decision_log",
+    "media_dhash_clusters",
+    "media_dhash_incremental",
+    "semdedup_survivors_v2",
+    "boilerplate_strip",
+    "dedup_cdc_chunks",
+    "text_novelty",
+    "structure_profile",
+    "approx_quantiles_binned",
+    "cm_frequency_profile",
+    "approx_stats",
+    "text_compressibility",
+    "pii_redact",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_rerank_topk",
+    "source_registry_join",
+    "train_split_assign",
+    "hll_distinct_users",
+    "dedup_incremental_near",
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "chunk_documents",
+    "json_props_extract",
+    "time_window_tumbling",
+    "time_window_sliding",
+    "sessionize",
+    "revenue_by_nation",
+    "urgent_orders_shipped",
 ]
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
-    "repetition_filter",
-    "retention_cohorts",
-    "scalar_functions",
-    "snapshot_orders",
-    "text_lang_id",
-    "text_quality",
-    "topk_orders_per_segment",
-    "xml_trail_parse",
-    "filter_keymod_subscribe",
-    "lm_quality_score",
-    "curation_decisions",
-    "snapshot_customer",
-    "bpe_pair_counts",
-    "media_png_resize",
+    "returned_items_topk",
+    "supplier_profit_by_nation",
+    "events_as_changelog_state",
+    "running_account_balance",
+    "opcode_transitions",
+    "partition_spread_per_source",
+    "null_rate_profile",
+    "buffer_info",
+    "media_video_frames",
+    "media_jpeg_probe",
+    "event_metadata_extract",
+    "avro_ocf_roundtrip",
+    "avro_binary_decode",
+    "jdbc_txlog_pull",
+    "sql_txlog_pull",
+    "trail_file_seek",
     "dsir_feature_weights",
     "dsir_doc_scores",
     "dsir_select_topk",
@@ -122,16 +128,12 @@ _REST = [
     "mixture_waterfill_sample",
     "dedup_sketch_eval",
     "ann_recall_eval",
-    "curation_decisions_v3",
     "kmeans_centroids",
     "kmeans_assign_summary",
-    "semdedup_trained",
-    "semdedup_multiprobe",
     "sql_surface_window_stats",
     "media_dhash_dedup",
     "media_audio_fp_dedup",
     "media_dhash_near_pairs",
-    "dedup_decision_log",
     "schema_evolution_decode",
     "zorder_box_read",
     "jsonl_ingest_audit",
@@ -159,51 +161,53 @@ _REST = [
     "stream_fetch_bounded",
     "text_fingerprint",
     "tfidf_top_terms",
-    "boilerplate_strip",
-    "dedup_cdc_chunks",
-    "text_novelty",
-    "structure_profile",
-    "approx_quantiles_binned",
-    "cm_frequency_profile",
-    "approx_stats",
-    "text_compressibility",
-    "pii_redact",
-    "semdedup_survivors",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_rerank_topk",
-    "source_registry_join",
-    "train_split_assign",
-    "hll_distinct_users",
-    "dedup_incremental_near",
-    "dedup_cluster_survivors",
-    "dedup_cluster_star",
-    "dedup_survivor_corpus",
-    "dedup_embedding_cosine",
-    "text_token_stats",
-    "chunk_documents",
-    "json_props_extract",
-    "time_window_tumbling",
-    "time_window_sliding",
-    "sessionize",
-    "revenue_by_nation",
-    "urgent_orders_shipped",
-    "returned_items_topk",
-    "supplier_profit_by_nation",
-    "events_as_changelog_state",
-    "running_account_balance",
-    "opcode_transitions",
-    "partition_spread_per_source",
-    "null_rate_profile",
-    "buffer_info",
-    "media_video_frames",
-    "media_jpeg_probe",
-    "event_metadata_extract",
-    "avro_ocf_roundtrip",
-    "avro_binary_decode",
-    "jdbc_txlog_pull",
-    "sql_txlog_pull",
-    "trail_file_seek",
+    "repetition_filter",
+    "retention_cohorts",
+    "scalar_functions",
+    "snapshot_orders",
+    "text_lang_id",
+    "text_quality",
+    "topk_orders_per_segment",
+    "xml_trail_parse",
+    "semdedup_recall_eval",
+    "bpe_encode_corpus",
+    "bpe_learn_merges",
+    "media_audio_near_pairs",
+    "bpe_learn_merges_batched",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "event_rate_anomaly",
+    "max_scn_probe",
+    "contamination_fraction",
+    "dedup_canonical",
+    "length_histogram",
+    "media_png_probe",
+    "media_wav_probe",
+    "oov_rate",
+    "quality_topk_per_lang",
+    "schema_key_filter",
+    "simhash_sketch",
+    "sparse_tfidf_pairs",
+    "vocab_top_terms",
+    "zorder_events_key",
+    "ann_filtered_topk",
+    "bootstrap_snapshot_catchup",
+    "checkpoint_mult_fetch",
+    "cube_rollup",
+    "data_expectations",
+    "decontaminate_bloom",
+    "dedup_incremental",
+    "dtail_json",
+    "filter_keymod_longkey",
+    "filter_keymod_strkey",
+    "filter_keyrange",
+    "filter_payload_fields",
+    "funnel_conversion",
+    "hash_sample",
+    "key_skew_profile",
+    "media_features",
+    "partition_router",
+    "pivot_events_daily",
 ]
 
 _PRIORITY = _WINDOW + _REST

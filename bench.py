@@ -201,7 +201,23 @@ def main() -> None:
     # part_dirs: physical partitions are directory levels (the reference's
     # per-partition buffers), so the physical-partition subscription below
     # is directory pruning, not a per-row predicate over every file.
-    _stage(log, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True)
+    #
+    # REPLICATED x8 (r10 verdict #1): the sf0.1 staged scan finished in
+    # ~0.09 s, so every ratio below divided by scheduler noise — the
+    # keymod string-hash diagnostic drifted 1.46 -> 1.504 across rounds
+    # on a 0.087 s denominator (per-run band 1.23-1.81). Eight scn-
+    # disambiguated copies put the denominator at ~0.5-0.8 s where a GC
+    # pause is <10% of a sample, making the ≤1.5 watchpoint a real
+    # measurement. Filter selectivity and key distribution are unchanged
+    # (keys replicate verbatim), so the ratios measure the same thing.
+    from pyspark.sql import functions as _F
+
+    biglog = (
+        log.crossJoin(spark.range(8).select(_F.col("id").alias("_rep")))
+        .withColumn("scn", _F.col("scn") * 8 + _F.col("_rep"))
+        .drop("_rep")
+    )
+    _stage(biglog, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True)
     staged = spark.read.option("basePath", routed_dir).parquet(routed_dir + "/chunk=*")
 
     def best_of(df, n: int = 4) -> float:

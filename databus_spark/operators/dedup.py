@@ -628,6 +628,24 @@ def packed_key(high, low, low_bits: int, what: str):
     )
 
 
+def packed_key_sql(high: str, low: str, low_bits: int, what: str) -> str:
+    """DuckDB twin of packed_key with the SAME loud width guard: the
+    Spark side raises in codegen past the field bounds, so the oracle
+    must error in the same range rather than silently alias two distinct
+    (high, low) pairs to one key (r10 ADVICE #3 — the SQL twins got the
+    narrower field but not the guard, a cross-engine divergence in
+    exactly the range the guards were added for)."""
+    hi_cap = 1 << (63 - low_bits)
+    lo_cap = 1 << low_bits
+    return (
+        f"CASE WHEN ({low}) >= 0 AND ({low}) < {lo_cap}"
+        f" AND ({high}) >= 0 AND ({high}) < {hi_cap}"
+        f" THEN (CAST({high} AS BIGINT) << {low_bits}) + ({low})"
+        f" ELSE error('{what}: packed key overflow (low_bits={low_bits}): high='"
+        f" || ({high}) || ' low=' || ({low})) END"
+    )
+
+
 def incremental_bithash_dedup(
     incoming_sig: DataFrame,
     base_bands: DataFrame,
@@ -723,33 +741,61 @@ def simhash_near_pairs_sql(max_hamming: int = 3) -> str:
 # 5. Near-dup clusters: connected components + survivor selection
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Connected components over candidate pairs by iterative min-label
-    propagation; cluster id = min doc_id of the component, survivor =
-    the doc equal to its cluster id.
+def _cc_sig_exprs() -> list:
+    """Fresh aggregate aliases for the canonical-edge-set signature —
+    count first (the hybrid dispatch reads it), then order-independent
+    sums the star loop compares for convergence. Fresh per call because
+    Observation refuses reused alias objects."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        # decimal sums: 60-bit hash values summed over a corpus-scale
+        # edge list overflow long (ANSI mode raises)
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(portable_hash64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")).alias(
+            "sh"
+        ),
+    ]
 
-    Iterative-but-distributed: each round is one join + one aggregate
-    over the edge list (label propagation); the driver only checks the
-    converged flag. Rounds needed = component diameter (near-dup
-    clusters are tiny), capped at max_iterations. The standard
-    large-graph alternative (alternating large-star/small-star) drops
-    in here unchanged if components ever get deep.
-    """
+
+def _cc_canonical_edges(pairs: DataFrame) -> tuple[DataFrame, tuple]:
+    """Canonical (u = max, v = min, distinct, no self-loops) edge set,
+    materialized once with its signature riding the checkpoint job."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs, *_cc_sig_exprs())
         .localCheckpoint(eager=True)
     )
-    # Hybrid small-graph path: near-dup candidate graphs are usually
-    # tiny relative to the corpus, and the distributed loop's cost at
-    # that size is pure job scheduling (measured: 4.3 s for 789 edges —
-    # every round is a join + eager checkpoint + scalar collect). Below
-    # a BOUNDED edge cap (<= ~3 MB on the driver) union-find computes
-    # the identical min-label components in microseconds; the
-    # distributed propagation remains the >cap path, so the operator
-    # stays scale-safe by construction.
-    n_edges = edges.count()
+    return edges, tuple(obs.get.values())
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components over candidate pairs; cluster id = min
+    doc_id of the component, survivor = the doc equal to its cluster id.
+
+    Hybrid dispatch (r10 verdict #4): the canonical edge list is
+    materialized once with its count riding the checkpoint job (zero
+    extra jobs). At or below DEDUP_CC_DRIVER_CAP edges (~3 MB collected)
+    a driver union-find computes the identical min-label components in
+    microseconds — near-dup candidate graphs are usually tiny relative
+    to the corpus, and ANY distributed loop at that size is pure job
+    scheduling (measured: 4.3 s for 789 edges). Above the cap the
+    alternating large-star/small-star solver takes over: O(log diameter)
+    rounds, each two groupBy passes over the edge list. The previous
+    >cap path — min-label propagation at O(diameter) rounds — was
+    strictly dominated by star and is deleted; both >cap branches now
+    share _star_components.
+    """
+    edges, sig = _cc_canonical_edges(pairs)
+    n_edges = int(sig[0] or 0)
     if n_edges <= DEDUP_CC_DRIVER_CAP:
         parent: dict = {}
 
@@ -763,10 +809,10 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
         rows = edges.collect()
         for r in rows:
-            ra, rb = find(r["a"]), find(r["b"])
+            ra, rb = find(r["u"]), find(r["v"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        nodes = {r["a"] for r in rows}
+        nodes = {r["u"] for r in rows} | {r["v"] for r in rows}
         out = [(int(n), int(find(n))) for n in sorted(nodes)]
         spark = pairs.sparkSession
         return spark.createDataFrame(out, "node long, label long").select(
@@ -774,42 +820,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             F.col("label").alias("cluster_id"),
             (F.col("node") == F.col("label")).alias("is_survivor"),
         )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint(eager=True)
-
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # convergence flag FUSED into the propagation select: the eager
-        # checkpoint materializes labels AND the changed bits in one job;
-        # the probe below is a scalar agg over already-materialized blocks,
-        # not a second join+shuffle job per round.
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label"))
-                .cast("int")
-                .alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.agg(F.sum("_chg")).collect()[0][0]
-        labels = new_labels.drop("_chg")
-        if not changed:
-            break
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("node") == F.col("label")).alias("is_survivor"),
-    )
+    return _star_components(edges, sig, max_iterations)
 
 
 def dedup_clusters_star(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
@@ -840,31 +851,15 @@ def dedup_clusters_star(pairs: DataFrame, max_iterations: int = 50) -> DataFrame
       ``Observation`` (metrics collected while the round materializes) —
       zero extra jobs per round.
     """
+    edges, sig = _cc_canonical_edges(pairs)
+    return _star_components(edges, sig, max_iterations)
+
+
+def _star_components(edges: DataFrame, sig: tuple, max_iterations: int) -> DataFrame:
+    """The large-star/small-star loop over a canonical, checkpointed
+    edge set with its initial signature — shared by dedup_clusters_star
+    (direct) and dedup_clusters (its >DEDUP_CC_DRIVER_CAP branch)."""
     from pyspark.sql import Observation
-
-    sig_exprs = lambda: [  # noqa: E731 — fresh aliases per Observation
-        F.count(F.lit(1)).alias("n"),
-        # decimal sums: 60-bit hash values summed over a corpus-scale
-        # edge list overflow long (ANSI mode raises)
-        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
-        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-        F.sum(portable_hash64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")).alias(
-            "sh"
-        ),
-    ]
-
-    obs0 = Observation()
-    edges = (  # canonical: u = max(pair), v = min(pair), distinct
-        pairs.select(
-            F.greatest("doc_a", "doc_b").alias("u"),
-            F.least("doc_a", "doc_b").alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .observe(obs0, *sig_exprs())
-        .localCheckpoint(eager=True)
-    )
-    sig = tuple(obs0.get.values())
 
     def symmetrize(e: DataFrame) -> DataFrame:
         return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -900,7 +895,7 @@ def dedup_clusters_star(pairs: DataFrame, max_iterations: int = 50) -> DataFrame
         stars = large_star(symmetrize(edges))
         obs = Observation()
         edges = (
-            small_star(stars).distinct().observe(obs, *sig_exprs()).localCheckpoint(eager=True)
+            small_star(stars).distinct().observe(obs, *_cc_sig_exprs()).localCheckpoint(eager=True)
         )
         new_sig = tuple(obs.get.values())
         if new_sig == sig:
@@ -1274,7 +1269,7 @@ def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
         ),
         occ AS (
             SELECT doc_id, (u).seg_idx AS seg_idx, (u).seg AS seg,
-                   (doc_id << 20) + (u).seg_idx AS occ_key
+                   {packed_key_sql("doc_id", "(u).seg_idx", OCC_POS_BITS, "span_dedup")} AS occ_key
             FROM (
                 SELECT doc_id, unnest(list_transform(
                            range(0, CAST(floor(len(toks) / {win}) AS BIGINT)),
@@ -2009,7 +2004,17 @@ def exactsubstr_dedup(
     return _exsub_cut(docs, removable, win)
 
 
-def _exsub_cut(docs: DataFrame, removable: DataFrame, win: int) -> DataFrame:
+EXSUB_BROADCAST_CUTS_CAP = 1_000_000  # rows; a cuts row is (doc_id +
+# span-struct array), ~100 B typical — the cap bounds the broadcast at
+# ~100 MB however duplicate-heavy the corpus turns out to be.
+
+
+def _exsub_cut(
+    docs: DataFrame,
+    removable: DataFrame,
+    win: int,
+    broadcast_cuts: bool | None = None,
+) -> DataFrame:
     """Shared cut tail: merge removable window positions into spans,
     aggregate to a small per-doc array, and drop covered tokens with a
     positional HOF filter — never a token explode."""
@@ -2031,17 +2036,23 @@ def _exsub_cut(docs: DataFrame, removable: DataFrame, win: int) -> DataFrame:
             lambda s: (s["span_start"] <= i + 1) & (i + 1 <= s["span_end"]),
         ),
     )
-    # EXPLICIT broadcast: statically the cuts side has unknown size, so
-    # the planner picks sort-merge — and even though AQE converts to
+    # SIZE-GATED broadcast: statically the cuts side has unknown size,
+    # so the planner picks sort-merge — and even though AQE converts to
     # broadcast at runtime, its materialize-then-replan has ALREADY
     # WRITTEN the corpus side's exchange by then (measured 342 MB of
-    # the x100 soak's shuffle — the tokenized corpus itself). cuts is
-    # one row per doc-with-removable-spans carrying a small span array;
-    # for a corpus where MOST docs carry cuts, drop the hint and let
-    # the sort-merge pay for itself.
+    # the x100 soak's shuffle — the tokenized corpus itself). But cuts
+    # is one row per doc-with-removable-spans, which on duplicate-heavy
+    # corpora is ~EVERY doc (the x100 rotation soak measured ~99% of
+    # windows removable) — an unconditional hint would be a corpus-
+    # proportional broadcast. gated_broadcast measures the count on the
+    # checkpoint job (zero extra jobs) and falls back to sort-merge
+    # above EXSUB_BROADCAST_CUTS_CAP (r10 ADVICE #1).
+    from databus_spark.plans.hints import gated_broadcast
+
+    cuts = gated_broadcast(cuts, EXSUB_BROADCAST_CUTS_CAP, broadcast_cuts)
     return (
         docs.select("doc_id", toks.alias("_toks"))
-        .join(F.broadcast(cuts), "doc_id", "left")
+        .join(cuts, "doc_id", "left")
         .withColumn("_cuts", F.coalesce(F.col("_cuts"), empty))
         .select(
             "doc_id",
@@ -2142,7 +2153,7 @@ def _exsub_occ_sql(from_sql: str, win: int) -> str:
         ),
         occ AS (
             SELECT doc_id, pos, {whash} AS whash,
-                   (doc_id << 20) + pos AS occ_key
+                   {packed_key_sql("doc_id", "pos", OCC_POS_BITS, "exactsubstr")} AS occ_key
             FROM (
                 SELECT doc_id, toks,
                        unnest(range(1, len(toks) - {win} + 2)) AS pos

@@ -412,6 +412,10 @@ def redact_pii_sql(source_sql: str) -> str:
 # bit-identical across engines.
 
 
+LM_BROADCAST_VOCAB_CAP = 4_000_000  # rows; a (tok, decimal) row is ~30 B,
+# so the vocab broadcast is bounded at ~120 MB whatever the corpus does.
+
+
 def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # lazy checkpoint: the token explode feeds BOTH the tf table and the
     # per-doc scoring join — materialize it once instead of re-splitting
@@ -427,14 +431,20 @@ def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("decimal(18,6)")
         .alias("tok_nll"),
     )
-    # EXPLICIT broadcast of the vocab table: the toks side is an
+    # SIZE-GATED broadcast of the vocab table: the toks side is an
     # explode whose static size estimate is the parquet scan's — at the
     # x100 soak Catalyst broadcast the 27M-row CORPUS side (a 3.1 GB
     # single-task HashedRelation build, the whole family's mystery peak
-    # and an OOM at real scale). nll is vocabulary-bounded; for
-    # unbounded vocabularies switch this to a merge hint.
+    # and an OOM at real scale), so the vocab side carries the pin. But
+    # vocab itself is only *usually* bounded — a token-diverse corpus
+    # (random ids, code, multilingual web) grows it with the data — so
+    # the hint is gated on the MEASURED vocab count (rides the
+    # checkpoint job, zero extra jobs) with a sort-merge fallback above
+    # the cap (r10 ADVICE #1's second instance of the class).
+    from databus_spark.plans.hints import gated_broadcast
+
     return (
-        toks.join(F.broadcast(nll), "tok")
+        toks.join(gated_broadcast(nll, LM_BROADCAST_VOCAB_CAP), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1313,12 +1323,18 @@ def lm2_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # bigram table: DATA-SIZED at scale (distinct bigrams grow with the
     # corpus) — pin sort-merge so a bad static estimate can't broadcast
-    # either side; unigram tables are vocabulary-bounded -> broadcast
-    # (same hazard class as lm_quality_score's 3.1 GB corpus-broadcast)
+    # either side; the unigram table is *usually* vocabulary-bounded but
+    # grows with token-diverse corpora, so ONE measurement (rides the
+    # checkpoint job) decides all three of its join hints (same hazard
+    # class as lm_quality_score's 3.1 GB corpus-broadcast).
+    from databus_spark.plans.hints import measure_under_cap
+
+    tf, _tf_fits = measure_under_cap(tf, LM_BROADCAST_VOCAB_CAP)
+    _v = F.broadcast if _tf_fits else lambda d: d.hint("merge")
     pair_nll = (
         pairs.hint("merge").join(tf2, ["v", "w"])
-        .join(F.broadcast(tf.select(F.col("w").alias("v"), F.col("tf").alias("tf_v"))), "v")
-        .join(F.broadcast(tf.select("w", F.col("tf").alias("tf_w"), "n_total")), "w")
+        .join(_v(tf.select(F.col("w").alias("v"), F.col("tf").alias("tf_v"))), "v")
+        .join(_v(tf.select("w", F.col("tf").alias("tf_w"), "n_total")), "w")
         .select(
             "doc_id",
             F.round(-F.log(p_interp), 6).cast("decimal(18,6)").alias("nll"),
@@ -1327,7 +1343,7 @@ def lm2_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     first_nll = (
         base.select("doc_id", F.element_at("_t", 1).alias("w"))
         .where(F.col("w").isNotNull())
-        .join(F.broadcast(tf.select("w", "tf", "n_total")), "w")
+        .join(_v(tf.select("w", "tf", "n_total")), "w")
         .select(
             "doc_id",
             F.round(-F.log(F.col("tf") / F.col("n_total")), 6)

@@ -706,26 +706,43 @@ def exactsubstr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_tcrc",
     )
 
+    # The khash (winnowing pre-filter) leg is staged ONLY when the
+    # pre-filter will actually engage at this query's win: at the
+    # default win=8 _exsub_prefilter_on is False (the anchor is
+    # structurally weak — see EXSUB_PREFILTER_MIN_WIN's rationale), so
+    # building + canary-stamping + loading the khash index was pure
+    # dead ingest cost billed to every call (r10 ADVICE #2; it was the
+    # round's one bench regression, 1.44 -> 1.94 s). The win is folded
+    # into the version stamp so flipping EXSUB_WIN past the threshold
+    # rebuilds the artifact WITH its khash leg.
+    prefilter = dedup._exsub_prefilter_on(None, dedup.EXSUB_WIN)
+
     def build(d: str) -> None:
         dedup.exactsubstr_base_hashes(base).write.parquet(os.path.join(d, "whash"))
-        # the pre-filter twin: selected-k-hash set for candidate probing
-        dedup.exactsubstr_base_khashes(base).write.parquet(os.path.join(d, "khash"))
+        if prefilter:
+            # the pre-filter twin: selected-k-hash set for candidate probing
+            dedup.exactsubstr_base_khashes(base).write.parquet(os.path.join(d, "khash"))
 
     # SELF-CHECKING version stamp: the khash leg's hash values depend on
     # the selection code's mix order, which changed twice in one round
     # (linear chain -> doubling) — a manual bump is exactly the stamp a
     # future edit forgets. The canary runs the REAL selection on one
     # fixed doc and folds its output into the version, so any change to
-    # the selection math rebuilds the artifact mechanically.
+    # the selection math rebuilds the artifact mechanically. Without the
+    # khash leg there is nothing selection-dependent in the artifact, so
+    # the canary job is skipped too.
+    canary = f"-{_xsub_code_canary(spark)}" if prefilter else ""
     idx_dir = _staged_artifact(
         "databus_xsubidx",
         sf_dir,
         fingerprint,
         build,
-        version=f"xsub-v4-{_xsub_code_canary(spark)}",
+        version=f"xsub-v5-w{dedup.EXSUB_WIN}-pf{int(prefilter)}{canary}",
     )
     base_hashes = spark.read.parquet(os.path.join(idx_dir, "whash"))
-    base_khashes = spark.read.parquet(os.path.join(idx_dir, "khash"))
+    base_khashes = (
+        spark.read.parquet(os.path.join(idx_dir, "khash")) if prefilter else None
+    )
     return dedup.exactsubstr_incremental(
         incoming, base, base_hashes=base_hashes, base_khashes=base_khashes
     )
@@ -3234,8 +3251,12 @@ def _media_dhash_incremental_sql() -> str:
     ),
     m AS (
         SELECT in_doc,
-               min((CAST(bit_count(xor(in_doc_h, base_doc_h)) AS BIGINT) << 40)
-                   + base_doc) AS k
+               min({dedup.packed_key_sql(
+                   "CAST(bit_count(xor(in_doc_h, base_doc_h)) AS BIGINT)",
+                   "base_doc",
+                   40,
+                   "incremental_bithash_dedup",
+               )}) AS k
         FROM cand
         WHERE bit_count(xor(in_doc_h, base_doc_h)) <= 2
         GROUP BY in_doc

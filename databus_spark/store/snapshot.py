@@ -154,6 +154,7 @@ class ParquetSnapshotStore:
         batch: DataFrame,
         precheckpointed: bool = False,
         touched: list[int] | None = None,
+        prebucketed: bool = False,
     ) -> int:
         """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.
 
@@ -172,8 +173,24 @@ class ParquetSnapshotStore:
         checkpoints for its stats pass): re-checkpointing then would copy
         every batch a second time, and the _bucket projection re-derived
         from the caller's cached blocks is nearly free.
+
+        ``prebucketed=True`` declares the batch already carries a
+        ``_bucket`` column computed with THIS store's bucket_col() (the
+        applier's fused stats+probe path). It is an explicit contract,
+        not an inference: a caller whose changelog schema happens to
+        carry a ``_bucket`` field — or a stale one from a different
+        bucket geometry — must NOT be silently routed by it (r10 ADVICE
+        #4), so without the flag merge always overwrites the column.
         """
-        if "_bucket" not in batch.columns:
+        if prebucketed:
+            if "_bucket" not in batch.columns:
+                raise ValueError(
+                    "merge(prebucketed=True) requires a _bucket column "
+                    "computed with this store's bucket_col()"
+                )
+        else:
+            # always (re)derive: an inherited _bucket column from another
+            # schema or geometry would route rows into wrong buckets
             batch = batch.withColumn("_bucket", self._bucket_col())
         if not precheckpointed:
             batch = batch.localCheckpoint(eager=True)

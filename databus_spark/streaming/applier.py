@@ -62,7 +62,10 @@ class StreamingApplier:
         if n == 0:
             return
         self.store.merge(
-            batch, precheckpointed=True, touched=[r["_bucket"] for r in rows]
+            batch,
+            precheckpointed=True,
+            touched=[r["_bucket"] for r in rows],
+            prebucketed=True,  # _bucket above IS store.bucket_col() — explicit contract
         )
         self.checkpoint.on_window_end(
             max(int(r["_mx"]) for r in rows), time.time_ns()

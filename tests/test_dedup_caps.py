@@ -93,15 +93,41 @@ def test_star_connected_components_deep_chain(spark):
     assert sum(r.is_survivor for r in out) == 1
 
 
-def test_star_matches_label_propagation_on_real_pairs(spark, sf_dir):
-    """Both component algorithms agree exactly on the minhash candidate
-    graph (same labels, same survivors)."""
+def test_star_matches_union_find_on_real_pairs(spark, sf_dir):
+    """Both component paths agree exactly on the minhash candidate graph
+    (same labels, same survivors): dedup_clusters takes the <=cap driver
+    union-find branch here, dedup_clusters_star the distributed loop."""
     pairs = dedup.minhash_lsh_pairs(
         dedup.documents_with_dups(spark, sf_dir), k=5
     ).localCheckpoint(eager=True)
     a = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup.dedup_clusters(pairs).collect()}
     b = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup.dedup_clusters_star(pairs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_hybrid_dispatch_boundary(spark, sf_dir):
+    """The hybrid's two branches are equivalent ACROSS the dispatch
+    boundary: forcing the cap to 0 sends the same pair set down the
+    >cap star branch, and the output must match the union-find branch
+    row for row (r10 verdict #4 — the >cap path is now star, and the
+    dispatch itself is pinned by this test)."""
+    pairs = dedup.minhash_lsh_pairs(
+        dedup.documents_with_dups(spark, sf_dir), k=5
+    ).localCheckpoint(eager=True)
+    below = {
+        r.doc_id: (r.cluster_id, r.is_survivor)
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    orig = dedup.DEDUP_CC_DRIVER_CAP
+    dedup.DEDUP_CC_DRIVER_CAP = 0  # every edge set is now >cap
+    try:
+        above = {
+            r.doc_id: (r.cluster_id, r.is_survivor)
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+    finally:
+        dedup.DEDUP_CC_DRIVER_CAP = orig
+    assert below == above and len(below) > 0
 
 
 def test_cdc_chunks_resync_after_insertion(spark):

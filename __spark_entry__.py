@@ -40,30 +40,54 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 11: the six r6-stale rows FIRST — r10 broke its own rotation
-    # rule here (lm_quality_score's engine path changed in r10 via the
-    # broadcast pin at operators/text.py but the row stayed in _REST;
-    # VERDICT r10 "What's wrong #2") — then every row whose engine path
-    # changed this round per the NEW mechanical freshness invariant
+    # round 11: the two NEW queries (bm25_topk lexical retrieval,
+    # semdedup_incremental rolling-ingest embedding dedup) first, then
+    # the six r6-stale rows — r10 broke its own rotation rule here
+    # (lm_quality_score's engine path changed in r10 via the broadcast
+    # pin at operators/text.py but the row stayed in _REST; VERDICT r10
+    # "What's wrong #2") — then EVERY row whose engine path changed this
+    # round per the new mechanical freshness invariant
     # (tools/window_manifest.py closure diff vs the committed r10-tree
-    # manifest; tests/test_window_freshness.py enforces this at pytest
-    # time so the rule can't be hand-missed again), then the oldest
-    # (r7-green) backlog rows that fit. No registered query is older
-    # than r7-green after this window lands.
+    # manifest; tests/test_window_freshness.py enforces it at pytest
+    # time so the rule can't be hand-missed again; the staged-artifact
+    # fingerprint memo alone touches every staged query, which is why
+    # the changed set fills the window).
+    "bm25_topk",
+    "semdedup_incremental",
     "lm_quality_score",
     "bpe_pair_counts",
     "curation_decisions",
     "filter_keymod_subscribe",
     "media_png_resize",
     "snapshot_customer",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "avro_ocf_roundtrip",
     "dedup_cluster_star",
     "dedup_cluster_survivors",
+    "dedup_incremental_near",
     "dedup_survivor_corpus",
+    "jdbc_txlog_pull",
+    "media_video_frames",
     "semdedup_survivors",
+    "trail_file_seek",
+    "ann_ivf_topk",
+    "ann_recall_eval",
     "curation_decisions_v3",
     "dedup_decision_log",
+    "dsir_incremental",
+    "jsonl_ingest_audit",
+    "kmeans_assign_summary",
+    "kmeans_centroids",
+    "media_audio_fp_dedup",
+    "media_dhash_dedup",
+    "media_dhash_near_pairs",
     "semdedup_multiprobe",
     "semdedup_trained",
+    "zorder_box_read",
+    "ann_filtered_topk",
+    "bpe_encode_corpus",
     "curation_decisions_v2",
     "dedup_span_windows",
     "exactsubstr_dedup",
@@ -71,11 +95,17 @@ _WINDOW = [
     "exactsubstr_spans",
     "exactsubstr_stats",
     "lm2_quality_score",
+    "media_audio_near_pairs",
     "media_decision_log",
     "media_dhash_clusters",
     "media_dhash_incremental",
+    "semdedup_recall_eval",
     "semdedup_survivors_v2",
     "boilerplate_strip",
+]
+
+# below the 50-row window this round (all still verified locally):
+_REST = [
     "dedup_cdc_chunks",
     "text_novelty",
     "structure_profile",
@@ -84,13 +114,9 @@ _WINDOW = [
     "approx_stats",
     "text_compressibility",
     "pii_redact",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_rerank_topk",
     "source_registry_join",
     "train_split_assign",
     "hll_distinct_users",
-    "dedup_incremental_near",
     "dedup_embedding_cosine",
     "text_token_stats",
     "chunk_documents",
@@ -100,10 +126,6 @@ _WINDOW = [
     "sessionize",
     "revenue_by_nation",
     "urgent_orders_shipped",
-]
-
-# below the 50-row window this round (all still verified locally):
-_REST = [
     "returned_items_topk",
     "supplier_profit_by_nation",
     "events_as_changelog_state",
@@ -112,32 +134,18 @@ _REST = [
     "partition_spread_per_source",
     "null_rate_profile",
     "buffer_info",
-    "media_video_frames",
     "media_jpeg_probe",
     "event_metadata_extract",
-    "avro_ocf_roundtrip",
     "avro_binary_decode",
-    "jdbc_txlog_pull",
     "sql_txlog_pull",
-    "trail_file_seek",
     "dsir_feature_weights",
     "dsir_doc_scores",
     "dsir_select_topk",
-    "dsir_incremental",
     "mixture_waterfill",
     "mixture_waterfill_sample",
     "dedup_sketch_eval",
-    "ann_recall_eval",
-    "kmeans_centroids",
-    "kmeans_assign_summary",
     "sql_surface_window_stats",
-    "media_dhash_dedup",
-    "media_audio_fp_dedup",
-    "media_dhash_near_pairs",
     "schema_evolution_decode",
-    "zorder_box_read",
-    "jsonl_ingest_audit",
-    "ann_ivf_topk",
     "decontaminate_vs_benchmark",
     "dedup_exact",
     "filter_composite_json",
@@ -169,10 +177,7 @@ _REST = [
     "text_quality",
     "topk_orders_per_segment",
     "xml_trail_parse",
-    "semdedup_recall_eval",
-    "bpe_encode_corpus",
     "bpe_learn_merges",
-    "media_audio_near_pairs",
     "bpe_learn_merges_batched",
     "ann_cosine_topk",
     "ann_lsh_topk",
@@ -190,7 +195,6 @@ _REST = [
     "sparse_tfidf_pairs",
     "vocab_top_terms",
     "zorder_events_key",
-    "ann_filtered_topk",
     "bootstrap_snapshot_catchup",
     "checkpoint_mult_fetch",
     "cube_rollup",

@@ -141,6 +141,11 @@ def main() -> None:
         "semdedup_trained",
         # the incremental-substring base window-hash index
         "exactsubstr_incremental",
+        # the incremental-embedding base cell index (base-trained
+        # centroids + rank-1 assignment) and the 128-cell eval model
+        # the survivors_v2/recall_eval rows serve from
+        "semdedup_incremental",
+        "semdedup_survivors_v2",
         # the staged DSIR importance estimator (train-once weights)
         "dsir_incremental",
     ):

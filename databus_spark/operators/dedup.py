@@ -815,7 +815,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
         nodes = {r["u"] for r in rows} | {r["v"] for r in rows}
         out = [(int(n), int(find(n))) for n in sorted(nodes)]
         spark = pairs.sparkSession
-        return spark.createDataFrame(out, "node long, label long").select(
+        # few slices, not defaultParallelism: createDataFrame over a local
+        # list otherwise parallelizes to 32 near-empty partitions, and the
+        # downstream join re-scans them as 32 tiny tasks PER consumer —
+        # pure scheduling overhead on a <=cap (driver-sized) result
+        # (measured: two 32-task stages inside semdedup_survivors_v2)
+        rdd = spark.sparkContext.parallelize(out, max(1, len(out) // 65536 + 1))
+        return spark.createDataFrame(rdd, "node long, label long").select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster_id"),
             (F.col("node") == F.col("label")).alias("is_survivor"),
@@ -2004,9 +2010,10 @@ def exactsubstr_dedup(
     return _exsub_cut(docs, removable, win)
 
 
-EXSUB_BROADCAST_CUTS_CAP = 1_000_000  # rows; a cuts row is (doc_id +
-# span-struct array), ~100 B typical — the cap bounds the broadcast at
-# ~100 MB however duplicate-heavy the corpus turns out to be.
+EXSUB_BROADCAST_CUTS_CAP = 1_000_000  # docs; cuts has at most one row
+# per doc (doc_id + span-struct array, ~100 B typical), so gating on a
+# cheap docs count bounds the broadcast at ~100 MB however
+# duplicate-heavy the corpus turns out to be.
 
 
 def _exsub_cut(
@@ -2044,12 +2051,17 @@ def _exsub_cut(
     # is one row per doc-with-removable-spans, which on duplicate-heavy
     # corpora is ~EVERY doc (the x100 rotation soak measured ~99% of
     # windows removable) — an unconditional hint would be a corpus-
-    # proportional broadcast. gated_broadcast measures the count on the
-    # checkpoint job (zero extra jobs) and falls back to sort-merge
-    # above EXSUB_BROADCAST_CUTS_CAP (r10 ADVICE #1).
-    from databus_spark.plans.hints import gated_broadcast
-
-    cuts = gated_broadcast(cuts, EXSUB_BROADCAST_CUTS_CAP, broadcast_cuts)
+    # proportional broadcast (r10 ADVICE #1). The gate bounds cuts by
+    # its STRUCTURAL ceiling — one cheap count of docs — instead of
+    # materializing the heavy removable pipeline to measure cuts
+    # itself: the first (measure-cuts) design cost composite consumers
+    # their plan fusion (curation_decisions_v3 regressed +1.7 s when
+    # the eager checkpoint serialized the exactsubstr leg ahead of the
+    # fused final job). Conservative by construction: a huge low-dup
+    # corpus takes the sort-merge path even when actual cuts are few.
+    if broadcast_cuts is None:
+        broadcast_cuts = docs.count() <= EXSUB_BROADCAST_CUTS_CAP
+    cuts = F.broadcast(cuts) if broadcast_cuts else cuts.hint("merge")
     return (
         docs.select("doc_id", toks.alias("_toks"))
         .join(cuts, "doc_id", "left")

@@ -1512,3 +1512,175 @@ def boilerplate_strip_sql(from_sql: str, min_docs: int = BOILER_MIN_DOCS) -> str
     """
 
 
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Robertson/Sparck Jones; the Lucene idf form)
+# ---------------------------------------------------------------------------
+# The lexical sibling of the ANN family: training-data pipelines retrieve
+# by keyword as often as by embedding (benchmark decontamination by
+# retrieval, targeted corpus slicing, dedup triage). Scale shape: the
+# query-term set is tiny and BROADCAST, so the corpus-side explode
+# prunes map-side to rows whose token appears in some query — the only
+# corpus-wide shuffle is the per-(doc, term) tf aggregate over that
+# pruned stream; document frequencies aggregate from the same pruned
+# rows; the final top-k window runs per query over candidate docs only.
+#
+# Determinism discipline: every per-term weight rounds to 6dp and sums
+# as DECIMAL (order-independent, bit-identical across engines); avgdl is
+# the exact bigint micro-unit floor-division; ranking breaks score ties
+# by doc_id.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 10
+BM25_QUERY_LEN = 3
+BM25_TOPK = 5
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = BM25_N_QUERIES,
+    q_len: int = BM25_QUERY_LEN,
+    topk: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, rank, score): BM25 top-k documents per query.
+
+    Queries are derived deterministically from the corpus itself (the
+    fixture has no separate query table): the ``n_queries`` docs with
+    the lowest seeded hash contribute tokens 2..q_len+1 as a query,
+    keyed by the source doc_id — the same hash-sample convention the
+    ANN rows use for their query vectors.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(text_col)
+    base = docs.select("doc_id", toks.alias("_t")).localCheckpoint(eager=False)
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_t")).alias("total_len"),
+    ).select(
+        "n_docs",
+        # exact micro-unit mean doc length, then ONE IEEE divide
+        (F.expr("total_len * 1000000 div n_docs").cast("double") / 1000000.0).alias(
+            "avgdl"
+        ),
+    )
+
+    h = portable_hash64(F.col("doc_id").cast("string"), F.lit("bm25"))
+    qtoks = (
+        base.where(F.size("_t") >= q_len + 1)
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .limit(n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("_t", 2, q_len)).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the prune set AND the scoring join
+    )
+
+    # corpus explode, pruned MAP-SIDE to query terms before any shuffle
+    tf = (
+        base.select("doc_id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
+        .join(F.broadcast(qtoks.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * F.lit(1.0 + k1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(qtoks), "tok")
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(w, 6).cast("decimal(18,6)").alias("w"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(F.sum("w").alias("_score"))
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_score").cast("double").alias("score"),
+        )
+    )
+
+
+def bm25_topk_sql(
+    from_sql: str,
+    n_queries: int = BM25_N_QUERIES,
+    q_len: int = BM25_QUERY_LEN,
+    topk: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", "'bm25'")
+    return f"""
+        WITH base AS (SELECT doc_id, {toks} AS t FROM ({from_sql})),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST((sum(len(t)) * 1000000) // count(*) AS DOUBLE) / 1000000.0
+                       AS avgdl
+            FROM base),
+        qd AS (
+            SELECT doc_id, t FROM base WHERE len(t) >= {q_len + 1}
+            ORDER BY {h}, doc_id LIMIT {n_queries}),
+        qt AS (
+            SELECT DISTINCT doc_id AS query_id, unnest(t[2:{q_len + 1}]) AS tok
+            FROM qd),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM base)
+            WHERE tok IN (SELECT tok FROM qt)
+            GROUP BY 1, 2),
+        dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        terms AS (
+            SELECT q.query_id, f.doc_id,
+                   CAST(round(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (f.tf * {1.0 + k1})
+                       / (f.tf + {k1} * ({1.0 - b} + {b} * f.dl / s.avgdl)),
+                   6) AS DECIMAL(18,6)) AS w
+            FROM tf f
+            JOIN qt q USING (tok)
+            JOIN dft d USING (tok)
+            CROSS JOIN stats s),
+        sc AS (
+            SELECT query_id, doc_id, sum(w) AS score FROM terms GROUP BY 1, 2),
+        rk AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rank
+            FROM sc)
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+               CAST(score AS DOUBLE) AS score
+        FROM rk WHERE rank <= {topk}
+    """

@@ -112,18 +112,46 @@ def _staged_artifact(
     return art_dir
 
 
+_FP_MEMO: dict = {}
+
+
 def _content_fingerprint(df: DataFrame, *num_cols: str) -> str:
     """Cheap content digest for fixture-reuse markers: row count plus
     exact decimal sum and max of the named numeric columns. A regenerated
     sf fixture with equal cardinality but different content changes the
     sums, so markers keyed on this never serve stale staged data (the
-    row-count-only probe could)."""
+    row-count-only probe could).
+
+    Memoized per process on (plan semantic hash, source-file stat
+    signature): the digest job re-ran on EVERY call of every
+    staged-model query (two collect jobs each for the kmeans family —
+    r10 verdict #6's job-count audit), yet its value can only change
+    when the underlying files do. A regenerated fixture changes size or
+    mtime_ns, which misses the memo and recomputes — the content sums
+    still guard against same-stat corruption via the staged marker."""
+    key = None
+    try:
+        files = sorted(df.inputFiles())
+        if files:
+            sig = []
+            for f in files:
+                p = f[7:] if f.startswith("file://") else f
+                st = os.stat(p)
+                sig.append((p, st.st_size, st.st_mtime_ns))
+            key = (df.semanticHash(), num_cols, tuple(sig))
+    except Exception:
+        key = None
+    if key is not None and key in _FP_MEMO:
+        return _FP_MEMO[key]
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in num_cols:
         aggs.append(F.sum(F.col(c).cast("decimal(38,6)")).alias(f"s_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"m_{c}"))
     r = df.agg(*aggs).collect()[0]
-    return "|".join(str(v) for v in r)
+    fp = "|".join(str(v) for v in r)
+    if key is not None:
+        _FP_MEMO[key] = fp
+    return fp
 
 
 # --------------------------------------------------------------------------
@@ -926,6 +954,24 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_EMB_DIM_MEMO: dict = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding dimensionality of the fixture, probed ONCE per process
+    (one 1-row parquet read) — the compile-time dim the similarity
+    family's unrolled codegen expressions need (similarity._dot_u)."""
+    if sf_dir not in _EMB_DIM_MEMO:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
+        _EMB_DIM_MEMO[sf_dir] = int(row["d"])
+    return _EMB_DIM_MEMO[sf_dir]
+
+
 @query("semdedup_survivors", similarity.semdedup_survivors_sql())
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space into
@@ -992,7 +1038,7 @@ def semdedup_survivors_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _staged_kmeans(
         spark, sf_dir, similarity.SEM_EVAL_CELLS, similarity.SEM_EVAL_ITER
     )
-    return similarity.semdedup_survivors_v2(emb, centroids=cent)
+    return similarity.semdedup_survivors_v2(emb, centroids=cent, dim=_emb_dim(spark, sf_dir))
 
 
 @query("semdedup_recall_eval", similarity.semdedup_recall_eval_sql())
@@ -1051,6 +1097,70 @@ def _staged_kmeans(spark: SparkSession, sf_dir: str, k: int, n_iter: int) -> Dat
         f"databus_kmeans_k{k}i{n_iter}", sf_dir, fingerprint, build, version="km-v1"
     )
     return spark.read.parquet(os.path.join(idx_dir, "cent"))
+
+
+@query("semdedup_incremental", similarity.semdedup_incremental_sql())
+def semdedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest embedding dedup: the delta batch (vec_id % 5 = 0)
+    assigns to the BASE-trained cells and probes the staged rank-1 base
+    assignment — the base corpus is never re-trained or re-assigned.
+    Probe-side multi-probe (top-6 cells) recovers boundary straddlers;
+    output is best base match >= threshold or is_new. Completes the
+    incremental family (exact/near/media/substring/DSIR) for the
+    embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % similarity.SEM_INC_DELTA_MOD != 0)
+    incoming = emb.where(F.col("vec_id") % similarity.SEM_INC_DELTA_MOD == 0)
+    fingerprint = _content_fingerprint(
+        base.withColumn(
+            "_ecrc",
+            F.crc32(
+                F.concat_ws(
+                    "|",
+                    F.col("vec_id").cast("string"),
+                    F.col("embedding").cast("string"),
+                ).cast("binary")
+            ),
+        ),
+        "vec_id",
+        "_ecrc",
+    ) + f"|k{similarity.SEM_EVAL_CELLS}i{similarity.SEM_EVAL_ITER}"
+
+    def build(d: str) -> None:
+        cent = similarity.kmeans_lloyd(
+            base, k=similarity.SEM_EVAL_CELLS, n_iter=similarity.SEM_EVAL_ITER
+        )
+        cent.write.parquet(os.path.join(d, "cent"))
+        similarity.semdedup_base_index(
+            base,
+            k=similarity.SEM_EVAL_CELLS,
+            centroids=spark.read.parquet(os.path.join(d, "cent")),
+        ).write.parquet(os.path.join(d, "bidx"))
+
+    idx_dir = _staged_artifact(
+        "databus_semincidx", sf_dir, fingerprint, build, version="seminc-v1"
+    )
+    return similarity.semdedup_incremental(
+        incoming,
+        centroids=spark.read.parquet(os.path.join(idx_dir, "cent")),
+        base_index=spark.read.parquet(os.path.join(idx_dir, "bidx")),
+    )
+
+
+@query(
+    "bm25_topk",
+    text.bm25_topk_sql("SELECT * FROM documents"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-5 retrieval over the documents table — the
+    keyword sibling of the ANN rows (decontamination-by-retrieval,
+    targeted corpus slicing). Query terms are hash-sampled from the
+    corpus (the ANN query-vector convention); the corpus-side explode
+    prunes MAP-SIDE against the broadcast query-term set, so the only
+    corpus-wide shuffle is the per-(doc, term) tf aggregate over
+    matching rows. Per-term weights round to 6dp and sum as DECIMAL
+    (order-independent, cross-engine exact); ties rank by doc_id."""
+    return text.bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
 @query("kmeans_centroids", similarity.kmeans_centroids_sql())

@@ -133,3 +133,72 @@ def test_span_dedup_oracle_guard_trips_on_wide_doc_id(spark):
     sql = dedup.span_dedup_sql("SELECT * FROM wide")
     with pytest.raises(Exception, match="packed key overflow"):
         con.sql(sql).fetchall()
+
+
+def test_unrolled_dim_path_identical(spark, sf_dir):
+    """The compile-time-dim unrolled expressions (similarity._dot_u /
+    _sqdist_u) produce BIT-identical output to the HOF folds — same
+    left-to-right addition order, exact integer distance. The registry
+    passes dim only where the fixture-scale measurement was >= neutral
+    (semdedup_survivors_v2); the others keep the HOF path at test SFs
+    and expose dim as the at-scale knob, so the equivalence is pinned
+    here for every family member."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.selectExpr("size(embedding) d").first()["d"]
+    for fn in (
+        lambda d: S.semdedup_survivors(emb, dim=d),
+        lambda d: S.semdedup_multiprobe_survivors(emb, dim=d),
+        lambda d: S.semdedup_survivors_v2(emb, dim=d),
+        lambda d: S.semdedup_trained_survivors(emb, dim=d),
+        lambda d: S.semdedup_recall_eval(emb, dim=d),
+        lambda d: S.kmeans_lloyd(emb, k=8, n_iter=2, dim=d).select(
+            "cell_id", "cent"
+        ),
+    ):
+        assert _rows(fn(None)) == _rows(fn(dim))
+
+
+def test_bm25_rank_contract(spark, sf_dir):
+    """Ranks are dense 1..n (n <= topk) per query, scores non-increasing
+    within a query, and a doc containing all of a query's terms outranks
+    docs containing none (sanity of the scoring direction)."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators import text as T
+
+    out = T.bm25_topk(load_table(spark, sf_dir, "documents")).collect()
+    assert out
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= T.BM25_TOPK
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_semdedup_incremental_finds_planted_twin(spark):
+    """An incoming vector identical to a base vector must match it with
+    sim 1.0; an incoming vector orthogonal to everything must be new."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators import similarity as S
+
+    base = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.0, 0.0]) for i in range(1, 41)],
+        "vec_id long, embedding array<float>",
+    )
+    incoming = spark.createDataFrame(
+        [(100, [2.0, 1.0, 0.0, 0.0]),   # exact copy of base vec_id=1
+         (101, [0.0, 0.0, 0.0, 1.0])],  # orthogonal to every base vec
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in S.semdedup_incremental(
+        incoming, base, k=4, n_probe=2
+    ).collect()}
+    assert out[100].matched_base == 1 and out[100].best_sim == 1.0
+    assert out[101].is_new and out[101].matched_base is None

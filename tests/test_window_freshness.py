@@ -80,9 +80,18 @@ def test_detector_catches_the_r10_miss_shape():
     man_units = dict(g.hashes)
     man_units["databus_spark/plans/hints.py::gated_broadcast"] = "STALE"
     aff = affected_queries(g, man_units)
-    # gated_broadcast sits under the unigram lm scorer and the
-    # exactsubstr cut tail — both must rotate when it changes
-    assert {"lm_quality_score", "exactsubstr_dedup"} <= aff
+    # gated_broadcast sits under the unigram lm scorer (the exactsubstr
+    # cut tail gates inline on docs.count() — not through this helper)
+    assert "lm_quality_score" in aff
+
+    man_units = dict(g.hashes)
+    man_units["databus_spark/operators/dedup.py::_exsub_cut"] = "STALE"
+    # the cut tail is two hops under the stats/incremental rows too
+    assert {
+        "exactsubstr_dedup",
+        "exactsubstr_stats",
+        "exactsubstr_incremental",
+    } <= affected_queries(g, man_units)
 
     man_units = dict(g.hashes)
     man_units["databus_spark/plans/hints.py::measure_under_cap"] = "STALE"

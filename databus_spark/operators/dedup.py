@@ -2051,16 +2051,29 @@ def _exsub_cut(
     # is one row per doc-with-removable-spans, which on duplicate-heavy
     # corpora is ~EVERY doc (the x100 rotation soak measured ~99% of
     # windows removable) — an unconditional hint would be a corpus-
-    # proportional broadcast (r10 ADVICE #1). The gate bounds cuts by
-    # its STRUCTURAL ceiling — one cheap count of docs — instead of
-    # materializing the heavy removable pipeline to measure cuts
-    # itself: the first (measure-cuts) design cost composite consumers
-    # their plan fusion (curation_decisions_v3 regressed +1.7 s when
-    # the eager checkpoint serialized the exactsubstr leg ahead of the
-    # fused final job). Conservative by construction: a huge low-dup
-    # corpus takes the sort-merge path even when actual cuts are few.
+    # proportional broadcast (r10 ADVICE #1). TWO-STAGE gate:
+    # (1) cuts' STRUCTURAL ceiling is one row per doc, so a cheap
+    #     docs.count() under the cap proves broadcast safe WITHOUT
+    #     materializing anything — the plan stays fully lazy/fused
+    #     (an earlier measure-the-cuts design serialized the
+    #     exactsubstr leg ahead of composite consumers' fused final
+    #     job: curation_decisions_v3 regressed +1.7 s);
+    # (2) above the ceiling (corpus scale), MEASURE the real cuts
+    #     count (rides the localCheckpoint job via Observation; blocks
+    #     feed the join either way) — a low-dup 100 TB corpus still
+    #     earns its broadcast, a dup-saturated one falls back to
+    #     sort-merge instead of a corpus-sized HashedRelation. The
+    #     materialization there is amortized against a corpus-scale
+    #     job, exactly where it is affordable.
     if broadcast_cuts is None:
-        broadcast_cuts = docs.count() <= EXSUB_BROADCAST_CUTS_CAP
+        if docs.count() <= EXSUB_BROADCAST_CUTS_CAP:
+            broadcast_cuts = True
+        else:
+            from databus_spark.plans.hints import measure_under_cap
+
+            cuts, broadcast_cuts = measure_under_cap(
+                cuts, EXSUB_BROADCAST_CUTS_CAP
+            )
     cuts = F.broadcast(cuts) if broadcast_cuts else cuts.hint("merge")
     return (
         docs.select("doc_id", toks.alias("_toks"))

@@ -52,6 +52,9 @@ _WINDOW = [
     # time so the rule can't be hand-missed again; the staged-artifact
     # fingerprint memo alone touches every staged query, which is why
     # the changed set fills the window).
+    "fuzzy_join_docs",
+    "record_linkage_clusters",
+    "corpus_drift",
     "bm25_topk",
     "semdedup_incremental",
     "lm_quality_score",
@@ -97,15 +100,19 @@ _WINDOW = [
     "lm2_quality_score",
     "media_audio_near_pairs",
     "media_decision_log",
-    "media_dhash_clusters",
-    "media_dhash_incremental",
     "semdedup_recall_eval",
     "semdedup_survivors_v2",
-    "boilerplate_strip",
 ]
 
 # below the 50-row window this round (all still verified locally):
 _REST = [
+    # displaced by the three NEW r11 queries above (fuzzy_join_docs,
+    # record_linkage_clusters, corpus_drift): these three rotate out
+    # first as the freshest external greens in the old window (r10,
+    # re-exercised by the sibling media/dedup rows that stay in)
+    "media_dhash_clusters",
+    "media_dhash_incremental",
+    "boilerplate_strip",
     "dedup_cdc_chunks",
     "text_novelty",
     "structure_profile",

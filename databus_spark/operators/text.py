@@ -1632,6 +1632,142 @@ def bm25_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus drift: token-distribution divergence between corpus slices
+# ---------------------------------------------------------------------------
+# The crawl-over-crawl / shard-over-shard monitoring op: when a 100 TB
+# corpus is assembled from many sources (or successive snapshots), a
+# source whose token distribution drifts from the corpus mixture is the
+# first sign of a scraper regression, an encoding bug, or a topic shift
+# that will move the trained model. Per slice: KL(p_slice || q_corpus)
+# over a FIXED bin space — the top-DRIFT_VOCAB corpus tokens by count
+# (ties broken by token, deterministic) plus one OOV bucket — with
+# add-1/2 smoothing so zero-count bins stay finite. Counts are exact
+# integers on both engines; each KL term is one double expression
+# rounded to 6dp and summed as DECIMAL (the bm25 convention: order-free
+# and cross-engine exact, absorbing the <=1-ulp ln() divergence).
+
+DRIFT_VOCAB = 16  # top-V corpus tokens form the bins; the rest pool as OOV
+_DRIFT_OOV = "<oov>"  # a literal token equal to this maps INTO the OOV bin
+#                       (declared collision semantics; whitespace
+#                       tokenization cannot produce it from normal text)
+
+
+def corpus_drift(
+    docs: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = DRIFT_VOCAB,
+) -> DataFrame:
+    """(source, n_tokens, kl_div): per-slice token-distribution KL
+    divergence against the whole-corpus distribution.
+
+    Scale shape: ONE corpus-wide explode + (slice, token) count agg
+    (map-side combinable) is the only big job; everything downstream
+    operates on the (slices x distinct-tokens) aggregate — vocab top-V
+    selection, broadcast bin mapping, a slices x (V+1) grid (both sides
+    bounded), and a per-slice decimal sum. For corpora whose distinct
+    token count itself explodes, swap the exact top-V for the CM-sketch
+    heavy-hitters already in operators/stats.py — the bin space, not
+    the mechanism, is the contract."""
+    v1 = vocab_size + 1
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(slice_col).alias("src"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    # reused by vocab selection, bin mapping, and totals — checkpoint so
+    # the corpus explode+agg runs once, not once per consumer
+    tc = (
+        toks.groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = tc.groupBy("tok").agg(F.sum("c").alias("ct"))
+    w = Window.orderBy(F.col("ct").desc(), F.col("tok").asc())
+    vocab = (
+        tot.select("tok", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= vocab_size)
+        .select("tok")
+    )
+    binned = (
+        tc.join(
+            F.broadcast(vocab.withColumnRenamed("tok", "_v")),
+            tc["tok"] == F.col("_v"),
+            "left",
+        )
+        .select("src", F.coalesce(F.col("_v"), F.lit(_DRIFT_OOV)).alias("bin"), "c")
+        .groupBy("src", "bin")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    slices = binned.groupBy("src").agg(F.sum("c").alias("n"))
+    bins = vocab.select(F.col("tok").alias("bin")).unionByName(
+        docs.sparkSession.range(1).select(F.lit(_DRIFT_OOV).alias("bin"))
+    )
+    # full slice x bin grid: zero-count bins still contribute a smoothed term
+    grid = (
+        slices.crossJoin(F.broadcast(bins))
+        .join(binned, ["src", "bin"], "left")
+        .select("src", "n", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    corpus = binned.groupBy("bin").agg(F.sum("c").alias("cb"))
+    n_tot = binned.groupBy().agg(F.sum("c").alias("nn"))
+    p = (F.col("c") + F.lit(0.5)) / (F.col("n") + F.lit(0.5 * v1))
+    q = (F.col("cb") + F.lit(0.5)) / (F.col("nn") + F.lit(0.5 * v1))
+    term = F.round(p * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        grid.join(F.broadcast(corpus), "bin")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("src", "n")
+        .agg(F.sum(term).alias("_kl"))
+        .select(
+            F.col("src").alias("source"),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("_kl").cast("double").alias("kl_div"),
+        )
+    )
+
+
+def corpus_drift_sql(
+    from_sql: str, vocab_size: int = DRIFT_VOCAB
+) -> str:
+    v1 = vocab_size + 1
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH cd_toks AS (
+            SELECT source AS src, unnest({toks}) AS tok FROM ({from_sql})),
+        cd_tc AS (SELECT src, tok, count(*) AS c FROM cd_toks GROUP BY 1, 2),
+        cd_tot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cd_tc GROUP BY 1),
+        cd_vocab AS (
+            SELECT tok FROM (
+                SELECT tok, row_number() OVER (ORDER BY ct DESC, tok) AS rn
+                FROM cd_tot) WHERE rn <= {vocab_size}),
+        cd_bin AS (
+            SELECT t.src, COALESCE(v.tok, '{_DRIFT_OOV}') AS bin,
+                   CAST(sum(t.c) AS BIGINT) AS c
+            FROM cd_tc t LEFT JOIN cd_vocab v ON t.tok = v.tok GROUP BY 1, 2),
+        cd_bins AS (
+            SELECT tok AS bin FROM cd_vocab
+            UNION ALL SELECT '{_DRIFT_OOV}'),
+        cd_slices AS (SELECT src, CAST(sum(c) AS BIGINT) AS n FROM cd_bin GROUP BY 1),
+        cd_grid AS (
+            SELECT s.src, s.n, b.bin, COALESCE(cb.c, 0) AS c
+            FROM cd_slices s CROSS JOIN cd_bins b
+            LEFT JOIN cd_bin cb ON cb.src = s.src AND cb.bin = b.bin),
+        cd_corpus AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cd_bin GROUP BY 1),
+        cd_n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cd_bin)
+        SELECT src AS source, CAST(n AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(round(
+                   ((c + 0.5) / (n + {0.5 * v1}))
+                   * ln(((c + 0.5) / (n + {0.5 * v1}))
+                        / ((cb + 0.5) / (nn + {0.5 * v1}))),
+               6) AS DECIMAL(18,6))) AS DOUBLE) AS kl_div
+        FROM cd_grid JOIN cd_corpus USING (bin) CROSS JOIN cd_n
+        GROUP BY src, n
+    """
+
+
 def bm25_topk_sql(
     from_sql: str,
     n_queries: int = BM25_N_QUERIES,

@@ -3889,7 +3889,56 @@ def as_of_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return as_of_join(left, daily, key="event_type", ts_col="ts")
 
 
+from databus_spark.operators import joins  # noqa: E402
+
+
+@query(
+    "fuzzy_join_docs",
+    joins.fuzzy_join_pairs_sql("SELECT * FROM documents"),
+)
+def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (approximate string join / record linkage):
+    document pairs within prefix edit distance LINK_MAX_DIST, blocked
+    on (lang, length bucket) with the two-bucket probe — recall-exact
+    for the declared block key, never an all-pairs compare; oversized
+    blocks drop at LINK_MAX_BLOCK (joins.py). The edit-distance sibling
+    of the set-based near-dup family: sequence semantics catch small
+    in-place edits the shingle signatures can only approximate."""
+    return joins.fuzzy_join_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "record_linkage_clusters",
+    None,  # filled below once dedup_clusters_sql is imported
+)
+def record_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-join pairs -> connected
+    components -> canonical record per cluster (cluster id = min doc_id,
+    survivor = the canonical row). Reuses the hybrid CC solver, so the
+    clustering leg is driver union-find at candidate-graph sizes and
+    large/small-star above DEDUP_CC_DRIVER_CAP."""
+    pairs = joins.fuzzy_join_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
+@query(
+    "corpus_drift",
+    text.corpus_drift_sql("SELECT * FROM documents"),
+)
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence against the corpus
+    mixture (crawl-over-crawl drift monitoring): fixed top-V + OOV bin
+    space, add-1/2 smoothing, 6dp-rounded decimal-summed terms — exact
+    across engines. One corpus-wide explode+agg; everything after is
+    slices x bins."""
+    return text.corpus_drift(load_table(spark, sf_dir, "documents"))
+
+
 from databus_spark.operators.dedup import dedup_clusters, dedup_clusters_sql  # noqa: E402
+
+ORACLES["record_linkage_clusters"] = dedup_clusters_sql(
+    joins.fuzzy_join_pairs_sql("SELECT * FROM documents")
+)
 
 
 def _staged_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -357,8 +357,67 @@ def _prestage_media(spark, docs, emb, sf_dir):
 fam_media_dhash.prestage = _prestage_media
 
 
+def fam_fuzzy_join(spark, docs, emb, sf_dir):
+    """Blocked fuzzy join at its deployed defaults (lang + first-token
+    composite block key, LINK_MAX_BLOCK cap). Blocked-ER cost is
+    sum(C(block,2)), so the scaling story has two regimes: while block
+    key diversity grows with the corpus (organic data), block
+    populations hold and cost is ~linear; once the key space saturates
+    (the rotated-replica fixture pins it at 31 first tokens — measured:
+    uncapped composite pairs 13.3k at x1 -> 137M at x100, quadratic),
+    the POPULATION CAP is what bounds the work, trading recall for a
+    hard per-block cost ceiling exactly like MAX_SHINGLE_DF. The soak
+    wall therefore measures the capped operator; the dropped-block
+    fraction at each scale is recorded next to it in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators import joins
+
+    keyed = docs.withColumn(
+        "_bc", F.concat_ws("|", "lang", F.split_part(F.col("text"), F.lit(" "), F.lit(1)))
+    )
+    joins.fuzzy_join_pairs(keyed, block_col="_bc").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def fam_corpus_drift(spark, docs, emb, sf_dir):
+    from databus_spark.operators import text
+
+    text.corpus_drift(docs).write.format("noop").mode("overwrite").save()
+
+
+def fam_bm25(spark, docs, emb, sf_dir):
+    from databus_spark.operators import text
+
+    text.bm25_topk(docs).write.format("noop").mode("overwrite").save()
+
+
+def fam_semdedup_incremental(spark, docs, emb, sf_dir):
+    # registry query: stages the base cell index once (prestage), the
+    # timed leg is the rolling-ingest probe against it
+    from databus_spark.registry import QUERIES
+
+    QUERIES["semdedup_incremental"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def _prestage_seminc(spark, docs, emb, sf_dir):
+    from databus_spark.registry import QUERIES
+
+    QUERIES["semdedup_incremental"](spark, sf_dir).count()
+
+
+fam_semdedup_incremental.prestage = _prestage_seminc
+
+
 FAMILIES = {
     "minhash_clusters": fam_minhash_clusters,
+    "fuzzy_join": fam_fuzzy_join,
+    "corpus_drift": fam_corpus_drift,
+    "bm25": fam_bm25,
+    "semdedup_incremental": fam_semdedup_incremental,
     "stream_apply_unbucketed": fam_stream_apply_unbucketed,
     "media_dhash": fam_media_dhash,
     "stream_apply": fam_stream_apply,

@@ -54,6 +54,7 @@ _WINDOW = [
     # the changed set fills the window).
     "fuzzy_join_docs",
     "record_linkage_clusters",
+    "fuzzy_join_incremental",
     "corpus_drift",
     "bm25_topk",
     "semdedup_incremental",
@@ -99,7 +100,6 @@ _WINDOW = [
     "exactsubstr_stats",
     "lm2_quality_score",
     "media_audio_near_pairs",
-    "media_decision_log",
     "semdedup_recall_eval",
     "semdedup_survivors_v2",
 ]
@@ -112,6 +112,7 @@ _REST = [
     # re-exercised by the sibling media/dedup rows that stay in)
     "media_dhash_clusters",
     "media_dhash_incremental",
+    "media_decision_log",
     "boilerplate_strip",
     "dedup_cdc_chunks",
     "text_novelty",

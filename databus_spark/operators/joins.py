@@ -85,13 +85,7 @@ def fuzzy_join_pairs(
         )
     from pyspark.sql.window import Window
 
-    b0 = F.expr(f"{len_col} div {bucket}")
-    blocks = docs.select(
-        "doc_id",
-        F.col(block_col).alias("_blk"),
-        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
-        F.explode(F.array(b0, b0 + F.lit(1))).alias("_bkt"),
-    )
+    blocks = _fuzzy_blocks(docs, text_col, block_col, len_col, prefix_len, bucket)
     # per-block population via a window count — the same single shuffle
     # that co-locates the block also sizes it (no second pass); the cap
     # filter then drops oversized blocks BEFORE any pair is formed.
@@ -143,6 +137,157 @@ def fuzzy_join_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("_d").cast("int").alias("dist"))
     )
+
+
+def _fuzzy_blocks(
+    docs: DataFrame,
+    text_col: str,
+    block_col: str,
+    len_col: str,
+    prefix_len: int,
+    bucket: int,
+    id_alias: str = "doc_id",
+) -> DataFrame:
+    """The blocking transform shared by the batch and incremental
+    paths: each record replicated into its own and the next length
+    bucket, carrying its comparison prefix."""
+    b0 = F.expr(f"{len_col} div {bucket}")
+    return docs.select(
+        F.col("doc_id").alias(id_alias),
+        F.col(block_col).alias("_blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+        F.explode(F.array(b0, b0 + F.lit(1))).alias("_bkt"),
+    )
+
+
+def fuzzy_join_blocks(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_col: str = "lang",
+    len_col: str = "n_chars",
+    prefix_len: int = LINK_PREFIX,
+    bucket: int = LINK_LEN_BUCKET,
+    max_block: int = LINK_MAX_BLOCK,
+) -> DataFrame:
+    """The base corpus's stageable linkage index: the capped block
+    table (base_id, _blk, _bkt, _pfx). Built ONCE at ingest and probed
+    by every incremental batch — the fuzzy-join sibling of the LSH
+    band index and the SemDeDup cell assignment. Oversized blocks are
+    dropped HERE, so the staged artifact itself carries the cost
+    ceiling (an incremental probe can never resurrect a block the
+    batch semantics would drop)."""
+    from pyspark.sql.window import Window
+
+    blocks = _fuzzy_blocks(
+        docs, text_col, block_col, len_col, prefix_len, bucket, id_alias="base_id"
+    )
+    n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
+    return (
+        blocks.withColumn("_n", n_w)
+        .where(F.col("_n") <= max_block)
+        .drop("_n")
+    )
+
+
+def fuzzy_join_incremental(
+    incoming: DataFrame,
+    base: DataFrame | None = None,
+    base_blocks: DataFrame | None = None,
+    text_col: str = "text",
+    block_col: str = "lang",
+    len_col: str = "n_chars",
+    prefix_len: int = LINK_PREFIX,
+    max_dist: int = LINK_MAX_DIST,
+    bucket: int = LINK_LEN_BUCKET,
+    max_block: int = LINK_MAX_BLOCK,
+) -> DataFrame:
+    """(doc_id, base_id, dist): incoming records linked to base records
+    within max_dist — rolling-ingest record linkage. The base side is
+    the staged block index (pass ``base_blocks`` to probe the
+    index-at-ingest artifact; passing ``base`` rebuilds it inline);
+    the incoming batch never joins itself and the base is never
+    re-blocked per batch. Per-incoming-row cost is bounded by
+    2 x max_block DP comparisons whatever the batch's own skew (the
+    cap lives on the BASE blocks; an incoming pile-up multiplies rows,
+    not per-row cost). Same recall guarantee as the batch operator:
+    the two-bucket probe covers any pair within max_dist < bucket."""
+    if bucket <= max_dist:
+        raise ValueError(
+            f"fuzzy_join_incremental: bucket width {bucket} must exceed "
+            f"max_dist {max_dist} or the two-bucket probe loses recall"
+        )
+    if base_blocks is None:
+        if base is None:
+            raise ValueError("fuzzy_join_incremental: pass base or base_blocks")
+        base_blocks = fuzzy_join_blocks(
+            base, text_col, block_col, len_col, prefix_len, bucket, max_block
+        )
+    # same AQE hazard as the batch op: both join inputs are byte-small
+    # while the DP work per OUTPUT row is not — an explicit keyed
+    # repartition keeps the probe stage at full width
+    par = incoming.sparkSession.sparkContext.defaultParallelism
+    inc = _fuzzy_blocks(
+        incoming, text_col, block_col, len_col, prefix_len, bucket
+    ).repartition(par, "_blk", "_bkt")
+    b = base_blocks.select(
+        "base_id", F.col("_pfx").alias("_pb"), "_blk", "_bkt"
+    )
+    return (
+        inc.join(b, ["_blk", "_bkt"])
+        .select(
+            "doc_id",
+            "base_id",
+            F.levenshtein(F.col("_pfx"), F.col("_pb")).alias("_d"),
+        )
+        .where(F.col("_d") <= max_dist)
+        .groupBy("doc_id", "base_id")
+        .agg(F.min("_d").cast("int").alias("dist"))
+    )
+
+
+def fuzzy_join_incremental_sql(
+    incoming_sql: str,
+    base_sql: str,
+    prefix_len: int = LINK_PREFIX,
+    max_dist: int = LINK_MAX_DIST,
+    bucket: int = LINK_LEN_BUCKET,
+    max_block: int = LINK_MAX_BLOCK,
+) -> str:
+    """DuckDB twin of fuzzy_join_incremental (same non-ASCII guard and
+    narrower valid range as fuzzy_join_pairs_sql)."""
+    pfx_guard = (
+        "CASE WHEN octet_length(encode(pfx)) = length(pfx) THEN pfx "
+        "ELSE error('fuzzy_join oracle: non-ASCII text — byte-based "
+        "levenshtein would diverge from the char-based engine') END"
+    )
+    return f"""
+        WITH fji_base0 AS (
+            SELECT doc_id AS base_id, lang AS blk,
+                   substr(text, 1, {prefix_len}) AS pfx,
+                   n_chars // {bucket} AS b0
+            FROM ({base_sql})),
+        fji_bblocks AS (
+            SELECT base_id, blk, {pfx_guard} AS pfx, unnest([b0, b0 + 1]) AS bkt
+            FROM fji_base0),
+        fji_bpop AS (
+            SELECT blk, bkt, count(*) AS n FROM fji_bblocks GROUP BY 1, 2),
+        fji_bok AS (
+            SELECT b.* FROM fji_bblocks b
+            JOIN fji_bpop p ON b.blk = p.blk AND b.bkt = p.bkt
+            WHERE p.n <= {max_block}),
+        fji_inc0 AS (
+            SELECT doc_id, lang AS blk, substr(text, 1, {prefix_len}) AS pfx,
+                   n_chars // {bucket} AS b0
+            FROM ({incoming_sql})),
+        fji_inc AS (
+            SELECT doc_id, blk, {pfx_guard} AS pfx, unnest([b0, b0 + 1]) AS bkt
+            FROM fji_inc0),
+        fji_pairs AS (
+            SELECT i.doc_id, b.base_id, levenshtein(i.pfx, b.pfx) AS d
+            FROM fji_inc i JOIN fji_bok b ON i.blk = b.blk AND i.bkt = b.bkt)
+        SELECT doc_id, base_id, CAST(min(d) AS INT) AS dist
+        FROM fji_pairs WHERE d <= {max_dist} GROUP BY 1, 2
+    """
 
 
 def fuzzy_join_pairs_sql(

@@ -1653,6 +1653,40 @@ _DRIFT_OOV = "<oov>"  # a literal token equal to this maps INTO the OOV bin
 #                       tokenization cannot produce it from normal text)
 
 
+def drift_vocab(tc: DataFrame, vocab_size: int = DRIFT_VOCAB) -> DataFrame:
+    """The fixed bin space: top-``vocab_size`` tokens of a (src, tok, c)
+    count table by total count, ties broken by token — deterministic,
+    tiny, broadcastable. Shared by corpus_drift (vocab from the corpus
+    itself) and the streaming drift monitor (vocab staged from the
+    BASELINE corpus, so every micro-batch bins identically)."""
+    from pyspark.sql.window import Window
+
+    tot = tc.groupBy("tok").agg(F.sum("c").alias("ct"))
+    w = Window.orderBy(F.col("ct").desc(), F.col("tok").asc())
+    return (
+        tot.select("tok", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= vocab_size)
+        .select("tok")
+    )
+
+
+def drift_bin_counts(tc: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(src, bin, c): token counts folded onto the fixed vocab + OOV bin
+    space. ``tc`` is a (src, tok, c) count table; counts are ADDITIVE
+    across calls, which is what makes the streaming monitor's state a
+    pure counter merge."""
+    return (
+        tc.join(
+            F.broadcast(vocab.withColumnRenamed("tok", "_v")),
+            tc["tok"] == F.col("_v"),
+            "left",
+        )
+        .select("src", F.coalesce(F.col("_v"), F.lit(_DRIFT_OOV)).alias("bin"), "c")
+        .groupBy("src", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def corpus_drift(
     docs: DataFrame,
     slice_col: str = "source",
@@ -1670,9 +1704,6 @@ def corpus_drift(
     token count itself explodes, swap the exact top-V for the CM-sketch
     heavy-hitters already in operators/stats.py — the bin space, not
     the mechanism, is the contract."""
-    v1 = vocab_size + 1
-    from pyspark.sql.window import Window
-
     toks = docs.select(
         F.col(slice_col).alias("src"), F.explode(tokens_col(text_col)).alias("tok")
     )
@@ -1683,41 +1714,45 @@ def corpus_drift(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
-    tot = tc.groupBy("tok").agg(F.sum("c").alias("ct"))
-    w = Window.orderBy(F.col("ct").desc(), F.col("tok").asc())
-    vocab = (
-        tot.select("tok", F.row_number().over(w).alias("rn"))
-        .where(F.col("rn") <= vocab_size)
-        .select("tok")
+    binned = drift_bin_counts(tc, drift_vocab(tc, vocab_size)).localCheckpoint(
+        eager=False
     )
-    binned = (
-        tc.join(
-            F.broadcast(vocab.withColumnRenamed("tok", "_v")),
-            tc["tok"] == F.col("_v"),
-            "left",
-        )
-        .select("src", F.coalesce(F.col("_v"), F.lit(_DRIFT_OOV)).alias("bin"), "c")
-        .groupBy("src", "bin")
-        .agg(F.sum("c").alias("c"))
-        .localCheckpoint(eager=False)
+    baseline = binned.groupBy("bin").agg(F.sum("c").alias("cb"))
+    return drift_kl(binned, baseline, vocab_size)
+
+
+def drift_kl(
+    counts: DataFrame, baseline: DataFrame, vocab_size: int = DRIFT_VOCAB
+) -> DataFrame:
+    """(source, n_tokens, kl_div): smoothed KL of each src's bin counts
+    (src, bin, c) against a baseline bin-count table (bin, cb). The bin
+    space is baseline bins ∪ OOV; zero-count bins on either side
+    contribute smoothed terms, so every KL is finite. Shared by
+    corpus_drift (baseline = the corpus's own mixture) and the
+    streaming drift monitor (baseline = the staged training corpus)."""
+    v1 = vocab_size + 1
+    spark = counts.sparkSession
+    bins = (
+        baseline.select("bin")
+        .unionByName(spark.range(1).select(F.lit(_DRIFT_OOV).alias("bin")))
+        .distinct()
     )
-    slices = binned.groupBy("src").agg(F.sum("c").alias("n"))
-    bins = vocab.select(F.col("tok").alias("bin")).unionByName(
-        docs.sparkSession.range(1).select(F.lit(_DRIFT_OOV).alias("bin"))
-    )
+    slices = counts.groupBy("src").agg(F.sum("c").alias("n"))
     # full slice x bin grid: zero-count bins still contribute a smoothed term
     grid = (
         slices.crossJoin(F.broadcast(bins))
-        .join(binned, ["src", "bin"], "left")
+        .join(counts, ["src", "bin"], "left")
         .select("src", "n", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
     )
-    corpus = binned.groupBy("bin").agg(F.sum("c").alias("cb"))
-    n_tot = binned.groupBy().agg(F.sum("c").alias("nn"))
+    base_full = bins.join(baseline, "bin", "left").select(
+        "bin", F.coalesce(F.col("cb"), F.lit(0)).alias("cb")
+    )
+    n_tot = baseline.groupBy().agg(F.sum("cb").alias("nn"))
     p = (F.col("c") + F.lit(0.5)) / (F.col("n") + F.lit(0.5 * v1))
     q = (F.col("cb") + F.lit(0.5)) / (F.col("nn") + F.lit(0.5 * v1))
     term = F.round(p * F.log(p / q), 6).cast("decimal(18,6)")
     return (
-        grid.join(F.broadcast(corpus), "bin")
+        grid.join(F.broadcast(base_full), "bin")
         .crossJoin(F.broadcast(n_tot))
         .groupBy("src", "n")
         .agg(F.sum(term).alias("_kl"))
@@ -1761,9 +1796,9 @@ def corpus_drift_sql(
                CAST(sum(CAST(round(
                    ((c + 0.5) / (n + {0.5 * v1}))
                    * ln(((c + 0.5) / (n + {0.5 * v1}))
-                        / ((cb + 0.5) / (nn + {0.5 * v1}))),
+                        / ((COALESCE(cb, 0) + 0.5) / (nn + {0.5 * v1}))),
                6) AS DECIMAL(18,6))) AS DOUBLE) AS kl_div
-        FROM cd_grid JOIN cd_corpus USING (bin) CROSS JOIN cd_n
+        FROM cd_grid LEFT JOIN cd_corpus USING (bin) CROSS JOIN cd_n
         GROUP BY src, n
     """
 

@@ -3922,6 +3922,52 @@ def record_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_join_incremental",
+    joins.fuzzy_join_incremental_sql(
+        f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",
+        "SELECT * FROM documents",
+    ),
+)
+def fuzzy_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingest record linkage: the incoming delta (mirrored/
+    edited docs) probes the base corpus's STAGED block index — the
+    linkage sibling of dedup_incremental_near's delta-probes-index
+    shape. Exact mirrors land at dist 0; first-token-dropped edits land
+    at the token's shift distance when it fits max_dist. The staged
+    artifact carries the block cap, so a probe can never resurrect a
+    block batch semantics would drop; per-incoming-row cost is bounded
+    by 2 x LINK_MAX_BLOCK prefix DPs."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    base = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(
+        base.withColumn(
+            "_tcrc",
+            F.crc32(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).cast(
+                    "binary"
+                )
+            ),
+        ),
+        "doc_id",
+        "n_chars",
+        "_tcrc",
+    )
+
+    def build(d: str) -> None:
+        joins.fuzzy_join_blocks(base).write.parquet(os.path.join(d, "blocks"))
+
+    idx_dir = _staged_artifact(
+        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v1"
+    )
+    return joins.fuzzy_join_incremental(
+        incoming,
+        base_blocks=spark.read.parquet(os.path.join(idx_dir, "blocks")),
+    )
+
+
+@query(
     "corpus_drift",
     text.corpus_drift_sql("SELECT * FROM documents"),
 )

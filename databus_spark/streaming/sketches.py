@@ -147,3 +147,125 @@ class StreamingFrequencySketch:
         if sk is None:
             return keys.select(self.key_col).withColumn("n_cm", F.lit(0).cast("long"))
         return cm_estimate(keys, sk, self.key_col)
+
+
+class StreamingDriftMonitor:
+    """Per-slice token-distribution drift of an incoming document
+    stream against a STAGED baseline corpus — the streaming guardrail
+    form of operators/text.corpus_drift (a scraper regression or
+    encoding bug in one source shows up as rising KL long before it
+    poisons a training mixture).
+
+    The baseline is staged ONCE (its drift_vocab fixes the top-V + OOV
+    bin space; its bin distribution is the KL reference), so every
+    micro-batch bins identically forever. Per batch, the stream's
+    (slice, bin) counts ADD into persisted state — the Count-Min
+    algebra, NOT idempotent — so the committed ``_VERSION`` records the
+    last merged batch_id and at-least-once replays are skipped (the
+    FrequencySketch contract). ``drift()`` is then available at any
+    commit point as smoothed KL(accumulated slice || baseline), OOV
+    included: a stream token the baseline never saw lands in the OOV
+    bin against a near-zero baseline mass, which is exactly the
+    novel-vocabulary alarm.
+
+    State is O(slices x (V+1)) FOREVER, however many tokens flow.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        baseline_docs: DataFrame | None = None,
+        slice_col: str = "source",
+        text_col: str = "text",
+        vocab_size: int | None = None,
+    ):
+        from databus_spark.operators.text import DRIFT_VOCAB, drift_vocab
+
+        self.spark, self.root = spark, root
+        self.slice_col, self.text_col = slice_col, text_col
+        self.vocab_size = DRIFT_VOCAB if vocab_size is None else vocab_size
+        os.makedirs(root, exist_ok=True)
+        staged = os.path.join(root, "baseline", "_STAGED")
+        if not os.path.exists(staged):
+            if baseline_docs is None:
+                raise ValueError(
+                    "StreamingDriftMonitor: no staged baseline at "
+                    f"{root}/baseline — pass baseline_docs on first use"
+                )
+            tc = self._token_counts(baseline_docs)
+            vocab = drift_vocab(tc, self.vocab_size).localCheckpoint(eager=False)
+            vocab.write.mode("overwrite").parquet(
+                os.path.join(root, "baseline", "vocab")
+            )
+            self._bin_counts(tc).groupBy("bin").agg(
+                F.sum("c").alias("cb")
+            ).write.mode("overwrite").parquet(os.path.join(root, "baseline", "bins"))
+            with open(staged + ".tmp", "w") as f:
+                f.write(str(self.vocab_size))
+            os.replace(staged + ".tmp", staged)
+
+    _version = StreamingDistinctCounter._version
+    _last_batch = StreamingDistinctCounter._last_batch
+    _commit = StreamingDistinctCounter._commit
+    vacuum = StreamingDistinctCounter.vacuum
+
+    # -- shared binning against the staged space ----------------------------
+    def _token_counts(self, docs: DataFrame) -> DataFrame:
+        from databus_spark.operators.text import tokens_col
+
+        return (
+            docs.select(
+                F.col(self.slice_col).alias("src"),
+                F.explode(tokens_col(self.text_col)).alias("tok"),
+            )
+            .groupBy("src", "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def _bin_counts(self, tc: DataFrame, staged_vocab: DataFrame | None = None) -> DataFrame:
+        from databus_spark.operators.text import drift_bin_counts
+
+        vocab = (
+            staged_vocab
+            if staged_vocab is not None
+            else self.spark.read.parquet(os.path.join(self.root, "baseline", "vocab"))
+        )
+        return drift_bin_counts(tc, vocab)
+
+    def counts(self) -> DataFrame | None:
+        v = self._version()
+        if v == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.root, f"v{v}"))
+
+    # -- the foreachBatch hook ----------------------------------------------
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch():
+            return  # replayed batch: counter addition would double-count
+        fresh = self._bin_counts(self._token_counts(batch))
+        prev = self.counts()
+        merged = (
+            fresh
+            if prev is None
+            else fresh.unionByName(prev)
+            .groupBy("src", "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        v = self._version() + 1
+        merged.write.mode("overwrite").parquet(os.path.join(self.root, f"v{v}"))
+        self._commit(v, batch_id)
+
+    def drift(self) -> DataFrame:
+        """(source, n_tokens, kl_div) of everything merged so far."""
+        from databus_spark.operators.text import drift_kl
+
+        state = self.counts()
+        if state is None:
+            return self.spark.createDataFrame(
+                [], "source STRING, n_tokens LONG, kl_div DOUBLE"
+            )
+        baseline = self.spark.read.parquet(
+            os.path.join(self.root, "baseline", "bins")
+        )
+        return drift_kl(state, baseline, self.vocab_size)

@@ -23,9 +23,22 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from databus_spark.operators import joins
 from databus_spark.operators.dedup import dedup_clusters
 from databus_spark.operators.text import corpus_drift
+
+
+def _lev(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
 
 
 def _docs(spark, rows):
@@ -77,24 +90,46 @@ def test_recall_exact_vs_bruteforce(spark):
     import itertools
 
     pys = [(i, t[:64]) for i, (t, _) in enumerate(rows)]
-
-    def lev(s, t):
-        prev = list(range(len(t) + 1))
-        for i, cs in enumerate(s, 1):
-            cur = [i]
-            for j, ct in enumerate(t, 1):
-                cur.append(
-                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
-                )
-            prev = cur
-        return prev[-1]
-
     want = set()
     for (i, si), (j, sj) in itertools.combinations(pys, 2):
-        d = lev(si, sj)
+        d = _lev(si, sj)
         if d <= 6:
             want.add((min(i, j), max(i, j), d))
     assert got == want and want  # non-trivial fixture
+
+
+corpus_strategy = st.lists(
+    st.tuples(
+        # 2-letter alphabet + short strings make near-dup pairs common
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        st.sampled_from(["x", "y"]),
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=corpus_strategy, max_dist=st.sampled_from([1, 3, 6]))
+def test_property_fuzzy_join_equals_bruteforce(spark, rows, max_dist):
+    """For ANY corpus: blocked output == brute force over same-lang
+    pairs (two-bucket length blocking is recall-exact below the bucket
+    width, and blocking never admits a pair the filter would reject)."""
+    import itertools
+
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in joins.fuzzy_join_pairs(docs, max_dist=max_dist).collect()
+    }
+    want = {
+        (i, j, _lev(si, sj))
+        for (i, (si, li)), (j, (sj, lj)) in itertools.combinations(
+            enumerate(rows), 2
+        )
+        if li == lj and _lev(si, sj) <= max_dist
+    }
+    assert got == want
 
 
 def test_block_cap_drops_oversized_blocks(spark):
@@ -137,6 +172,53 @@ def test_linkage_clusters_transitive(spark):
     pairs = joins.fuzzy_join_pairs(docs, max_dist=2)
     got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
     assert got == {(0, 0), (1, 0), (2, 0)}
+
+
+def test_incremental_staged_equals_inline(spark):
+    base = _docs(
+        spark,
+        [
+            ("the quick brown fox jumps over the lazy dog", "en"),
+            ("a completely different document about joins", "en"),
+            ("short text", "en"),
+        ],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog", "en", "m", 44),
+            (101, "quick brown fox jumps over the lazy dog", "en", "e", 44),
+            (102, "nothing like anything in the base corpus!!", "en", "n", 42),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inline = joins.fuzzy_join_incremental(incoming, base=base)
+    staged = joins.fuzzy_join_incremental(
+        incoming, base_blocks=joins.fuzzy_join_blocks(base)
+    )
+    got_i = sorted((r.doc_id, r.base_id, r.dist) for r in inline.collect())
+    got_s = sorted((r.doc_id, r.base_id, r.dist) for r in staged.collect())
+    assert got_i == got_s
+    # the exact mirror links at dist 0; the unrelated doc links nowhere
+    assert (100, 0, 0) in got_i
+    assert not any(d == 102 for d, _, _ in got_i)
+
+
+def test_incremental_base_cap_rides_the_index(spark):
+    # 5 identical base docs overflow a cap of 4 (x2 bucket replication
+    # -> blocks of 5 > 4); the staged index drops them, so even an
+    # exact incoming mirror finds nothing — batch and incremental cap
+    # semantics agree
+    base = _docs(spark, [("same text here", "en")] * 5)
+    incoming = spark.createDataFrame(
+        [(100, "same text here", "en", "m", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    idx = joins.fuzzy_join_blocks(base, max_block=4)
+    assert joins.fuzzy_join_incremental(incoming, base_blocks=idx).collect() == []
+    full = joins.fuzzy_join_incremental(
+        incoming, base_blocks=joins.fuzzy_join_blocks(base, max_block=16)
+    ).collect()
+    assert len(full) == 5 and all(r.dist == 0 for r in full)
 
 
 def test_corpus_drift_flags_the_shifted_slice(spark):

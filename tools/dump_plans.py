@@ -40,6 +40,9 @@ HEADLINE = [
     ("semdedup_multiprobe", "multi-probe cells: broadcast-scored top-2 collect, capped pair join"),
     ("kmeans_assign_summary", "k-means serve path: staged centroids broadcast, partial_min argmin"),
     ("mixture_waterfill", "water-fill: corpus-side count agg only; window math over the n-source frame"),
+    ("fuzzy_join_docs", "blocked fuzzy join: explicit keyed repartition pins the quadratic DP stage at full width (AQE sizes by bytes and serialized it); capped block-local self-join, codegen levenshtein"),
+    ("fuzzy_join_incremental", "delta vs staged base block index: one (block,bucket) equi-join, base never re-blocked"),
+    ("corpus_drift", "drift KL: one corpus explode+agg; vocab/bins/totals all broadcast back onto a slices x bins grid"),
 ]
 
 spark = build_session("plans", cpus=8)

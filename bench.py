@@ -207,19 +207,23 @@ def main() -> None:
     # per-partition buffers), so the physical-partition subscription below
     # is directory pruning, not a per-row predicate over every file.
     #
-    # REPLICATED x8 (r10 verdict #1): the sf0.1 staged scan finished in
-    # ~0.09 s, so every ratio below divided by scheduler noise — the
-    # keymod string-hash diagnostic drifted 1.46 -> 1.504 across rounds
-    # on a 0.087 s denominator (per-run band 1.23-1.81). Eight scn-
-    # disambiguated copies put the denominator at ~0.5-0.8 s where a GC
-    # pause is <10% of a sample, making the ≤1.5 watchpoint a real
-    # measurement. Filter selectivity and key distribution are unchanged
-    # (keys replicate verbatim), so the ratios measure the same thing.
+    # REPLICATED x32 (r10 verdict #1, re-sized r11): the raw sf0.1
+    # staged scan finished in ~0.09 s, so every ratio below divided by
+    # scheduler noise — the keymod string-hash diagnostic drifted
+    # 1.46 -> 1.504 across rounds on a 0.087 s denominator (per-run
+    # band 1.23-1.81). The first fix (x8) aimed at a 0.5-0.8 s
+    # denominator but the OS page cache serves the staged parquet at
+    # ~0.27 s, still inside single-GC-pause territory (measured 1.42 vs
+    # 1.87 across two idle runs — a 100 ms numerator swing). x32 puts
+    # the denominator at ~1 s where a pause is <10% of a sample. scn is
+    # re-disambiguated per replica; filter selectivity and key
+    # distribution are unchanged (keys replicate verbatim), so the
+    # ratios measure the same thing.
     from pyspark.sql import functions as _F
 
     biglog = (
-        log.crossJoin(spark.range(8).select(_F.col("id").alias("_rep")))
-        .withColumn("scn", _F.col("scn") * 8 + _F.col("_rep"))
+        log.crossJoin(spark.range(32).select(_F.col("id").alias("_rep")))
+        .withColumn("scn", _F.col("scn") * 32 + _F.col("_rep"))
         .drop("_rep")
     )
     _stage(biglog, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True)

@@ -1704,7 +1704,15 @@ def corpus_drift(
     token count itself explodes, swap the exact top-V for the CM-sketch
     heavy-hitters already in operators/stats.py — the bin space, not
     the mechanism, is the contract."""
-    toks = docs.select(
+    # spread raw text across the cluster BEFORE the token explode (the
+    # documents_with_dups convention): a fixture-sized corpus arrives as
+    # one parquet split, and sizing the explode stage by input splits is
+    # exactly wrong when each row fans out ~100x (the x100 soak ran the
+    # x1 leg SLOWER than x100 for this reason — 2.3 vs 1.0 s). At real
+    # scale files >> cores and the repartition is a no-op-sized shuffle
+    # of raw text either way.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
         F.col(slice_col).alias("src"), F.explode(tokens_col(text_col)).alias("tok")
     )
     # reused by vocab selection, bin mapping, and totals — checkpoint so

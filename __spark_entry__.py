@@ -55,6 +55,7 @@ _WINDOW = [
     "fuzzy_join_docs",
     "record_linkage_clusters",
     "fuzzy_join_incremental",
+    "record_linkage_incremental",
     "corpus_drift",
     "bm25_topk",
     "semdedup_incremental",
@@ -99,7 +100,6 @@ _WINDOW = [
     "exactsubstr_spans",
     "exactsubstr_stats",
     "lm2_quality_score",
-    "media_audio_near_pairs",
     "semdedup_recall_eval",
     "semdedup_survivors_v2",
 ]
@@ -110,6 +110,7 @@ _REST = [
     # record_linkage_clusters, corpus_drift): these three rotate out
     # first as the freshest external greens in the old window (r10,
     # re-exercised by the sibling media/dedup rows that stay in)
+    "media_audio_near_pairs",
     "media_dhash_clusters",
     "media_dhash_incremental",
     "media_decision_log",

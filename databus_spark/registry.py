@@ -3940,6 +3940,19 @@ def fuzzy_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = dedup.documents_with_dups(spark, sf_dir).where(
         F.col("doc_id") >= 1_000_000
     )
+    idx_dir = _staged_link_index(spark, sf_dir)
+    return joins.fuzzy_join_incremental(
+        incoming,
+        base_blocks=spark.read.parquet(os.path.join(idx_dir, "blocks")),
+    )
+
+
+def _staged_link_index(spark: SparkSession, sf_dir: str) -> str:
+    """The base corpus's record-linkage artifacts, staged once per
+    fixture: the capped block table (the probe index) AND the base
+    cluster labels (the contracted entity state an incremental batch
+    merges into). Content-fingerprinted on (ids, lengths, text crc)
+    like the LSH near-index."""
     base = load_table(spark, sf_dir, "documents")
     fingerprint = _content_fingerprint(
         base.withColumn(
@@ -3957,14 +3970,46 @@ def fuzzy_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(d: str) -> None:
         joins.fuzzy_join_blocks(base).write.parquet(os.path.join(d, "blocks"))
+        dedup_clusters(joins.fuzzy_join_pairs(base)).write.parquet(
+            os.path.join(d, "clusters")
+        )
 
-    idx_dir = _staged_artifact(
-        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v1"
+    return _staged_artifact(
+        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v2"
     )
-    return joins.fuzzy_join_incremental(
-        incoming,
-        base_blocks=spark.read.parquet(os.path.join(idx_dir, "blocks")),
+
+
+@query(
+    "record_linkage_incremental",
+    None,  # assembled below from the three edge-leg SQLs
+)
+def record_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling entity resolution: merge an incoming batch into the
+    STAGED base clusters without re-running base pair generation. The
+    base clusters enter the solve as their star edges (member ->
+    cluster min — contracting a connected subset preserves
+    connectivity, so CC over star ∪ new edges equals CC over all
+    original edges: the standard incremental-CC identity); new edges
+    are the incoming batch probed against the staged block index plus
+    the batch's own internal fuzzy pairs. CC input is proportional to
+    CLUSTER MASS + new-edge count, never base pair count — the
+    contracted representation is the whole point at corpus scale.
+    Differentially pinned against a from-scratch recompute on the
+    unioned corpus (tests/test_linkage_drift.py)."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
     )
+    idx_dir = _staged_link_index(spark, sf_dir)
+    blocks = spark.read.parquet(os.path.join(idx_dir, "blocks"))
+    base_cl = spark.read.parquet(os.path.join(idx_dir, "clusters"))
+    cross = joins.fuzzy_join_incremental(incoming, base_blocks=blocks).select(
+        F.col("doc_id").alias("doc_a"), F.col("base_id").alias("doc_b")
+    )
+    within = joins.fuzzy_join_pairs(incoming).select("doc_a", "doc_b")
+    star = base_cl.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    return dedup_clusters(cross.unionByName(within).unionByName(star))
 
 
 @query(
@@ -3984,6 +4029,28 @@ from databus_spark.operators.dedup import dedup_clusters, dedup_clusters_sql  # 
 
 ORACLES["record_linkage_clusters"] = dedup_clusters_sql(
     joins.fuzzy_join_pairs_sql("SELECT * FROM documents")
+)
+
+# The incremental oracle is deliberately the FROM-SCRATCH recompute:
+# transitive closure over (base pairs ∪ cross pairs ∪ within-batch
+# pairs). The engine answers from contracted star edges of the staged
+# base clusters, so every green row re-proves the contraction identity
+# on real data, not just the plumbing. The three legs are sibling
+# subquery scopes, so fuzzy_join_pairs_sql's fj_* CTE names may repeat.
+_RLI_INCOMING_SQL = (
+    f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000"
+)
+ORACLES["record_linkage_incremental"] = dedup_clusters_sql(
+    f"""
+    SELECT doc_a, doc_b FROM (
+        {joins.fuzzy_join_pairs_sql("SELECT * FROM documents")})
+    UNION ALL
+    SELECT doc_id AS doc_a, base_id AS doc_b FROM (
+        {joins.fuzzy_join_incremental_sql(_RLI_INCOMING_SQL, "SELECT * FROM documents")})
+    UNION ALL
+    SELECT doc_a, doc_b FROM (
+        {joins.fuzzy_join_pairs_sql(_RLI_INCOMING_SQL)})
+    """
 )
 
 

@@ -221,6 +221,66 @@ def test_incremental_base_cap_rides_the_index(spark):
     assert len(full) == 5 and all(r.dist == 0 for r in full)
 
 
+def test_incremental_clusters_equal_full_recompute(spark):
+    """The contraction identity end-to-end: base clusters entered as
+    star edges + (cross ∪ within-batch) new edges must yield the SAME
+    components as a from-scratch solve over the unioned corpus. Caps
+    are set generously so blocking-population differences between the
+    split and unioned corpora cannot mask the equivalence."""
+    base_rows = [
+        ("aaaaaaaaaaaaaaaaaaaa", "en"),
+        ("aaaaaaaaaaaaaaaaaabb", "en"),  # links to 0
+        ("cccccccccccccccccccc", "en"),
+        ("zzzz nothing like the others zzzz", "en"),
+    ]
+    base = _docs(spark, base_rows)
+    incoming = spark.createDataFrame(
+        [
+            # bridges base clusters 0/1 with doc 2's cluster? no — links
+            # to doc 2 only (new 2-member cluster)
+            (100, "ccccccccccccccccccdd", "en", "inc", 20),
+            # mirror of doc 0: joins the {0,1} cluster
+            (101, "aaaaaaaaaaaaaaaaaaaa", "en", "inc", 20),
+            # two incoming docs linked only to each other
+            (102, "eeeeeeeeeeeeeeeeeeee", "en", "inc", 20),
+            (103, "eeeeeeeeeeeeeeeeeeff", "en", "inc", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    blocks = joins.fuzzy_join_blocks(base, max_block=4096)
+    base_cl = dedup_clusters(joins.fuzzy_join_pairs(base, max_block=4096))
+    from pyspark.sql import functions as F2
+
+    cross = joins.fuzzy_join_incremental(incoming, base_blocks=blocks).select(
+        F2.col("doc_id").alias("doc_a"), F2.col("base_id").alias("doc_b")
+    )
+    within = joins.fuzzy_join_pairs(incoming, max_block=4096).select(
+        "doc_a", "doc_b"
+    )
+    star = base_cl.where(F2.col("doc_id") != F2.col("cluster_id")).select(
+        F2.col("doc_id").alias("doc_a"), F2.col("cluster_id").alias("doc_b")
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup_clusters(
+            cross.unionByName(within).unionByName(star)
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in dedup_clusters(
+            joins.fuzzy_join_pairs(
+                base.unionByName(incoming), max_block=4096
+            )
+        ).collect()
+    )
+    assert got == full
+    clusters = {r[0]: r[1] for r in got}
+    assert clusters[101] == 0 and clusters[1] == 0  # mirror joined {0,1}
+    assert clusters[100] == 2  # edit joined doc 2
+    assert clusters[103] == 102  # incoming-only pair formed its own
+
+
 def test_corpus_drift_flags_the_shifted_slice(spark):
     # srcA and srcB share the corpus mixture; srcC is disjoint vocab
     rows = []

@@ -148,6 +148,10 @@ def main() -> None:
         "semdedup_survivors_v2",
         # the staged DSIR importance estimator (train-once weights)
         "dsir_incremental",
+        # the staged record-linkage artifact (capped block table + base
+        # cluster labels): built once at ingest in production, so the
+        # timed rows measure the delta-probe / merge paths
+        "fuzzy_join_incremental",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

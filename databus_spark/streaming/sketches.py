@@ -269,3 +269,144 @@ class StreamingDriftMonitor:
             os.path.join(self.root, "baseline", "bins")
         )
         return drift_kl(state, baseline, self.vocab_size)
+
+
+class StreamingEntityResolver:
+    """Rolling entity resolution across micro-batches — the streaming
+    form of record_linkage_incremental, applied repeatedly against
+    GROWING state. Per batch:
+
+    * edge legs: the batch probed against (staged base blocks ∪ the
+      accumulated incoming-block index) — so records in DIFFERENT
+      batches that match each other still link, not just records
+      sharing a base neighbor — plus the batch's own internal pairs;
+    * merge: previous cluster labels enter as star edges and the
+      hybrid CC solver relabels every touched component (the
+      contraction identity, same as the batch operator);
+    * state: (doc_id, cluster_id) labels + the incoming block index,
+      both versioned parquet with the snapshot-store crash contract.
+
+    Edge merging via CC is idempotent, but APPENDING a replayed
+    batch's blocks to the index is not, so the committed ``_VERSION``
+    records the last batch_id and replays are skipped (the CM/
+    FrequencySketch contract). The accumulated incoming index is
+    deliberately uncapped: the base cap is an index-BUILD-time
+    property, and a production deployment periodically re-stages the
+    merged corpus through fuzzy_join_blocks to re-impose it (at which
+    point this resolver restarts from the new base) — documented
+    semantics, pinned by the streamed-equals-batch-recompute test at
+    generous caps.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        base_blocks: DataFrame,
+        base_labels: DataFrame | None = None,
+        text_col: str = "text",
+        block_col: str = "lang",
+        len_col: str = "n_chars",
+        prefix_len: int | None = None,
+        max_dist: int | None = None,
+        bucket: int | None = None,
+    ):
+        from databus_spark.operators import joins
+
+        self.spark, self.root = spark, root
+        self.text_col, self.block_col, self.len_col = text_col, block_col, len_col
+        self.prefix_len = joins.LINK_PREFIX if prefix_len is None else prefix_len
+        self.max_dist = joins.LINK_MAX_DIST if max_dist is None else max_dist
+        self.bucket = joins.LINK_LEN_BUCKET if bucket is None else bucket
+        os.makedirs(root, exist_ok=True)
+        staged = os.path.join(root, "base_blocks", "_STAGED")
+        if not os.path.exists(staged):
+            base_blocks.write.mode("overwrite").parquet(
+                os.path.join(root, "base_blocks", "data")
+            )
+            # seed v1 with the base corpus's own cluster labels (the
+            # staged entity state, same seed as the batch operator) —
+            # without it base-internal clusters would never surface,
+            # since batches only probe the index, never base vs base
+            if base_labels is not None and self._version() == 0:
+                vdir = os.path.join(self.root, "v1")
+                base_labels.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "labels")
+                )
+                base_blocks.limit(0).write.mode("overwrite").parquet(
+                    os.path.join(vdir, "inc_blocks")
+                )
+                self._commit(1, -1)
+            with open(staged + ".tmp", "w") as f:
+                f.write("1")
+            os.replace(staged + ".tmp", staged)
+
+    _version = StreamingDistinctCounter._version
+    _last_batch = StreamingDistinctCounter._last_batch
+    _commit = StreamingDistinctCounter._commit
+
+    def _read(self, leaf: str) -> DataFrame | None:
+        v = self._version()
+        if v == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.root, f"v{v}", leaf))
+
+    def labels(self) -> DataFrame:
+        got = self._read("labels")
+        if got is None:
+            return self.spark.createDataFrame(
+                [], "doc_id LONG, cluster_id LONG, is_survivor BOOLEAN"
+            )
+        return got
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from databus_spark.operators import joins
+        from databus_spark.operators.dedup import dedup_clusters
+
+        if batch_id <= self._last_batch():
+            return  # replay: appending its blocks again would duplicate the index
+        kw = dict(
+            text_col=self.text_col,
+            block_col=self.block_col,
+            len_col=self.len_col,
+            prefix_len=self.prefix_len,
+            bucket=self.bucket,
+        )
+        base_blocks = self.spark.read.parquet(
+            os.path.join(self.root, "base_blocks", "data")
+        )
+        inc_blocks = self._read("inc_blocks")
+        probe_index = (
+            base_blocks
+            if inc_blocks is None
+            else base_blocks.unionByName(inc_blocks)
+        )
+        cross = joins.fuzzy_join_incremental(
+            batch, base_blocks=probe_index, max_dist=self.max_dist, **kw
+        ).select(F.col("doc_id").alias("doc_a"), F.col("base_id").alias("doc_b"))
+        within = joins.fuzzy_join_pairs(
+            batch, max_dist=self.max_dist, max_block=1 << 30, **kw
+        ).select("doc_a", "doc_b")
+        star = (
+            self.labels()
+            .where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b"))
+        )
+        merged = dedup_clusters(cross.unionByName(within).unionByName(star))
+        new_inc = joins._fuzzy_blocks(
+            batch, self.text_col, self.block_col, self.len_col,
+            self.prefix_len, self.bucket, id_alias="base_id",
+        )
+        all_inc = new_inc if inc_blocks is None else inc_blocks.unionByName(new_inc)
+        v = self._version() + 1
+        vdir = os.path.join(self.root, f"v{v}")
+        merged.write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
+        all_inc.write.mode("overwrite").parquet(os.path.join(vdir, "inc_blocks"))
+        self._commit(v, batch_id)
+
+    def vacuum(self, keep_last: int = 2) -> None:
+        v = self._version()
+        for name in os.listdir(self.root):
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) <= v - keep_last:
+                    shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

@@ -57,6 +57,7 @@ _WINDOW = [
     "fuzzy_join_incremental",
     "record_linkage_incremental",
     "corpus_drift",
+    "k_anonymity_audit",
     "bm25_topk",
     "semdedup_incremental",
     "lm_quality_score",
@@ -100,7 +101,6 @@ _WINDOW = [
     "exactsubstr_spans",
     "exactsubstr_stats",
     "lm2_quality_score",
-    "semdedup_recall_eval",
     "semdedup_survivors_v2",
 ]
 
@@ -110,6 +110,7 @@ _REST = [
     # record_linkage_clusters, corpus_drift): these three rotate out
     # first as the freshest external greens in the old window (r10,
     # re-exercised by the sibling media/dedup rows that stay in)
+    "semdedup_recall_eval",
     "media_audio_near_pairs",
     "media_dhash_clusters",
     "media_dhash_incremental",

@@ -1726,38 +1726,47 @@ def corpus_drift(
         eager=False
     )
     baseline = binned.groupBy("bin").agg(F.sum("c").alias("cb"))
-    return drift_kl(binned, baseline, vocab_size)
+    return drift_kl(binned, baseline)
 
 
-def drift_kl(
-    counts: DataFrame, baseline: DataFrame, vocab_size: int = DRIFT_VOCAB
-) -> DataFrame:
+def drift_kl(counts: DataFrame, baseline: DataFrame) -> DataFrame:
     """(source, n_tokens, kl_div): smoothed KL of each src's bin counts
     (src, bin, c) against a baseline bin-count table (bin, cb). The bin
     space is baseline bins ∪ OOV; zero-count bins on either side
     contribute smoothed terms, so every KL is finite. Shared by
     corpus_drift (baseline = the corpus's own mixture) and the
-    streaming drift monitor (baseline = the staged training corpus)."""
-    v1 = vocab_size + 1
+    streaming drift monitor (baseline = the staged training corpus).
+
+    The smoothing denominator uses the ACTUAL bin count, not a nominal
+    vocab size: with add-1/2 over n_bins both p and q sum to exactly 1
+    and Gibbs' inequality guarantees KL >= 0 (up to per-term 6dp
+    rounding). The first draft smoothed by 0.5*(DRIFT_VOCAB+1)
+    regardless, which sub-normalizes both sides whenever the corpus
+    has fewer distinct tokens than the vocab cap — the hypothesis
+    non-negativity property caught a -0.09 'divergence' on a
+    4-token corpus."""
     spark = counts.sparkSession
     bins = (
         baseline.select("bin")
         .unionByName(spark.range(1).select(F.lit(_DRIFT_OOV).alias("bin")))
         .distinct()
+        .localCheckpoint(eager=False)  # counted AND gridded below
     )
+    n_bins = bins.groupBy().agg(F.count(F.lit(1)).alias("nb"))
     slices = counts.groupBy("src").agg(F.sum("c").alias("n"))
     # full slice x bin grid: zero-count bins still contribute a smoothed term
     grid = (
         slices.crossJoin(F.broadcast(bins))
         .join(counts, ["src", "bin"], "left")
         .select("src", "n", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .crossJoin(F.broadcast(n_bins))
     )
     base_full = bins.join(baseline, "bin", "left").select(
         "bin", F.coalesce(F.col("cb"), F.lit(0)).alias("cb")
     )
     n_tot = baseline.groupBy().agg(F.sum("cb").alias("nn"))
-    p = (F.col("c") + F.lit(0.5)) / (F.col("n") + F.lit(0.5 * v1))
-    q = (F.col("cb") + F.lit(0.5)) / (F.col("nn") + F.lit(0.5 * v1))
+    p = (F.col("c") + F.lit(0.5)) / (F.col("n") + F.lit(0.5) * F.col("nb"))
+    q = (F.col("cb") + F.lit(0.5)) / (F.col("nn") + F.lit(0.5) * F.col("nb"))
     term = F.round(p * F.log(p / q), 6).cast("decimal(18,6)")
     return (
         grid.join(F.broadcast(base_full), "bin")
@@ -1775,7 +1784,6 @@ def drift_kl(
 def corpus_drift_sql(
     from_sql: str, vocab_size: int = DRIFT_VOCAB
 ) -> str:
-    v1 = vocab_size + 1
     toks = TOKENS_SQL.format(col="text")
     return f"""
         WITH cd_toks AS (
@@ -1799,14 +1807,16 @@ def corpus_drift_sql(
             FROM cd_slices s CROSS JOIN cd_bins b
             LEFT JOIN cd_bin cb ON cb.src = s.src AND cb.bin = b.bin),
         cd_corpus AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cd_bin GROUP BY 1),
-        cd_n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cd_bin)
+        cd_n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cd_bin),
+        cd_nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cd_bins)
         SELECT src AS source, CAST(n AS BIGINT) AS n_tokens,
                CAST(sum(CAST(round(
-                   ((c + 0.5) / (n + {0.5 * v1}))
-                   * ln(((c + 0.5) / (n + {0.5 * v1}))
-                        / ((COALESCE(cb, 0) + 0.5) / (nn + {0.5 * v1}))),
+                   ((c + 0.5) / (n + 0.5 * nb))
+                   * ln(((c + 0.5) / (n + 0.5 * nb))
+                        / ((COALESCE(cb, 0) + 0.5) / (nn + 0.5 * nb))),
                6) AS DECIMAL(18,6))) AS DOUBLE) AS kl_div
-        FROM cd_grid LEFT JOIN cd_corpus USING (bin) CROSS JOIN cd_n
+        FROM cd_grid LEFT JOIN cd_corpus USING (bin)
+        CROSS JOIN cd_n CROSS JOIN cd_nb
         GROUP BY src, n
     """
 

@@ -124,3 +124,42 @@ def tpch_expectations_sql() -> str:
         ),
     ]
     return " UNION ALL ".join(f"({c})" for c in checks)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy guardrail)
+# ---------------------------------------------------------------------------
+# The release-gate sibling of redact_pii: before a table (or a training
+# corpus's metadata) ships, every quasi-identifier combination must be
+# shared by at least k records, or the rare combination re-identifies
+# its members (Sweeney, "k-anonymity: a model for protecting privacy",
+# IJUFKS 2002). One map-combinable groupBy; the violating groups ARE
+# the actionable output (generalize or suppress exactly those).
+
+K_ANON_DEFAULT = 8
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int = K_ANON_DEFAULT
+) -> DataFrame:
+    """(qi..., group_n): quasi-identifier combinations carried by fewer
+    than k records. Empty result == the table is k-anonymous over the
+    declared QI set. NULL QI values group together (a NULL combination
+    can re-identify like any other rare value)."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .where(F.col("group_n") < k)
+    )
+
+
+def k_anonymity_sql(
+    from_sql: str, qi_cols: list[str], k: int = K_ANON_DEFAULT
+) -> str:
+    cols = ", ".join(qi_cols)
+    return f"""
+        SELECT {cols}, CAST(count(*) AS BIGINT) AS group_n
+        FROM ({from_sql})
+        GROUP BY {cols}
+        HAVING count(*) < {k}
+    """

@@ -585,6 +585,24 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k_anonymity_audit",
+    validate.k_anonymity_sql(
+        "SELECT * FROM customer", ["c_nationkey", "c_mktsegment"]
+    ),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (Sweeney k-anonymity): quasi-identifier
+    combinations carried by fewer than K_ANON_DEFAULT records — the
+    rare combinations that re-identify their members, listed so a
+    pipeline can generalize or suppress exactly those. One
+    map-combinable groupBy over the declared QI set; the suite sibling
+    of redact_pii and data_expectations."""
+    return validate.k_anonymity(
+        load_table(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
+    )
+
+
+@query(
     "dedup_incremental_near",
     dedup.incremental_near_dedup_sql(
         f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",

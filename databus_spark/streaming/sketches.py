@@ -268,7 +268,7 @@ class StreamingDriftMonitor:
         baseline = self.spark.read.parquet(
             os.path.join(self.root, "baseline", "bins")
         )
-        return drift_kl(state, baseline, self.vocab_size)
+        return drift_kl(state, baseline)
 
 
 class StreamingEntityResolver:

@@ -304,3 +304,39 @@ def test_corpus_drift_flags_the_shifted_slice(spark):
     # the top-vocab tokens and srcA never emits omega
     for r in out.values():
         assert r.kl_div == r.kl_div  # not NaN
+
+
+def test_corpus_drift_single_slice_is_exactly_zero(spark):
+    """One slice == the corpus mixture: p == q bin-for-bin, every term
+    rounds to 0, and the decimal sum is EXACTLY 0.0 (not epsilon)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "only", 16) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = corpus_drift(docs).collect()
+    assert len(out) == 1 and out[0].kl_div == 0.0
+
+
+drift_corpus_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=6).map(" ".join),
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=3,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=drift_corpus_strategy)
+def test_property_corpus_drift_nonnegative(spark, rows):
+    """Gibbs' inequality survives the 6dp per-term rounding: smoothed
+    KL against the corpus mixture can dip below zero by at most the
+    accumulated rounding slack, never materially."""
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for r in corpus_drift(docs).collect():
+        assert r.kl_div >= -1e-4  # bins x 0.5ulp(6dp) rounding slack
+        assert r.n_tokens > 0

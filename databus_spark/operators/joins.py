@@ -29,25 +29,39 @@ from pyspark.sql.window import Window
 # is within a bounded edit distance, found WITHOUT an all-pairs compare.
 # Records are blocked on (exact-match key, length bucket); each record
 # probes its own bucket AND the next one, so any pair whose length gap
-# is under the bucket width shares at least one block — and an edit
-# script of <= max_dist ops changes the length by <= max_dist, so with
-# bucket width > max_dist the length blocking is RECALL-EXACT (the
-# exact-key block is declared semantics, standard in record linkage).
+# is under the bucket width shares at least one block. The distance is
+# computed over the first LINK_PREFIX characters (prefix-bounded edit
+# distance — bounds the DP cost per pair and is the standard cheap
+# screen before a full-field compare), so the length that matters for
+# recall is the PREFIX length: the blocking buckets on
+# least(len, LINK_PREFIX). Prefix lengths differ by at most the prefix
+# edit distance, so with bucket width > max_dist the two-bucket probe
+# is RECALL-EXACT for blocks under the cap (the exact-key block is
+# declared semantics, standard in record linkage). Bucketing on the
+# FULL length was the r11 shape and was wrong for the declared
+# contract: two 64-char-identical prefixes on texts of 63 vs 83 chars
+# (a truncated duplicate) never shared a block (round-11 ADVICE #1).
+#
 # Within a block, pairs come from a BLOCK-LOCAL equi-self-join capped
-# at LINK_MAX_BLOCK records per block, so the per-block cost is
-# O(cap^2 * prefix^2) worst case; oversized blocks are dropped from
-# pair generation (the MAX_SHINGLE_DF convention — at corpus scale you
-# split them with a finer blocking key, you don't quadratically
-# explode them). The
-# distance is computed over the first LINK_PREFIX characters
-# (prefix-bounded edit distance — bounds the DP cost per pair and is
-# the standard cheap screen before a full-field compare).
+# at LINK_MAX_BLOCK records per sub-block, so the per-block cost is
+# O(cap^2 * prefix^2) worst case. Blocks OVER the cap are not dropped
+# wholesale (the r11 shape — at x100 the saturated key dropped ~65% of
+# candidate pair mass, SCALE.md): they re-block on a SECONDARY key,
+# the minimum character 4-gram of the prefix (a 1-permutation MinHash
+# over the prefix's shingle set — near-identical prefixes share their
+# minimum gram with high probability, unrelated same-length texts
+# spread across the gram space). Only sub-blocks STILL over the cap
+# drop. Recall in the oversized regime is therefore heuristic
+# (min-gram agreement), never worse than the r11 drop-the-block rule,
+# and the under-cap regime keeps the exact guarantee.
 
 LINK_PREFIX = 64  # chars the distance is computed over (O(P^2) DP per pair)
 LINK_MAX_DIST = 12  # default accept threshold (fixture corpus: near-dup
 #                     pairs sit at 0-4, unrelated same-block pairs at 35+)
 LINK_LEN_BUCKET = 16  # bucket width; MUST exceed max_dist for exact recall
-LINK_MAX_BLOCK = 256  # per-block population cap (<= C(256,2) pairs/block)
+LINK_MAX_BLOCK = 256  # per-(sub-)block population cap (<= C(256,2) pairs)
+LINK_GRAM = 4  # secondary-key shingle width (min 4-gram of the prefix)
+_LINK_SEC_NONE = ""  # secondary key of under-cap blocks (no re-blocking)
 
 
 def fuzzy_join_pairs(
@@ -70,13 +84,16 @@ def fuzzy_join_pairs(
     fuzzy_join_pairs_sql).
 
     Scale shape: one explode (x2 bucket replication), one shuffle on
-    the block key (the window count that sizes blocks rides it), a
+    the block key (BOTH window counts that size blocks and sub-blocks
+    ride it — hash on (_blk, _bkt) satisfies the refined (_blk, _bkt,
+    _sec) clustering, so level 2 adds a sort, not an exchange), a
     block-local self-join whose per-key fan-out is hard-capped at
     C(max_block, 2), and one pair-dedup groupBy. Never a corpus-wide
-    self-join: every joined row shares a block, and oversized blocks
-    are gone before the join. A pair sharing BOTH replicated buckets
-    is emitted twice and deduped by the final groupBy (min(dist) — the
-    distance is identical, min is just the dedup idiom).
+    self-join: every joined row shares a (sub-)block, and over-cap
+    sub-blocks are gone before the join. A pair sharing BOTH
+    replicated buckets is emitted twice and deduped by the final
+    groupBy (min(dist) — the distance is identical, min is just the
+    dedup idiom).
     """
     if bucket <= max_dist:
         raise ValueError(
@@ -87,8 +104,11 @@ def fuzzy_join_pairs(
 
     blocks = _fuzzy_blocks(docs, text_col, block_col, len_col, prefix_len, bucket)
     # per-block population via a window count — the same single shuffle
-    # that co-locates the block also sizes it (no second pass); the cap
-    # filter then drops oversized blocks BEFORE any pair is formed.
+    # that co-locates the block also sizes it (no second pass). Blocks
+    # under the cap keep the sentinel secondary key; oversized blocks
+    # re-key on the min-gram, and the SECOND window count (same
+    # exchange, refined key) applies the cap to the sub-blocks — all
+    # BEFORE any pair is formed.
     # Pair generation is a block-local self-join, NOT the grouped
     # pair-array pattern the shingle family uses: here each side of a
     # pair carries a 64-char prefix, and building C(n,2) struct copies
@@ -96,6 +116,7 @@ def fuzzy_join_pairs(
     # sf0.1); the equi-join keeps levenshtein and the a<b filter inside
     # whole-stage codegen (measured ~3 s on the identical pair set).
     n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
+    n2_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt", "_sec"))
     # Explicit keyed repartition before the checkpoint: the block table
     # is small in BYTES (ids + 64-char prefixes), so AQE coalesces its
     # shuffle to one partition — and the join's C(n,2) levenshtein DP
@@ -108,9 +129,16 @@ def fuzzy_join_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     ok = (
         blocks.withColumn("_n", n_w)
-        .where((F.col("_n") >= 2) & (F.col("_n") <= max_block))
-        .drop("_n")
-        .repartition(par, "_blk", "_bkt")
+        .withColumn(
+            "_sec",
+            F.when(F.col("_n") <= max_block, F.lit(_LINK_SEC_NONE)).otherwise(
+                F.col("_gram")
+            ),
+        )
+        .withColumn("_n2", n2_w)
+        .where((F.col("_n2") >= 2) & (F.col("_n2") <= max_block))
+        .drop("_n", "_n2", "_gram")
+        .repartition(par, "_blk", "_bkt", "_sec")
         .localCheckpoint(eager=False)  # self-joined: scan once, not twice
     )
     a = ok.select(
@@ -118,15 +146,17 @@ def fuzzy_join_pairs(
         F.col("_pfx").alias("_pa"),
         "_blk",
         "_bkt",
+        "_sec",
     )
     b = ok.select(
         F.col("doc_id").alias("doc_b"),
         F.col("_pfx").alias("_pb"),
         "_blk",
         "_bkt",
+        "_sec",
     )
     return (
-        a.join(b, ["_blk", "_bkt"])
+        a.join(b, ["_blk", "_bkt", "_sec"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -150,13 +180,41 @@ def _fuzzy_blocks(
 ) -> DataFrame:
     """The blocking transform shared by the batch and incremental
     paths: each record replicated into its own and the next length
-    bucket, carrying its comparison prefix."""
-    b0 = F.expr(f"{len_col} div {bucket}")
+    bucket, carrying its comparison prefix and its secondary-key
+    candidate (the min 4-gram of the prefix, used only when a block
+    runs over the cap).
+
+    The bucket is computed on least(len, prefix_len) — the PREFIX
+    length, since that is what the distance runs over (prefix lengths
+    differ by at most the prefix edit distance, so bucket > max_dist
+    keeps the two-bucket probe exact however long the full texts are).
+    """
+    b0 = F.expr(f"least({len_col}, {prefix_len}) div {bucket}")
+    pfx = F.substring(F.col(text_col), 1, prefix_len)
     return docs.select(
         F.col("doc_id").alias(id_alias),
         F.col(block_col).alias("_blk"),
-        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+        pfx.alias("_pfx"),
+        _min_gram(pfx).alias("_gram"),
         F.explode(F.array(b0, b0 + F.lit(1))).alias("_bkt"),
+    )
+
+
+def _min_gram(pfx, gram: int = LINK_GRAM):
+    """Minimum character ``gram``-gram of a string — a 1-permutation
+    MinHash over the prefix's shingle set (the identity permutation:
+    byte-order min; both engines compare ASCII identically and the
+    oracle guards non-ASCII out). Short/empty prefixes are padded with
+    \\x01 so the gram set is never empty (the pad is CONDITIONAL —
+    rpad alone would truncate longer strings); NULL stays NULL (and
+    NULL secondary keys never equi-join, matching the NULL-text
+    behavior of the distance filter)."""
+    padded = F.when(F.length(pfx) < gram, F.rpad(pfx, gram, "\x01")).otherwise(pfx)
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - (gram - 1)),
+            lambda i: padded.substr(i, F.lit(gram)),
+        )
     )
 
 
@@ -170,22 +228,33 @@ def fuzzy_join_blocks(
     max_block: int = LINK_MAX_BLOCK,
 ) -> DataFrame:
     """The base corpus's stageable linkage index: the capped block
-    table (base_id, _blk, _bkt, _pfx). Built ONCE at ingest and probed
-    by every incremental batch — the fuzzy-join sibling of the LSH
-    band index and the SemDeDup cell assignment. Oversized blocks are
-    dropped HERE, so the staged artifact itself carries the cost
-    ceiling (an incremental probe can never resurrect a block the
-    batch semantics would drop)."""
+    table (base_id, _blk, _bkt, _sec, _pfx). Built ONCE at ingest and
+    probed by every incremental batch — the fuzzy-join sibling of the
+    LSH band index and the SemDeDup cell assignment. Oversized blocks
+    re-key HERE on the secondary min-gram (under-cap blocks keep the
+    sentinel key), and only sub-blocks still over cap drop — so the
+    staged artifact itself carries the cost ceiling (an incremental
+    probe can never resurrect a sub-block the batch semantics would
+    drop). No >= 2 floor: a singleton base block is a legitimate probe
+    target for incoming rows."""
     from pyspark.sql.window import Window
 
     blocks = _fuzzy_blocks(
         docs, text_col, block_col, len_col, prefix_len, bucket, id_alias="base_id"
     )
     n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
+    n2_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt", "_sec"))
     return (
         blocks.withColumn("_n", n_w)
-        .where(F.col("_n") <= max_block)
-        .drop("_n")
+        .withColumn(
+            "_sec",
+            F.when(F.col("_n") <= max_block, F.lit(_LINK_SEC_NONE)).otherwise(
+                F.col("_gram")
+            ),
+        )
+        .withColumn("_n2", n2_w)
+        .where(F.col("_n2") <= max_block)
+        .drop("_n", "_n2", "_gram")
     )
 
 
@@ -207,10 +276,18 @@ def fuzzy_join_incremental(
     index-at-ingest artifact; passing ``base`` rebuilds it inline);
     the incoming batch never joins itself and the base is never
     re-blocked per batch. Per-incoming-row cost is bounded by
-    2 x max_block DP comparisons whatever the batch's own skew (the
-    cap lives on the BASE blocks; an incoming pile-up multiplies rows,
-    not per-row cost). Same recall guarantee as the batch operator:
-    the two-bucket probe covers any pair within max_dist < bucket."""
+    2 x 2 x max_block DP comparisons whatever the batch's own skew
+    (the cap lives on the BASE blocks; an incoming pile-up multiplies
+    rows, not per-row cost; the extra x2 is the dual-secondary probe
+    below). Same recall guarantee as the batch operator: the
+    two-bucket probe covers any pair within max_dist < bucket against
+    under-cap base blocks; split base blocks match on the min-gram.
+
+    An incoming row cannot know whether its base block was split, so
+    it probes BOTH secondary keys — the sentinel (matches under-cap
+    base blocks) and its own min-gram (matches the split rows). At
+    most one leg has matching base rows per (block, bucket), and the
+    final pair-dedup groupBy absorbs any double hit."""
     if bucket <= max_dist:
         raise ValueError(
             f"fuzzy_join_incremental: bucket width {bucket} must exceed "
@@ -226,14 +303,22 @@ def fuzzy_join_incremental(
     # while the DP work per OUTPUT row is not — an explicit keyed
     # repartition keeps the probe stage at full width
     par = incoming.sparkSession.sparkContext.defaultParallelism
-    inc = _fuzzy_blocks(
-        incoming, text_col, block_col, len_col, prefix_len, bucket
-    ).repartition(par, "_blk", "_bkt")
+    inc = (
+        _fuzzy_blocks(incoming, text_col, block_col, len_col, prefix_len, bucket)
+        .select(
+            "doc_id",
+            "_pfx",
+            "_blk",
+            "_bkt",
+            F.explode(F.array(F.lit(_LINK_SEC_NONE), F.col("_gram"))).alias("_sec"),
+        )
+        .repartition(par, "_blk", "_bkt", "_sec")
+    )
     b = base_blocks.select(
-        "base_id", F.col("_pfx").alias("_pb"), "_blk", "_bkt"
+        "base_id", F.col("_pfx").alias("_pb"), "_blk", "_bkt", "_sec"
     )
     return (
-        inc.join(b, ["_blk", "_bkt"])
+        inc.join(b, ["_blk", "_bkt", "_sec"])
         .select(
             "doc_id",
             "base_id",
@@ -242,6 +327,20 @@ def fuzzy_join_incremental(
         .where(F.col("_d") <= max_dist)
         .groupBy("doc_id", "base_id")
         .agg(F.min("_d").cast("int").alias("dist"))
+    )
+
+
+def _min_gram_sql(expr: str, gram: int = LINK_GRAM) -> str:
+    """DuckDB twin of _min_gram: min character 4-gram with the same
+    conditional \\x01 pad (rpad alone truncates longer strings)."""
+    padded = (
+        f"CASE WHEN length({expr}) < {gram} "
+        f"THEN rpad({expr}, {gram}, chr(1)) ELSE {expr} END"
+    )
+    return (
+        f"list_min(list_transform("
+        f"range(1, length({padded}) - {gram - 2}), "
+        f"i -> substr({padded}, CAST(i AS INT), {gram})))"
     )
 
 
@@ -254,7 +353,8 @@ def fuzzy_join_incremental_sql(
     max_block: int = LINK_MAX_BLOCK,
 ) -> str:
     """DuckDB twin of fuzzy_join_incremental (same non-ASCII guard and
-    narrower valid range as fuzzy_join_pairs_sql)."""
+    narrower valid range as fuzzy_join_pairs_sql; same two-level
+    blocking and dual-secondary probe as the engine)."""
     pfx_guard = (
         "CASE WHEN octet_length(encode(pfx)) = length(pfx) THEN pfx "
         "ELSE error('fuzzy_join oracle: non-ASCII text — byte-based "
@@ -264,27 +364,44 @@ def fuzzy_join_incremental_sql(
         WITH fji_base0 AS (
             SELECT doc_id AS base_id, lang AS blk,
                    substr(text, 1, {prefix_len}) AS pfx,
-                   n_chars // {bucket} AS b0
+                   least(n_chars, {prefix_len}) // {bucket} AS b0
             FROM ({base_sql})),
         fji_bblocks AS (
-            SELECT base_id, blk, {pfx_guard} AS pfx, unnest([b0, b0 + 1]) AS bkt
+            SELECT base_id, blk, {pfx_guard} AS pfx,
+                   {_min_gram_sql('pfx')} AS gram,
+                   unnest([b0, b0 + 1]) AS bkt
             FROM fji_base0),
         fji_bpop AS (
             SELECT blk, bkt, count(*) AS n FROM fji_bblocks GROUP BY 1, 2),
+        fji_blvl AS (
+            SELECT b.base_id, b.blk, b.bkt, b.pfx,
+                   CASE WHEN p.n <= {max_block} THEN '' ELSE b.gram END AS sec
+            FROM fji_bblocks b
+            JOIN fji_bpop p ON b.blk = p.blk AND b.bkt = p.bkt),
+        fji_bpop2 AS (
+            SELECT blk, bkt, sec, count(*) AS n
+            FROM fji_blvl GROUP BY 1, 2, 3),
         fji_bok AS (
-            SELECT b.* FROM fji_bblocks b
-            JOIN fji_bpop p ON b.blk = p.blk AND b.bkt = p.bkt
+            SELECT b.* FROM fji_blvl b
+            JOIN fji_bpop2 p
+              ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec
             WHERE p.n <= {max_block}),
         fji_inc0 AS (
             SELECT doc_id, lang AS blk, substr(text, 1, {prefix_len}) AS pfx,
-                   n_chars // {bucket} AS b0
+                   least(n_chars, {prefix_len}) // {bucket} AS b0
             FROM ({incoming_sql})),
-        fji_inc AS (
-            SELECT doc_id, blk, {pfx_guard} AS pfx, unnest([b0, b0 + 1]) AS bkt
+        fji_inc1 AS (
+            SELECT doc_id, blk, {pfx_guard} AS pfx,
+                   {_min_gram_sql('pfx')} AS gram,
+                   unnest([b0, b0 + 1]) AS bkt
             FROM fji_inc0),
+        fji_inc AS (
+            SELECT doc_id, blk, bkt, pfx, unnest(['', gram]) AS sec
+            FROM fji_inc1),
         fji_pairs AS (
             SELECT i.doc_id, b.base_id, levenshtein(i.pfx, b.pfx) AS d
-            FROM fji_inc i JOIN fji_bok b ON i.blk = b.blk AND i.bkt = b.bkt)
+            FROM fji_inc i JOIN fji_bok b
+              ON i.blk = b.blk AND i.bkt = b.bkt AND i.sec = b.sec)
         SELECT doc_id, base_id, CAST(min(d) AS INT) AS dist
         FROM fji_pairs WHERE d <= {max_dist} GROUP BY 1, 2
     """
@@ -312,22 +429,33 @@ def fuzzy_join_pairs_sql(
     return f"""
         WITH fj_base AS (
             SELECT doc_id, lang AS blk, substr(text, 1, {prefix_len}) AS pfx,
-                   n_chars // {bucket} AS b0
+                   least(n_chars, {prefix_len}) // {bucket} AS b0
             FROM ({from_sql})),
         fj_blocks AS (
-            SELECT doc_id, blk, {pfx_guard} AS pfx, unnest([b0, b0 + 1]) AS bkt
+            SELECT doc_id, blk, {pfx_guard} AS pfx,
+                   {_min_gram_sql('pfx')} AS gram,
+                   unnest([b0, b0 + 1]) AS bkt
             FROM fj_base),
         fj_pop AS (
             SELECT blk, bkt, count(*) AS n FROM fj_blocks GROUP BY 1, 2),
+        fj_lvl AS (
+            SELECT b.doc_id, b.blk, b.bkt, b.pfx,
+                   CASE WHEN p.n <= {max_block} THEN '' ELSE b.gram END AS sec
+            FROM fj_blocks b
+            JOIN fj_pop p ON b.blk = p.blk AND b.bkt = p.bkt),
+        fj_pop2 AS (
+            SELECT blk, bkt, sec, count(*) AS n FROM fj_lvl GROUP BY 1, 2, 3),
         fj_ok AS (
-            SELECT b.* FROM fj_blocks b
-            JOIN fj_pop p ON b.blk = p.blk AND b.bkt = p.bkt
+            SELECT b.* FROM fj_lvl b
+            JOIN fj_pop2 p
+              ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec
             WHERE p.n BETWEEN 2 AND {max_block}),
         fj_pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    levenshtein(a.pfx, b.pfx) AS d
             FROM fj_ok a JOIN fj_ok b
-              ON a.blk = b.blk AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+              ON a.blk = b.blk AND a.bkt = b.bkt AND a.sec = b.sec
+             AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, CAST(min(d) AS INT) AS dist
         FROM fj_pairs WHERE d <= {max_dist} GROUP BY 1, 2
     """

@@ -1632,6 +1632,248 @@ def bm25_topk(
     )
 
 
+# -- the staged-index / incremental legs of the BM25 triad ------------------
+# House convention (LSH band index, SemDeDup cell index, linkage block
+# index): the expensive corpus-wide artifact is built ONCE at ingest
+# and every query batch / corpus delta serves against it. For BM25 the
+# artifact is the INVERTED INDEX — per-(token, doc) term frequencies
+# with the doc length riding each posting — plus the two corpus
+# scalars (doc count, total token count). Everything BM25 needs is
+# additive across corpus deltas: tf rows just union, per-term df is a
+# count over the unioned postings, and avgdl recomputes from summed
+# scalars — so serving base ∪ delta from the index is EXACT, not an
+# approximation (the oracle is the from-scratch rebuild and hash-checks
+# that claim).
+#
+# 100 TB shape: postings are written PARTITIONED by a crc32 token
+# bucket. A query batch touches |query vocabulary| tokens, so the
+# serve path lists the handful of matching bucket directories
+# (partition pruning at the file listing — the scan never touches the
+# other ~98% of the index) and broadcast-joins the tiny term set
+# inside them. The bucket column is engine-internal (never in oracle
+# output), so its hash needs no cross-engine twin.
+
+BM25_BUCKETS = 64
+
+
+def bm25_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, bkt, doc_id, tf, dl): the full inverted index of a corpus.
+    One explode + one (doc, tok) count agg — map-side combinable, the
+    same cost as a single bm25_topk rebuild, paid once at ingest."""
+    toks = tokens_col(text_col)
+    base = docs.select("doc_id", toks.alias("_t"))
+    return (
+        base.select("doc_id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select(
+            "tok",
+            (F.crc32(F.col("tok")) % BM25_BUCKETS).cast("int").alias("bkt"),
+            "doc_id",
+            "tf",
+            "dl",
+        )
+    )
+
+
+def bm25_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (n_docs, total_len) — the additive corpus scalars."""
+    return docs.select(F.size(tokens_col(text_col)).alias("_dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("total_len")
+    )
+
+
+def bm25_query_terms(
+    docs: DataFrame,
+    n_queries: int = BM25_N_QUERIES,
+    q_len: int = BM25_QUERY_LEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, tok): the deterministic fixture query workload —
+    same derivation as bm25_topk's inline version (tokens 2..q_len+1
+    of the n_queries lowest-seeded-hash docs)."""
+    toks = tokens_col(text_col)
+    base = docs.select("doc_id", toks.alias("_t"))
+    h = portable_hash64(F.col("doc_id").cast("string"), F.lit("bm25"))
+    return (
+        base.where(F.size("_t") >= q_len + 1)
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .limit(n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("_t", 2, q_len)).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def bm25_serve(
+    postings: DataFrame,
+    stats: DataFrame,
+    qtoks: DataFrame,
+    delta_docs: DataFrame | None = None,
+    topk: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, rank, score): BM25 top-k served from the
+    staged inverted index, optionally merged with an UNINDEXED delta
+    batch — exact over base ∪ delta (identical scores to a from-scratch
+    rebuild; see the module note on additivity).
+
+    Serve cost: partition-pruned postings of the query vocabulary
+    (+ one delta-sized explode when a delta rides along); never a
+    corpus rescan. The bucket list is a driver-side scalar collect
+    bounded by the query vocabulary size."""
+    from pyspark.sql.window import Window
+
+    qset = qtoks.select("tok").distinct().localCheckpoint(eager=False)
+    buckets = [
+        r.bkt
+        for r in qset.select(
+            (F.crc32(F.col("tok")) % BM25_BUCKETS).cast("int").alias("bkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    hits = (
+        postings.where(F.col("bkt").isin(buckets))
+        .join(F.broadcast(qset), "tok")
+        .select("tok", "doc_id", "tf", "dl")
+    )
+    if delta_docs is not None:
+        toks = tokens_col(text_col)
+        dbase = delta_docs.select("doc_id", toks.alias("_t")).localCheckpoint(
+            eager=False
+        )
+        dtf = (
+            dbase.select(
+                "doc_id", F.size("_t").alias("dl"), F.explode("_t").alias("tok")
+            )
+            .join(F.broadcast(qset), "tok")
+            .groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .select("tok", "doc_id", "tf", "dl")
+        )
+        hits = hits.unionByName(dtf)
+        stats = (
+            stats.unionByName(bm25_corpus_stats(delta_docs, text_col))
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_len").alias("total_len"),
+            )
+        )
+    st = stats.select(
+        "n_docs",
+        (F.expr("total_len * 1000000 div n_docs").cast("double") / 1000000.0).alias(
+            "avgdl"
+        ),
+    )
+    hits = hits.localCheckpoint(eager=False)  # feeds df AND the scoring join
+    df_t = hits.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * F.lit(1.0 + k1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    terms = (
+        hits.join(F.broadcast(qtoks), "tok")
+        .join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(w, 6).cast("decimal(18,6)").alias("w"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(F.sum("w").alias("_score"))
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_score").cast("double").alias("score"),
+        )
+    )
+
+
+def bm25_incremental_sql(
+    base_sql: str,
+    delta_sql: str,
+    n_queries: int = BM25_N_QUERIES,
+    q_len: int = BM25_QUERY_LEN,
+    topk: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB oracle for the staged-index serve path: the FROM-SCRATCH
+    BM25 over base ∪ delta, queries drawn from the BASE corpus only
+    (the staged query workload) — every green row re-proves the
+    postings/stats additivity argument, not just the plumbing."""
+    toks = TOKENS_SQL.format(col="text")
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", "'bm25'")
+    return f"""
+        WITH bmi_base AS (SELECT doc_id, {toks} AS t FROM ({base_sql})),
+        bmi_all AS (
+            SELECT doc_id, t FROM bmi_base
+            UNION ALL
+            SELECT doc_id, {toks} AS t FROM ({delta_sql})),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST((sum(len(t)) * 1000000) // count(*) AS DOUBLE) / 1000000.0
+                       AS avgdl
+            FROM bmi_all),
+        qd AS (
+            SELECT doc_id, t FROM bmi_base WHERE len(t) >= {q_len + 1}
+            ORDER BY {h}, doc_id LIMIT {n_queries}),
+        qt AS (
+            SELECT DISTINCT doc_id AS query_id, unnest(t[2:{q_len + 1}]) AS tok
+            FROM qd),
+        tf AS (
+            SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM bmi_all)
+            WHERE tok IN (SELECT tok FROM qt)
+            GROUP BY 1, 2),
+        dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        terms AS (
+            SELECT q.query_id, f.doc_id,
+                   CAST(round(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (f.tf * {1.0 + k1})
+                       / (f.tf + {k1} * ({1.0 - b} + {b} * f.dl / s.avgdl)),
+                   6) AS DECIMAL(18,6)) AS w
+            FROM tf f
+            JOIN qt q USING (tok)
+            JOIN dft d USING (tok)
+            CROSS JOIN stats s),
+        sc AS (
+            SELECT query_id, doc_id, sum(w) AS score FROM terms GROUP BY 1, 2),
+        rk AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rank
+            FROM sc)
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+               CAST(score AS DOUBLE) AS score
+        FROM rk WHERE rank <= {topk}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Corpus drift: token-distribution divergence between corpus slices
 # ---------------------------------------------------------------------------

@@ -163,3 +163,27 @@ def k_anonymity_sql(
         GROUP BY {cols}
         HAVING count(*) < {k}
     """
+
+
+def k_anonymity_gate(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = K_ANON_DEFAULT,
+    keep_pred=None,
+) -> DataFrame:
+    """Per-ROW k-anonymity verdict — the release-path form of the
+    audit: every row annotated with its QI group's population among
+    the RELEASE CANDIDATES (rows passing ``keep_pred``; all rows when
+    None) and a ``suppress`` flag for rows whose group is under k.
+    Counting only candidates is the correct direction: a row already
+    dropped by upstream curation cannot pad out its group's anonymity
+    in the shipped corpus. One map-combinable groupBy + one broadcast-
+    or shuffle-join back on the QI key (Catalyst/AQE sizes it); NULL
+    QI values group together, like the audit."""
+    cand = df if keep_pred is None else df.where(keep_pred)
+    counts = cand.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("group_n"))
+    return (
+        df.join(counts, qi_cols, "left")
+        .withColumn("group_n", F.coalesce(F.col("group_n"), F.lit(0)).cast("long"))
+        .withColumn("suppress", F.col("group_n") < k)
+    )

@@ -14,6 +14,7 @@ check, and tests/ carry the stronger assertions.
 from __future__ import annotations
 
 import os
+import zlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,12 +124,18 @@ def _content_fingerprint(df: DataFrame, *num_cols: str) -> str:
     row-count-only probe could).
 
     Memoized per process on (plan semantic hash, source-file stat
-    signature): the digest job re-ran on EVERY call of every
-    staged-model query (two collect jobs each for the kmeans family —
-    r10 verdict #6's job-count audit), yet its value can only change
-    when the underlying files do. A regenerated fixture changes size or
-    mtime_ns, which misses the memo and recomputes — the content sums
-    still guard against same-stat corruption via the staged marker."""
+    signature, first-file head checksum): the digest job re-ran on
+    EVERY call of every staged-model query (two collect jobs each for
+    the kmeans family — r10 verdict #6's job-count audit), yet its
+    value can only change when the underlying files do. A regenerated
+    fixture changes size or mtime_ns — and a fixture restored with
+    PRESERVED timestamps and equal byte size (tar/rsync -t extraction,
+    round-11 ADVICE #3) still changes parquet content bytes, which the
+    head checksum of the first file catches (one 64 KiB read per memo
+    probe; parquet layout makes byte-identical-head different-content
+    files a non-case because column chunk stats live in the head/foot
+    of row groups — and the staged marker's content sums remain the
+    last-line guard regardless)."""
     key = None
     try:
         files = sorted(df.inputFiles())
@@ -138,7 +145,10 @@ def _content_fingerprint(df: DataFrame, *num_cols: str) -> str:
                 p = f[7:] if f.startswith("file://") else f
                 st = os.stat(p)
                 sig.append((p, st.st_size, st.st_mtime_ns))
-            key = (df.semanticHash(), num_cols, tuple(sig))
+            first = sig[0][0]
+            with open(first, "rb") as fh:
+                head_crc = zlib.crc32(fh.read(65536))
+            key = (df.semanticHash(), num_cols, tuple(sig), head_crc)
     except Exception:
         key = None
     if key is not None and key in _FP_MEMO:
@@ -977,17 +987,34 @@ _EMB_DIM_MEMO: dict = {}
 
 
 def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
-    """Embedding dimensionality of the fixture, probed ONCE per process
-    (one 1-row parquet read) — the compile-time dim the similarity
-    family's unrolled codegen expressions need (similarity._dot_u)."""
-    if sf_dir not in _EMB_DIM_MEMO:
-        row = (
-            load_table(spark, sf_dir, "embeddings")
-            .select(F.size("embedding").alias("d"))
-            .first()
+    """Embedding dimensionality of the fixture, probed ONCE per file
+    state (one 1-row parquet read) — the compile-time dim the
+    similarity family's unrolled codegen expressions need
+    (similarity._dot_u). The memo keys on the table's file stat
+    signature, not sf_dir alone, so a fixture regenerated in-process
+    with a different dimensionality re-probes instead of serving the
+    stale dim (round-11 ADVICE #4); an empty table raises HERE with a
+    clear message instead of a TypeError (or an ANSI element_at
+    failure mid-query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        key = (sf_dir,) + tuple(
+            (p, os.stat(p).st_size, os.stat(p).st_mtime_ns)
+            for p in sorted(
+                f[7:] if f.startswith("file://") else f for f in emb.inputFiles()
+            )
         )
-        _EMB_DIM_MEMO[sf_dir] = int(row["d"])
-    return _EMB_DIM_MEMO[sf_dir]
+    except Exception:
+        key = (sf_dir,)
+    if key not in _EMB_DIM_MEMO:
+        row = emb.select(F.size("embedding").alias("d")).first()
+        if row is None:
+            raise ValueError(
+                f"_emb_dim: embeddings table at {sf_dir} is empty — "
+                "cannot infer vector dimensionality"
+            )
+        _EMB_DIM_MEMO[key] = int(row["d"])  # stale keys are never re-probed
+    return _EMB_DIM_MEMO[key]
 
 
 @query("semdedup_survivors", similarity.semdedup_survivors_sql())
@@ -1179,6 +1206,66 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching rows. Per-term weights round to 6dp and sum as DECIMAL
     (order-independent, cross-engine exact); ties rank by doc_id."""
     return text.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _staged_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    """The base corpus's BM25 artifacts, staged once per fixture: the
+    inverted index (postings partitioned by token bucket — the serve
+    path's partition pruning), the additive corpus scalars, and the
+    deterministic fixture query workload. The retrieval sibling of the
+    linkage block index / SemDeDup cell index."""
+    base = load_table(spark, sf_dir, "documents")
+    fingerprint = _content_fingerprint(
+        base.withColumn(
+            "_tcrc",
+            F.crc32(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).cast(
+                    "binary"
+                )
+            ),
+        ),
+        "doc_id",
+        "_tcrc",
+    )
+
+    def build(d: str) -> None:
+        text.bm25_postings(base).write.partitionBy("bkt").parquet(
+            os.path.join(d, "postings")
+        )
+        text.bm25_corpus_stats(base).write.parquet(os.path.join(d, "stats"))
+        text.bm25_query_terms(base).write.parquet(os.path.join(d, "queries"))
+
+    return _staged_artifact(
+        "databus_bm25idx", sf_dir, fingerprint, build, version="bm25-v1"
+    )
+
+
+@query(
+    "bm25_incremental",
+    text.bm25_incremental_sql(
+        "SELECT * FROM documents",
+        f"SELECT * FROM ({dedup.DOCS_WITH_DUPS_SQL}) WHERE doc_id >= 1000000",
+    ),
+)
+def bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-corpus BM25: the staged inverted index serves the staged
+    query workload merged with an UNINDEXED delta batch — postings,
+    per-term df, and the avgdl scalars are all additive, so the served
+    scores are EXACT over base ∪ delta. The oracle is deliberately the
+    from-scratch rebuild on the unioned corpus, so every green row
+    re-proves the additivity argument (the record_linkage_incremental
+    convention). Serve cost: partition-pruned postings of the query
+    vocabulary + one delta-sized explode — never a base-corpus rescan."""
+    incoming = dedup.documents_with_dups(spark, sf_dir).where(
+        F.col("doc_id") >= 1_000_000
+    )
+    idx_dir = _staged_bm25_index(spark, sf_dir)
+    return text.bm25_serve(
+        spark.read.parquet(os.path.join(idx_dir, "postings")),
+        spark.read.parquet(os.path.join(idx_dir, "stats")),
+        spark.read.parquet(os.path.join(idx_dir, "queries")),
+        delta_docs=incoming,
+    )
 
 
 @query("kmeans_centroids", similarity.kmeans_centroids_sql())
@@ -1507,6 +1594,82 @@ def curation_decisions_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v2_decision",
         "dup_frac_micro",
         "per_feat_micro",
+        decision.alias("decision"),
+    )
+
+
+RG_K = validate.K_ANON_DEFAULT
+RG_LEN_BKT = 512  # QI length bucket: coarse enough that the gate fires on
+#                   rare groups, not on the corpus's natural length spread
+
+
+def _release_gate_sql() -> str:
+    """Curation v3 + the per-row k-anonymity verdict over the shipped
+    corpus's quasi-identifiers (lang, source, length bucket), counting
+    group populations among RELEASE CANDIDATES only (docs v3 keeps)."""
+    return f"""
+    WITH rg_v3 AS ({_curation_v3_sql()}),
+    rg_docs AS (
+        SELECT doc_id, lang, source, n_chars // {RG_LEN_BKT} AS len_bkt
+        FROM documents),
+    rg_groups AS (
+        SELECT d.lang, d.source, d.len_bkt, count(*) AS group_n
+        FROM rg_v3 v JOIN rg_docs d USING (doc_id)
+        WHERE v.decision = 'keep'
+        GROUP BY 1, 2, 3)
+    SELECT v.doc_id, v.decision AS v3_decision,
+           d.lang, d.source, CAST(d.len_bkt AS BIGINT) AS len_bkt,
+           CAST(coalesce(g.group_n, 0) AS BIGINT) AS group_n,
+           CASE WHEN v.decision <> 'keep' THEN v.decision
+                WHEN coalesce(g.group_n, 0) < {RG_K} THEN 'suppress_rare_qi'
+                ELSE 'keep' END AS decision
+    FROM rg_v3 v
+    JOIN rg_docs d USING (doc_id)
+    LEFT JOIN rg_groups g
+      ON d.lang = g.lang AND d.source = g.source AND d.len_bkt = g.len_bkt
+    """
+
+
+@query("release_gate", _release_gate_sql())
+def release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v4 — the ship/suppress release gate: the v3 decision
+    pipeline composed with the k-anonymity audit (Sweeney) as a per-doc
+    verdict. Docs v3 keeps whose (lang, source, length-bucket) QI
+    combination is carried by fewer than K release candidates flip to
+    'suppress_rare_qi' — the rare combination would re-identify its
+    members in the shipped corpus, and candidates are counted AFTER
+    curation because upstream-dropped docs can't pad anonymity. The
+    k-anonymity operator (operators/validate.py) is load-bearing here,
+    not just an audit row; a planted rare-QI group flipping the
+    decision is pinned in tests/test_round12_ops.py."""
+    v3 = curation_decisions_v3(spark, sf_dir).select(
+        "doc_id", F.col("decision").alias("v3_decision")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"n_chars div {RG_LEN_BKT}").alias("len_bkt"),
+    )
+    joined = v3.join(docs, "doc_id")
+    gated = validate.k_anonymity_gate(
+        joined,
+        ["lang", "source", "len_bkt"],
+        k=RG_K,
+        keep_pred=F.col("v3_decision") == "keep",
+    )
+    decision = (
+        F.when(F.col("v3_decision") != "keep", F.col("v3_decision"))
+        .when(F.col("suppress"), "suppress_rare_qi")
+        .otherwise("keep")
+    )
+    return gated.select(
+        "doc_id",
+        "v3_decision",
+        "lang",
+        "source",
+        F.col("len_bkt").cast("long").alias("len_bkt"),
+        "group_n",
         decision.alias("decision"),
     )
 
@@ -3992,8 +4155,10 @@ def _staged_link_index(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(d, "clusters")
         )
 
+    # linkidx-v3: prefix-length bucketing + secondary min-gram blocking
+    # (round-12 blocking rework in operators/joins.py)
     return _staged_artifact(
-        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v2"
+        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v3"
     )
 
 

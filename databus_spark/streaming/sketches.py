@@ -289,13 +289,23 @@ class StreamingEntityResolver:
     Edge merging via CC is idempotent, but APPENDING a replayed
     batch's blocks to the index is not, so the committed ``_VERSION``
     records the last batch_id and replays are skipped (the CM/
-    FrequencySketch contract). The accumulated incoming index is
-    deliberately uncapped: the base cap is an index-BUILD-time
-    property, and a production deployment periodically re-stages the
-    merged corpus through fuzzy_join_blocks to re-impose it (at which
-    point this resolver restarts from the new base) — documented
-    semantics, pinned by the streamed-equals-batch-recompute test at
-    generous caps.
+    FrequencySketch contract).
+
+    State IO discipline (round-12 rework of the r11 shape, which
+    read-union-OVERWROTE the whole accumulated index every batch —
+    per-batch write cost O(total ingested)): the incoming block index
+    is APPEND-ONLY, one parquet leaf per batch under ``inc_leaves/``,
+    named by the version that commits it. Per-batch write cost is
+    O(batch); a crash between leaf write and commit leaves an orphan
+    leaf numbered past ``_VERSION`` that readers ignore and the replay
+    overwrites. Within-batch pair generation runs at the configured
+    ``max_block`` (default the base LINK_MAX_BLOCK — the r11 1<<30
+    effectively-uncapped value let one hot block go quadratic in batch
+    size). The ACCUMULATED index still has no cross-batch cap: the cap
+    is an index-BUILD-time property, and a production deployment
+    periodically re-stages the merged corpus through fuzzy_join_blocks
+    to re-impose it (at which point this resolver restarts from the
+    new base) — pinned by the streamed-equals-batch-recompute test.
     """
 
     def __init__(
@@ -310,6 +320,7 @@ class StreamingEntityResolver:
         prefix_len: int | None = None,
         max_dist: int | None = None,
         bucket: int | None = None,
+        max_block: int | None = None,
     ):
         from databus_spark.operators import joins
 
@@ -318,6 +329,7 @@ class StreamingEntityResolver:
         self.prefix_len = joins.LINK_PREFIX if prefix_len is None else prefix_len
         self.max_dist = joins.LINK_MAX_DIST if max_dist is None else max_dist
         self.bucket = joins.LINK_LEN_BUCKET if bucket is None else bucket
+        self.max_block = joins.LINK_MAX_BLOCK if max_block is None else max_block
         os.makedirs(root, exist_ok=True)
         staged = os.path.join(root, "base_blocks", "_STAGED")
         if not os.path.exists(staged):
@@ -332,9 +344,6 @@ class StreamingEntityResolver:
                 vdir = os.path.join(self.root, "v1")
                 base_labels.write.mode("overwrite").parquet(
                     os.path.join(vdir, "labels")
-                )
-                base_blocks.limit(0).write.mode("overwrite").parquet(
-                    os.path.join(vdir, "inc_blocks")
                 )
                 self._commit(1, -1)
             with open(staged + ".tmp", "w") as f:
@@ -359,6 +368,22 @@ class StreamingEntityResolver:
             )
         return got
 
+    def _inc_leaf_dirs(self) -> list[str]:
+        """Committed incoming-index leaves: leaf numbers <= the current
+        version (an orphan leaf from a crash-before-commit is numbered
+        past it and ignored until its replay overwrites it)."""
+        d = os.path.join(self.root, "inc_leaves")
+        v = self._version()
+        if not os.path.isdir(d):
+            return []
+        return [
+            os.path.join(d, name)
+            for name in sorted(os.listdir(d))
+            if name.startswith("leaf")
+            and name[4:].isdigit()
+            and int(name[4:]) <= v
+        ]
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from databus_spark.operators import joins
         from databus_spark.operators.dedup import dedup_clusters
@@ -375,17 +400,17 @@ class StreamingEntityResolver:
         base_blocks = self.spark.read.parquet(
             os.path.join(self.root, "base_blocks", "data")
         )
-        inc_blocks = self._read("inc_blocks")
+        leaves = self._inc_leaf_dirs()
         probe_index = (
             base_blocks
-            if inc_blocks is None
-            else base_blocks.unionByName(inc_blocks)
+            if not leaves
+            else base_blocks.unionByName(self.spark.read.parquet(*leaves))
         )
         cross = joins.fuzzy_join_incremental(
             batch, base_blocks=probe_index, max_dist=self.max_dist, **kw
         ).select(F.col("doc_id").alias("doc_a"), F.col("base_id").alias("doc_b"))
         within = joins.fuzzy_join_pairs(
-            batch, max_dist=self.max_dist, max_block=1 << 30, **kw
+            batch, max_dist=self.max_dist, max_block=self.max_block, **kw
         ).select("doc_a", "doc_b")
         star = (
             self.labels()
@@ -393,15 +418,24 @@ class StreamingEntityResolver:
             .select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b"))
         )
         merged = dedup_clusters(cross.unionByName(within).unionByName(star))
+        # accumulated-index rows carry the sentinel secondary key: a
+        # per-batch leaf has no cross-stream population context, and
+        # incremental probes always probe the sentinel leg (joins.py)
         new_inc = joins._fuzzy_blocks(
             batch, self.text_col, self.block_col, self.len_col,
             self.prefix_len, self.bucket, id_alias="base_id",
+        ).select(
+            "base_id", "_blk", "_pfx", "_bkt",
+            F.lit(joins._LINK_SEC_NONE).alias("_sec"),
         )
-        all_inc = new_inc if inc_blocks is None else inc_blocks.unionByName(new_inc)
         v = self._version() + 1
         vdir = os.path.join(self.root, f"v{v}")
         merged.write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
-        all_inc.write.mode("overwrite").parquet(os.path.join(vdir, "inc_blocks"))
+        # append-only: ONE leaf per batch, O(batch) bytes written — never
+        # the r11 read-union-overwrite of the whole accumulated index
+        new_inc.write.mode("overwrite").parquet(
+            os.path.join(self.root, "inc_leaves", f"leaf{v}")
+        )
         self._commit(v, batch_id)
 
     def vacuum(self, keep_last: int = 2) -> None:

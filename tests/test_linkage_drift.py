@@ -133,14 +133,78 @@ def test_property_fuzzy_join_equals_bruteforce(spark, rows, max_dist):
 
 
 def test_block_cap_drops_oversized_blocks(spark):
-    # 5 identical docs: with max_block >= 10 (5 docs x 2 buckets) all
-    # C(5,2)=10 pairs emit; with max_block 4 every block is oversized
-    # and pair generation drops them all
+    # 5 IDENTICAL docs: with max_block >= 10 (5 docs x 2 buckets) all
+    # C(5,2)=10 pairs emit; with max_block 4 every block is oversized,
+    # and because identical texts share their min-gram the secondary
+    # re-blocking cannot split them — the sub-block is still over cap
+    # and drops (the honest residual of the round-12 split: a clone
+    # pile-up is exactly what the cap exists to bound)
     docs = _docs(spark, [("same text here", "en")] * 5)
     full = joins.fuzzy_join_pairs(docs, max_dist=2, max_block=16).collect()
     assert len(full) == 10
     capped = joins.fuzzy_join_pairs(docs, max_dist=2, max_block=4).collect()
     assert capped == []
+
+
+def test_truncated_duplicate_long_texts_found(spark):
+    """Round-11 ADVICE #1: a 63-char text and an 83-char text sharing
+    the 64-char comparison prefix (a truncated duplicate) must pair —
+    full-length bucketing put them 2 buckets apart and silently
+    dropped them; bucketing on least(len, prefix_len) restores the
+    recall-exactness argument (prefix lengths differ by at most the
+    prefix edit distance)."""
+    a = "w" * 63
+    b = "w" * 63 + "q" * 20  # 83 chars; prefix = w*63 + 'q' -> dist 1
+    assert len(a) // 16 != len(b) // 16 and abs(len(a) - len(b)) > 16
+    docs = _docs(spark, [(a, "en"), (b, "en")])
+    got = joins.fuzzy_join_pairs(docs, max_dist=4).collect()
+    assert [(r.doc_a, r.doc_b, r.dist) for r in got] == [(0, 1, 1)]
+    # and the incremental probe agrees (same blocking both sides)
+    inc = joins.fuzzy_join_incremental(
+        docs.where(F.col("doc_id") == 1),
+        base=docs.where(F.col("doc_id") == 0),
+        max_dist=4,
+    ).collect()
+    assert [(r.doc_id, r.base_id, r.dist) for r in inc] == [(1, 0, 1)]
+
+
+def test_oversized_block_splits_on_min_gram(spark):
+    """Round-12: an over-cap (key, bucket) block with DIVERSE content
+    re-blocks on the min 4-gram instead of dropping wholesale — the
+    near-dup pairs inside it survive because a tail edit leaves the
+    minimum gram untouched; and the DuckDB twin computes the identical
+    split."""
+    rows = []
+    for ch in "abcd":  # 4 clusters of 2 near-twins, one length bucket
+        rows.append((ch * 40, "en"))
+        rows.append((ch * 39 + "z", "en"))  # 'z' > ch: min gram unchanged
+    docs = _docs(spark, rows)
+    # 8 docs per (en, bucket) block > max_block=4 -> split; each
+    # min-gram sub-block holds exactly its cluster of 2
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in joins.fuzzy_join_pairs(docs, max_dist=2, max_block=4).collect()
+    }
+    assert got == {(0, 1, 1), (2, 3, 1), (4, 5, 1), (6, 7, 1)}
+    # oracle twin parity in the split regime
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        + " UNION ALL ".join(
+            f"SELECT {i}::BIGINT AS doc_id, '{t}' AS text, '{lang}' AS lang,"
+            f" 'src{i % 3}' AS source, {len(t)}::BIGINT AS n_chars"
+            for i, (t, lang) in enumerate(rows)
+        )
+    )
+    duck = {
+        (int(a), int(b), int(d))
+        for a, b, d in con.execute(
+            joins.fuzzy_join_pairs_sql(
+                "SELECT * FROM documents", max_dist=2, max_block=4
+            )
+        ).fetchall()
+    }
+    assert duck == got
 
 
 def test_bucket_must_exceed_max_dist(spark):

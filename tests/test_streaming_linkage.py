@@ -80,6 +80,46 @@ def test_streamed_batches_equal_full_recompute(spark, tmp_path):
     assert lab[0] == lab[1] == lab[2] == lab[100] == lab[201] == 0
 
 
+def test_per_batch_state_write_is_o_batch(spark, tmp_path):
+    """Round-12 rework: the incoming block index is append-only (one
+    leaf per batch under inc_leaves/), so the bytes written for batch N
+    must track BATCH size, not accumulated stream size — the r11 shape
+    rewrote the whole index every micro-batch (O(total ingested))."""
+    import os
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    base = _docs(spark, [("aaaaaaaaaaaaaaaaaaaa", "en")])
+    r = _resolver(spark, tmp_path, base)
+    leaves_root = str(tmp_path / "er" / "inc_leaves")
+    # 5 equal-size batches of mutually-unrelated docs
+    sizes = []
+    for b in range(5):
+        batch = _docs(
+            spark,
+            [(f"{chr(103 + b)}{i:02d}" + "m" * 17, "en") for i in range(8)],
+            start=1000 * (b + 1),
+        )
+        r.process_batch(batch, b)
+        leafs = sorted(os.listdir(leaves_root))
+        sizes.append(_dir_bytes(os.path.join(leaves_root, leafs[-1])))
+    # every batch writes ONE new leaf whose size is flat across the
+    # stream's life (parquet metadata dominates at this scale; the
+    # assertion is "not proportional to accumulated total", which by
+    # batch 5 would be ~5x)
+    assert len(os.listdir(leaves_root)) == 5
+    assert max(sizes) <= 1.5 * min(sizes)
+    # and no version directory carries a rewritten index copy
+    v_dirs = [d for d in os.listdir(tmp_path / "er") if d.startswith("v")]
+    for d in v_dirs:
+        assert "inc_blocks" not in os.listdir(tmp_path / "er" / d)
+
+
 def test_replay_and_vacuum(spark, tmp_path):
     base = _docs(spark, [("aaaaaaaaaaaaaaaaaaaa", "en")])
     b1 = _docs(spark, [("aaaaaaaaaaaaaaaaaabb", "en")], start=100)

@@ -40,145 +40,105 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 11: the two NEW queries (bm25_topk lexical retrieval,
-    # semdedup_incremental rolling-ingest embedding dedup) first, then
-    # the six r6-stale rows — r10 broke its own rotation rule here
-    # (lm_quality_score's engine path changed in r10 via the broadcast
-    # pin at operators/text.py but the row stayed in _REST; VERDICT r10
-    # "What's wrong #2") — then EVERY row whose engine path changed this
-    # round per the new mechanical freshness invariant
-    # (tools/window_manifest.py closure diff vs the committed r10-tree
-    # manifest; tests/test_window_freshness.py enforces it at pytest
-    # time so the rule can't be hand-missed again; the staged-artifact
-    # fingerprint memo alone touches every staged query, which is why
-    # the changed set fills the window).
+    # round 12: the two NEW queries (bm25_incremental staged-postings
+    # retrieval, release_gate curation + k-anonymity composition)
+    # first; then every row whose engine path GENUINELY changed this
+    # round — the fuzzy-join/linkage family (prefix-length bucketing +
+    # secondary min-gram blocking, both twins), the semdedup family
+    # (derived n_probe rule, norm-at-top checkpoint surgery in
+    # survivors_v2's shared tail), k_anonymity_audit (validate.py
+    # gained the gate), bm25_topk (module sibling of the new serve
+    # path), curation_decisions_v3 (now composed by release_gate) —
+    # then the whole r7-last-green cohort (33 rows, the oldest external
+    # greens) plus the two oldest r8 rows. The mechanical freshness
+    # check (tools/window_manifest.py) marks ALL queries affected this
+    # round (the registry-wide fingerprint-memo unit changed), so the
+    # window is legitimately spent on changed rows; within that, age
+    # breaks ties.
+    "bm25_incremental",
+    "release_gate",
     "fuzzy_join_docs",
     "record_linkage_clusters",
     "fuzzy_join_incremental",
     "record_linkage_incremental",
-    "corpus_drift",
+    "semdedup_survivors_v2",
+    "semdedup_incremental",
+    "semdedup_survivors",
+    "semdedup_trained",
+    "semdedup_multiprobe",
+    "semdedup_recall_eval",
     "k_anonymity_audit",
     "bm25_topk",
-    "semdedup_incremental",
-    "lm_quality_score",
-    "bpe_pair_counts",
-    "curation_decisions",
-    "filter_keymod_subscribe",
-    "media_png_resize",
-    "snapshot_customer",
-    "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "avro_ocf_roundtrip",
-    "dedup_cluster_star",
-    "dedup_cluster_survivors",
-    "dedup_incremental_near",
-    "dedup_survivor_corpus",
-    "jdbc_txlog_pull",
-    "media_video_frames",
-    "semdedup_survivors",
-    "trail_file_seek",
-    "ann_ivf_topk",
-    "ann_recall_eval",
     "curation_decisions_v3",
-    "dedup_decision_log",
-    "dsir_incremental",
-    "jsonl_ingest_audit",
-    "kmeans_assign_summary",
-    "kmeans_centroids",
-    "media_audio_fp_dedup",
-    "media_dhash_dedup",
-    "media_dhash_near_pairs",
-    "semdedup_multiprobe",
-    "semdedup_trained",
-    "zorder_box_read",
-    "ann_filtered_topk",
-    "bpe_encode_corpus",
-    "curation_decisions_v2",
-    "dedup_span_windows",
-    "exactsubstr_dedup",
-    "exactsubstr_incremental",
-    "exactsubstr_spans",
-    "exactsubstr_stats",
-    "lm2_quality_score",
-    "semdedup_survivors_v2",
-]
-
-# below the 50-row window this round (all still verified locally):
-_REST = [
-    # displaced by the three NEW r11 queries above (fuzzy_join_docs,
-    # record_linkage_clusters, corpus_drift): these three rotate out
-    # first as the freshest external greens in the old window (r10,
-    # re-exercised by the sibling media/dedup rows that stay in)
-    "semdedup_recall_eval",
-    "media_audio_near_pairs",
-    "media_dhash_clusters",
-    "media_dhash_incremental",
-    "media_decision_log",
-    "boilerplate_strip",
-    "dedup_cdc_chunks",
-    "text_novelty",
-    "structure_profile",
     "approx_quantiles_binned",
-    "cm_frequency_profile",
     "approx_stats",
-    "text_compressibility",
-    "pii_redact",
-    "source_registry_join",
-    "train_split_assign",
-    "hll_distinct_users",
-    "dedup_embedding_cosine",
-    "text_token_stats",
+    "avro_binary_decode",
+    "boilerplate_strip",
+    "buffer_info",
     "chunk_documents",
-    "json_props_extract",
-    "time_window_tumbling",
-    "time_window_sliding",
-    "sessionize",
-    "revenue_by_nation",
-    "urgent_orders_shipped",
-    "returned_items_topk",
-    "supplier_profit_by_nation",
+    "cm_frequency_profile",
+    "dedup_cdc_chunks",
+    "dedup_embedding_cosine",
+    "event_metadata_extract",
     "events_as_changelog_state",
-    "running_account_balance",
+    "hll_distinct_users",
+    "json_props_extract",
+    "media_jpeg_probe",
+    "null_rate_profile",
     "opcode_transitions",
     "partition_spread_per_source",
-    "null_rate_profile",
-    "buffer_info",
-    "media_jpeg_probe",
-    "event_metadata_extract",
-    "avro_binary_decode",
+    "pii_redact",
+    "returned_items_topk",
+    "revenue_by_nation",
+    "running_account_balance",
+    "sessionize",
+    "source_registry_join",
     "sql_txlog_pull",
-    "dsir_feature_weights",
-    "dsir_doc_scores",
-    "dsir_select_topk",
-    "mixture_waterfill",
-    "mixture_waterfill_sample",
-    "dedup_sketch_eval",
-    "sql_surface_window_stats",
-    "schema_evolution_decode",
-    "decontaminate_vs_benchmark",
-    "dedup_exact",
-    "filter_composite_json",
-    "keyset_page",
-    "lag_percentiles",
-    "per_source_stats",
-    "pricing_summary",
-    "txn_window_stats",
-    "value_histogram",
+    "structure_profile",
+    "supplier_profit_by_nation",
+    "text_compressibility",
+    "text_novelty",
+    "text_token_stats",
+    "time_window_sliding",
+    "time_window_tumbling",
+    "train_split_assign",
+    "urgent_orders_shipped",
     "as_of_join_events",
+    "decontaminate_vs_benchmark",
+]
+
+# below the 50-row window this round (all still verified locally),
+# oldest external green first — next round's rotation reads top-down:
+_REST = [
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    "dedup_sketch_eval",
+    "dsir_doc_scores",
+    "dsir_feature_weights",
+    "dsir_select_topk",
+    "filter_composite_json",
+    "keyset_page",
+    "lag_percentiles",
     "mixture_temperature_sample",
+    "mixture_waterfill",
+    "mixture_waterfill_sample",
     "per_group_quota",
+    "per_source_stats",
+    "pricing_summary",
+    "schema_evolution_decode",
     "schema_key_compaction",
     "sequence_packing",
     "skew_salted_agg",
     "snapshot_diff",
+    "sql_surface_window_stats",
     "stratified_sample",
     "stream_fetch_bounded",
     "text_fingerprint",
     "tfidf_top_terms",
+    "txn_window_stats",
+    "value_histogram",
     "repetition_filter",
     "retention_cohorts",
     "scalar_functions",
@@ -187,31 +147,20 @@ _REST = [
     "text_quality",
     "topk_orders_per_segment",
     "xml_trail_parse",
-    "bpe_learn_merges",
-    "bpe_learn_merges_batched",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "event_rate_anomaly",
-    "max_scn_probe",
-    "contamination_fraction",
-    "dedup_canonical",
-    "length_histogram",
-    "media_png_probe",
-    "media_wav_probe",
-    "oov_rate",
-    "quality_topk_per_lang",
-    "schema_key_filter",
-    "simhash_sketch",
-    "sparse_tfidf_pairs",
-    "vocab_top_terms",
-    "zorder_events_key",
     "bootstrap_snapshot_catchup",
+    "bpe_learn_merges",
+    "bpe_learn_merges_batched",
     "checkpoint_mult_fetch",
+    "contamination_fraction",
     "cube_rollup",
     "data_expectations",
     "decontaminate_bloom",
+    "dedup_canonical",
     "dedup_incremental",
     "dtail_json",
+    "event_rate_anomaly",
     "filter_keymod_longkey",
     "filter_keymod_strkey",
     "filter_keyrange",
@@ -219,9 +168,62 @@ _REST = [
     "funnel_conversion",
     "hash_sample",
     "key_skew_profile",
+    "length_histogram",
+    "max_scn_probe",
+    "media_audio_near_pairs",
+    "media_decision_log",
+    "media_dhash_clusters",
+    "media_dhash_incremental",
     "media_features",
+    "media_png_probe",
+    "media_wav_probe",
+    "oov_rate",
     "partition_router",
     "pivot_events_daily",
+    "quality_topk_per_lang",
+    "schema_key_filter",
+    "simhash_sketch",
+    "sparse_tfidf_pairs",
+    "vocab_top_terms",
+    "zorder_events_key",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "avro_ocf_roundtrip",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "corpus_drift",
+    "curation_decisions",
+    "curation_decisions_v2",
+    "dedup_cluster_star",
+    "dedup_cluster_survivors",
+    "dedup_decision_log",
+    "dedup_incremental_near",
+    "dedup_span_windows",
+    "dedup_survivor_corpus",
+    "dsir_incremental",
+    "exactsubstr_dedup",
+    "exactsubstr_incremental",
+    "exactsubstr_spans",
+    "exactsubstr_stats",
+    "filter_keymod_subscribe",
+    "jdbc_txlog_pull",
+    "jsonl_ingest_audit",
+    "kmeans_assign_summary",
+    "kmeans_centroids",
+    "lm2_quality_score",
+    "lm_quality_score",
+    "media_audio_fp_dedup",
+    "media_dhash_dedup",
+    "media_dhash_near_pairs",
+    "media_png_resize",
+    "media_video_frames",
+    "snapshot_customer",
+    "trail_file_seek",
+    "zorder_box_read",
 ]
 
 _PRIORITY = _WINDOW + _REST

@@ -1160,7 +1160,12 @@ def _semdedup_within_cells(
     are NOT pre-deduped here: dedup_clusters canonicalizes + distincts
     its edge set anyway, so a pairs-level dropDuplicates was a whole
     redundant exchange + AQE stage job (r10 verdict #6 — fixture-scale
-    wall in this family is job-count-dominated)."""
+    wall in this family is job-count-dominated).
+
+    If ``assigned`` already carries a ``_nrm`` column (survivors_v2
+    computes it once per VECTOR inside the top-p checkpoint, not once
+    per probe-row here), the norm pass and its checkpoint are skipped —
+    one whole job removed from the fixture-scale wall."""
     from databus_spark.operators.dedup import dedup_clusters
 
     ok = (
@@ -1169,17 +1174,22 @@ def _semdedup_within_cells(
         .where((F.col("_n") >= 2) & (F.col("_n") <= MAX_BUCKET_VECS))
         .select("cell_id")
     )
-    # lazy checkpoint: both pair sides (a, b) derive from `paired` — the
-    # per-vector norm fold is interpreted HOF work and would run twice
-    # per vector without the barrier
-    nrm = (
-        _norm_u(F.col(vec_col), dim) if _use_unroll(dim) else _norm(F.col(vec_col))
-    )
-    paired = (
-        assigned.join(F.broadcast(ok), "cell_id")
-        .withColumn("_nrm", nrm)
-        .localCheckpoint(eager=False)
-    )
+    if "_nrm" in assigned.columns:
+        paired = assigned.join(F.broadcast(ok), "cell_id")
+    else:
+        # lazy checkpoint: both pair sides (a, b) derive from `paired` —
+        # the per-vector norm fold is interpreted HOF work and would run
+        # twice per vector without the barrier
+        nrm = (
+            _norm_u(F.col(vec_col), dim)
+            if _use_unroll(dim)
+            else _norm(F.col(vec_col))
+        )
+        paired = (
+            assigned.join(F.broadcast(ok), "cell_id")
+            .withColumn("_nrm", nrm)
+            .localCheckpoint(eager=False)
+        )
     a = paired.select(
         "cell_id", F.col(id_col).alias("ida"), F.col(vec_col).alias("va"),
         F.col("_nrm").alias("na"),
@@ -1194,13 +1204,16 @@ def _semdedup_within_cells(
         .select(
             F.col("ida").alias("doc_a"),
             F.col("idb").alias("doc_b"),
-            # pair sim stays the HOF fold even when dim is known: the
-            # sim >= threshold filter is pushed adjacent to the join,
-            # where the expression evaluates OUTSIDE whole-stage codegen
-            # — interpreted eval of a 64-term unrolled tree is ~6x
-            # SLOWER than the HOF's tight array loop (measured: pairs
-            # stage 2.8 s HOF vs 17.6 s unrolled; the unroll only wins
-            # inside codegen'd map-side projections like the assignment)
+            # pair sim stays the HOF fold even when dim is known — now
+            # TWICE-measured: the sim >= threshold filter lands in the
+            # join, where the unrolled 64-term tree evaluates
+            # interpreted and per-PAIR (r11: 17.6 s vs 2.8 s HOF; r12
+            # re-measured 40.6 s vs 2.9 s, including behind a
+            # nondeterministic projection barrier meant to pin it in a
+            # codegen'd ProjectExec — the barrier did not rescue it).
+            # The unroll only wins inside codegen'd map-side
+            # projections like the assignment scan (r12 A/B: 0.72 s
+            # unrolled warm vs 2.7 s HOF on the 256k-row scan).
             F.round(
                 _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("sim"),
@@ -1302,6 +1315,52 @@ SEM_EVAL_PROBE = 6
 SEM_EVAL_ITER = 3
 SEM_EVAL_SAMPLE = 512
 
+# -- the joint scale rule, IN the engine (round-12; r11 verdict #1) ---------
+# The third-decade study (tools/semdedup_recall_x10.py, SCALE.md) REFUTED
+# the previously published rule "n_cells ∝ N at fixed probes": across one
+# decade (128 -> 1280 cells at 6 probes) co-location recall collapsed
+# 0.87 -> 0.47, because a near-twin's neighborhood fragments across more
+# cell boundaries than a fixed probe count covers. The measured joint
+# rule: hold per-cell POPULATION with cells (pair-gen cost), and scale
+# PROBES with the cell ratio to hold recall. The exponent below is the
+# measured decade point: 128/6 -> 1280/24 is probes x4 per cells x10,
+# exponent log10(4) ~= 0.602; at that dial the study reads recall 0.977
+# at scan 0.348, dominating the equal-scan 640/18 alternative on both
+# axes. These functions are the rule as ENGINE BEHAVIOR: n_probe=None on
+# the trained-dial operators derives from the actual cell count, and
+# semdedup_dial() maps corpus size -> (n_cells, n_probe) off the single
+# target_cell_size dial.
+
+SEM_TARGET_CELL = 16  # per-cell population the measured 128-cell sf0.1
+#                       dial holds (2,000 vecs / 128 cells ~= 15.6)
+SEM_PROBE_EXP = 0.602  # probes ~ ref * (cells/ref_cells)^exp (measured)
+
+
+def semdedup_probe_for_cells(
+    n_cells: int,
+    ref_cells: int = SEM_EVAL_CELLS,
+    ref_probe: int = SEM_EVAL_PROBE,
+    probe_exp: float = SEM_PROBE_EXP,
+) -> int:
+    """n_probe for a cell count, from the measured joint rule. Exactly
+    ref_probe at the reference dial (the fixture configs are unchanged
+    by the None-default derivation); floor(x+0.5) rounding, clamped to
+    [1, n_cells]."""
+    derived = int(ref_probe * (n_cells / ref_cells) ** probe_exp + 0.5)
+    return max(1, min(n_cells, derived))
+
+
+def semdedup_dial(
+    n_vecs: int, target_cell_size: int = SEM_TARGET_CELL
+) -> tuple[int, int]:
+    """(n_cells, n_probe) for a corpus of n_vecs vectors — the one-dial
+    form: cells hold per-cell population at target_cell_size (bounds
+    within-cell pair generation), probes follow the measured joint rule
+    so recall holds across decades. dial(20,000) -> (1250, 24), the
+    third-decade study's dominating point (SCALE.md)."""
+    n_cells = max(1, int(n_vecs / target_cell_size + 0.5))
+    return n_cells, semdedup_probe_for_cells(n_cells)
+
 
 def semdedup_multiprobe_survivors(
     emb: DataFrame,
@@ -1367,7 +1426,7 @@ def semdedup_survivors_v2(
     threshold: float = SEM_THRESHOLD,
     k: int = SEM_EVAL_CELLS,
     n_iter: int = SEM_EVAL_ITER,
-    n_probe: int = SEM_EVAL_PROBE,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -1380,7 +1439,15 @@ def semdedup_survivors_v2(
     0.97/0.86 at scan 0.40/0.26 on the fixture SFs). Pair generation
     stays population-capped per cell; pairs sharing several probed
     cells dedup before clustering; output is one row per vector under
-    its rank-1 cell — the same contract as every survivors variant."""
+    its rank-1 cell — the same contract as every survivors variant.
+
+    ``n_probe=None`` derives from the cell count via the measured
+    joint scale rule (semdedup_probe_for_cells) — 6 at the 128-cell
+    reference, 24 at the 1280-cell third-decade point — so scaling
+    ``k`` with the corpus carries the recall dial along instead of
+    silently fragmenting neighborhoods (the refuted cells-only rule)."""
+    if n_probe is None:
+        n_probe = semdedup_probe_for_cells(k)
     embq = (
         emb.select(
             F.col(id_col).alias("vid"),
@@ -1415,6 +1482,14 @@ def semdedup_survivors_v2(
         # (2000 x 128 x 64 doubles, measured -0.8 s); at corpus scale it
         # is corpus x k. The join is vid-keyed over corpus-sized sides.
         .join(embq.select("vid", "_vec"), "vid")
+        # the norm rides THIS checkpoint — once per vector, codegen'd
+        # when dim is known, instead of once per probe-row in a second
+        # checkpointed pass inside the shared tail (round-12: two
+        # checkpoint jobs removed from this variant's fixture wall)
+        .withColumn(
+            "_nrm",
+            _norm_u(F.col("_vec"), dim) if _use_unroll(dim) else _norm(F.col("_vec")),
+        )
         # feeds BOTH the exploded assignment and the rank-1 report
         .localCheckpoint(eager=False)
     )
@@ -1422,11 +1497,13 @@ def semdedup_survivors_v2(
         top.select(
             F.col("vid").alias(id_col),
             F.col("_vec").alias(vec_col),
+            "_nrm",
             F.explode(
                 F.transform(F.col("_ks"), lambda x: (x % k).cast("int"))
             ).alias("cell_id"),
         )
-        # four consumers in the tail (ok agg, pair sides a+b, norms)
+        # three consumers in the tail (ok agg, pair sides a+b); the tail
+        # skips its own norm pass + checkpoint on seeing _nrm
         .localCheckpoint(eager=False)
     )
     report = top.select(
@@ -2109,7 +2186,7 @@ def semdedup_incremental(
     threshold: float = SEM_THRESHOLD,
     k: int = SEM_EVAL_CELLS,
     n_iter: int = SEM_EVAL_ITER,
-    n_probe: int = SEM_EVAL_PROBE,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
@@ -2121,7 +2198,11 @@ def semdedup_incremental(
     members of the incoming vector's top-n_probe trained cells (highest
     rounded sim, ties to the lowest base id), or is_new. ``centroids``
     and ``base_index`` short-circuit training/assignment with the
-    staged artifacts; ``base`` is only consulted to build them."""
+    staged artifacts; ``base`` is only consulted to build them.
+    ``n_probe=None`` derives from ``k`` via the measured joint scale
+    rule (semdedup_probe_for_cells), like survivors_v2."""
+    if n_probe is None:
+        n_probe = semdedup_probe_for_cells(k)
     if centroids is None:
         centroids = kmeans_lloyd(
             base, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, dim=dim

@@ -1651,7 +1651,11 @@ def release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(f"n_chars div {RG_LEN_BKT}").alias("len_bkt"),
     )
-    joined = v3.join(docs, "doc_id")
+    # lazy checkpoint: the gate feeds `joined` to TWO consumers (the
+    # candidate group-count agg and the verdict join-back) — without
+    # the barrier the entire v3 pipeline above runs twice (measured
+    # 10.4 s -> ~6 s at sf0.1)
+    joined = v3.join(docs, "doc_id").localCheckpoint(eager=False)
     gated = validate.k_anonymity_gate(
         joined,
         ["lang", "source", "len_bkt"],

@@ -143,6 +143,24 @@ def test_release_gate_planted_rare_qi_flips_decision(spark):
     assert not any(x.values())
 
 
+def test_semdedup_dial_derivation():
+    """The measured joint scale rule lives IN the operator: the
+    reference dial derives itself (128 cells -> 6 probes, so fixture
+    configs are unchanged by the None default), and the third-decade
+    corpus derives the study's dominating point (SCALE.md: 1280/24,
+    recall 0.977 at scan 0.348; the engine's 20,000/16 -> 1250 cells
+    lands the same 24 probes)."""
+    from databus_spark.operators import similarity as sim
+
+    assert sim.semdedup_probe_for_cells(sim.SEM_EVAL_CELLS) == sim.SEM_EVAL_PROBE
+    assert sim.semdedup_dial(2_000) == (125, 6)
+    assert sim.semdedup_dial(20_000) == (1250, 24)
+    # monotone and clamped
+    assert sim.semdedup_probe_for_cells(1) == 1
+    k10, p10 = sim.semdedup_dial(200_000)
+    assert k10 == 12_500 and p10 > 24
+
+
 def test_min_gram_unit(spark):
     rows = spark.range(1).select(
         joins._min_gram(F.lit("banana")).alias("g1"),

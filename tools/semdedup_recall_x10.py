@@ -126,17 +126,45 @@ def eval_cfg(ids, V, Q, k, n_probe, n_iter):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=10)
+    ap.add_argument(
+        "--cfg",
+        nargs="*",
+        default=None,
+        metavar="CELLS:PROBES",
+        help="explicit (n_cells, n_probe) configs, e.g. 1280:24 640:18",
+    )
+    ap.add_argument(
+        "--auto",
+        action="store_true",
+        help="evaluate the ENGINE-derived dial (similarity.semdedup_dial)"
+        " for this corpus size — pins that the in-operator rule"
+        " reproduces the measured third-decade point",
+    )
     args = ap.parse_args()
     ids, V = load_x(args.scale)
     Q = quant(V)
     n = len(ids)
-    # sf0.1 pins 128 cells for 2,000 vecs (~15.6 vecs/cell). The scale
-    # rule holds per-cell population: n_cells = N/15.6. Measure the
-    # rule's value (scaled) against the unscaled counterfactual and one
-    # half-step.
-    for k in (128, 640, 128 * args.scale):
-        row = {"n_vecs": n, "n_cells": k, "n_probe": 6, "centroids": "trained"}
-        row.update(eval_cfg(ids, V, Q, k, 6, 3))
+    cfgs = []
+    if args.cfg:
+        cfgs += [tuple(int(x) for x in c.split(":")) for c in args.cfg]
+    if args.auto:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from databus_spark.operators.similarity import semdedup_dial
+
+        k, p = semdedup_dial(n)
+        cfgs.append((k, p))
+    if not cfgs:
+        # sf0.1 pins 128 cells for 2,000 vecs (~15.6 vecs/cell). The
+        # scale rule holds per-cell population: n_cells = N/15.6.
+        # Measure the rule's value (scaled) against the unscaled
+        # counterfactual and one half-step.
+        cfgs = [(k, 6) for k in (128, 640, 128 * args.scale)]
+    for k, p in cfgs:
+        row = {"n_vecs": n, "n_cells": k, "n_probe": p, "centroids": "trained"}
+        row.update(eval_cfg(ids, V, Q, k, p, 3))
         print(json.dumps(row), flush=True)
 
 

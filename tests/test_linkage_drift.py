@@ -132,6 +132,43 @@ def test_property_fuzzy_join_equals_bruteforce(spark, rows, max_dist):
     assert got == want
 
 
+long_corpus_strategy = st.lists(
+    st.tuples(
+        # lengths straddling LINK_PREFIX=64: the prefix-length clamp in
+        # the bucketing is what keeps long-text pairs recall-exact
+        st.text(alphabet="abc", min_size=50, max_size=95),
+        st.sampled_from(["x", "y"]),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=long_corpus_strategy, max_dist=st.sampled_from([2, 6]))
+def test_property_long_texts_equal_prefix_bruteforce(spark, rows, max_dist):
+    """Round-12 contract pin: for texts LONGER than the comparison
+    prefix, blocked output == brute force over same-lang pairs by
+    PREFIX edit distance. Under r11's full-length bucketing this fails
+    whenever two 64-char-identical prefixes ride texts whose full
+    lengths land >= one bucket apart (the truncated-duplicate class)."""
+    import itertools
+
+    docs = _docs(spark, rows)
+    got = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in joins.fuzzy_join_pairs(docs, max_dist=max_dist).collect()
+    }
+    want = {
+        (i, j, _lev(si[:64], sj[:64]))
+        for (i, (si, li)), (j, (sj, lj)) in itertools.combinations(
+            enumerate(rows), 2
+        )
+        if li == lj and _lev(si[:64], sj[:64]) <= max_dist
+    }
+    assert got == want
+
+
 def test_block_cap_drops_oversized_blocks(spark):
     # 5 IDENTICAL docs: with max_block >= 10 (5 docs x 2 buckets) all
     # C(5,2)=10 pairs emit; with max_block 4 every block is oversized,

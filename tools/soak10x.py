@@ -393,6 +393,52 @@ def fam_bm25(spark, docs, emb, sf_dir):
     text.bm25_topk(docs).write.format("noop").mode("overwrite").save()
 
 
+def _bm25_idx_dir(sf_dir: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        "/tmp", "databus_soak_bm25idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+
+
+def fam_bm25_serve(spark, docs, emb, sf_dir):
+    """The staged-index serve leg vs fam_bm25's per-query rebuild: the
+    inverted index is built once at ingest (prestage, untimed); the
+    timed leg serves the query workload plus a FIXED 50-doc delta, so
+    its corpus-size term is only the bucket-pruned postings of the
+    query vocabulary — the scale argument for staging the index at all
+    (the rebuild re-tokenizes the whole corpus per query batch)."""
+    from pyspark.sql import functions as F
+
+    from databus_spark.operators import text
+
+    d = _bm25_idx_dir(sf_dir)
+    text.bm25_serve(
+        spark.read.parquet(os.path.join(d, "postings")),
+        spark.read.parquet(os.path.join(d, "stats")),
+        spark.read.parquet(os.path.join(d, "queries")),
+        delta_docs=docs.where(F.col("doc_id") < 50),
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _prestage_bm25_serve(spark, docs, emb, sf_dir):
+    from databus_spark.operators import text
+
+    d = _bm25_idx_dir(sf_dir)
+    if os.path.exists(os.path.join(d, "_DONE")):
+        return
+    shutil.rmtree(d, ignore_errors=True)
+    text.bm25_postings(docs).write.partitionBy("bkt").parquet(
+        os.path.join(d, "postings")
+    )
+    text.bm25_corpus_stats(docs).write.parquet(os.path.join(d, "stats"))
+    text.bm25_query_terms(docs).write.parquet(os.path.join(d, "queries"))
+    open(os.path.join(d, "_DONE"), "w").write("1")
+
+
+fam_bm25_serve.prestage = _prestage_bm25_serve
+
+
 def fam_semdedup_incremental(spark, docs, emb, sf_dir):
     # registry query: stages the base cell index once (prestage), the
     # timed leg is the rolling-ingest probe against it
@@ -417,6 +463,7 @@ FAMILIES = {
     "fuzzy_join": fam_fuzzy_join,
     "corpus_drift": fam_corpus_drift,
     "bm25": fam_bm25,
+    "bm25_serve": fam_bm25_serve,
     "semdedup_incremental": fam_semdedup_incremental,
     "stream_apply_unbucketed": fam_stream_apply_unbucketed,
     "media_dhash": fam_media_dhash,

@@ -57,6 +57,7 @@ _WINDOW = [
     # breaks ties.
     "bm25_incremental",
     "release_gate",
+    "ann_sq8_topk",
     "fuzzy_join_docs",
     "record_linkage_clusters",
     "fuzzy_join_incremental",
@@ -104,12 +105,12 @@ _WINDOW = [
     "train_split_assign",
     "urgent_orders_shipped",
     "as_of_join_events",
-    "decontaminate_vs_benchmark",
 ]
 
 # below the 50-row window this round (all still verified locally),
 # oldest external green first — next round's rotation reads top-down:
 _REST = [
+    "decontaminate_vs_benchmark",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -155,6 +155,155 @@ def cosine_topk_sql(n_queries: int = 10, k: int = 5) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Scalar-quantized (int8) brute-force top-k — the memory/IO lever
+# ---------------------------------------------------------------------------
+# At the 100 TB embedding tier the standard first move is scalar
+# quantization: per-vector symmetric int8 (q_i = floor(x_i/m * 127 +
+# 0.5), m = the vector's max |component|) cuts the stored/scanned
+# bytes 8x vs float64 and keeps dot products in exact INTEGER
+# arithmetic (<= 64 * 127^2 per pair — no float accumulation order to
+# argue about, so the engine and the DuckDB twin agree bit-for-bit by
+# construction). The per-vector scale CANCELS in cosine, so int8
+# cosine approximates float cosine with only the rounding error of
+# the 127-level grid; the operator's output carries the measured
+# answer-quality signal in-row (`in_float_topk`: is this neighbor
+# also in the exact float top-k), making the quantization-recall
+# tradeoff a checked quantity, not a claim.
+
+SQ8_SCALE = 127
+
+
+def _sq8(vec: Column) -> Column:
+    m = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    return F.transform(
+        vec,
+        lambda x: F.floor(x / m * SQ8_SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim_q8, in_float_topk): top-k by
+    int8-quantized cosine for the hash-convention query set, each hit
+    flagged against the EXACT float top-k (same k, the cosine_topk
+    ranking). Deterministic: integer dots, one double expression per
+    pair rounded to 6dp, ties to the lowest neighbor id. Assumes
+    non-zero vectors (an all-zero vector quantizes to a zero norm and
+    NaN sim — the fixture has none; a production deployment drops or
+    epsilon-pads them at ingest)."""
+    qz = emb.select(
+        F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_qv")
+    ).localCheckpoint(eager=False)  # quantize once, feed both join sides
+    q = qz.where(F.col("_id") < n_queries).select(
+        F.col("_id").alias("query_id"), F.col("_qv").alias("_qq")
+    )
+    c = qz.select(F.col("_id").alias("neighbor_id"), F.col("_qv").alias("_qc"))
+    sim = F.round(
+        _idot(F.col("_qq"), F.col("_qc")).cast("double")
+        / (
+            F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double"))
+            * F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim_q8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q8"), F.asc("neighbor_id")
+    )
+    fl = cosine_topk(emb, n_queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id", F.lit(True).alias("_in_f")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(fl), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "sim_q8",
+            F.coalesce(F.col("_in_f"), F.lit(False)).alias("in_float_topk"),
+        )
+    )
+
+
+def sq8_topk_sql(n_queries: int = 10, k: int = 5) -> str:
+    """DuckDB twin: identical quantization grid (floor(x/m*127+0.5) —
+    no round(), whose half-away ties differ between engines), integer
+    dots, one double expression per pair."""
+    idot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    dqc = idot.format(a="q.qv", b="c.qv")
+    dqq = idot.format(a="q.qv", b="q.qv")
+    dcc = idot.format(a="c.qv", b="c.qv")
+    fsim = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+        WITH sq8_m AS (
+            SELECT vec_id, embedding,
+                   greatest(list_max(list_transform(embedding,
+                            e -> abs(e))), 1e-30) AS m
+            FROM embeddings),
+        sq8 AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                        e -> CAST(floor(e / m * {SQ8_SCALE}.0 + 0.5)
+                                  AS BIGINT)) AS qv
+            FROM sq8_m),
+        sq8_float_topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({fsim}, 6) DESC, c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {n_queries})
+            WHERE rank <= {k}),
+        sq8_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(CAST({dqc} AS DOUBLE)
+                         / (sqrt(CAST({dqq} AS DOUBLE))
+                            * sqrt(CAST({dcc} AS DOUBLE))), 6) AS sim_q8
+            FROM sq8 q JOIN sq8 c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}),
+        sq8_rk AS (
+            SELECT query_id, neighbor_id, sim_q8,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim_q8 DESC, neighbor_id ASC
+                   ) AS rank
+            FROM sq8_scored)
+        SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank,
+               r.sim_q8, f.query_id IS NOT NULL AS in_float_topk
+        FROM sq8_rk r
+        LEFT JOIN sq8_float_topk f
+          ON r.query_id = f.query_id AND r.neighbor_id = f.neighbor_id
+        WHERE r.rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Sign-LSH bucketing (the scale path)
 # ---------------------------------------------------------------------------
 

@@ -867,6 +867,20 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+@query("ann_sq8_topk", similarity.sq8_topk_sql(n_queries=10, k=5))
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) brute-force top-5: the embedding tier's
+    memory/IO lever — 8x fewer stored/scanned bytes than float64,
+    EXACT integer dot products (no cross-engine float accumulation to
+    reconcile), with the quantization's answer quality carried in-row
+    as in_float_topk against the exact float ranking. The symmetric
+    per-vector grid floor(x/m*127+0.5) is identical in both engines by
+    construction (no round() half-tie divergence)."""
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )
+
+
 @query("ann_lsh_topk", similarity.lsh_topk_sql(n_queries=10, k=5))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table sign-LSH (OR-amplified recall, scale path)."""

@@ -161,6 +161,32 @@ def test_semdedup_dial_derivation():
     assert k10 == 12_500 and p10 > 24
 
 
+def test_sq8_scale_invariance_and_recall_flag(spark):
+    """int8-quantized cosine: the per-vector scale cancels (two
+    parallel vectors at very different magnitudes read sim_q8 = 1.0),
+    an anti-parallel vector reads -1.0, and in_float_topk flags
+    agreement with the exact float ranking."""
+    from databus_spark.operators import similarity as sim
+
+    rows = [
+        (0, [0.001, 0.002, 0.0]),     # query: tiny magnitude
+        (1, [500.0, 1000.0, 0.0]),    # parallel, huge magnitude
+        (2, [-0.5, -1.0, 0.0]),       # anti-parallel
+        (3, [1.0, 0.0, 0.0]),         # orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.query_id, r.neighbor_id): (r.rank, r.sim_q8, r.in_float_topk)
+        for r in sim.sq8_topk(emb, n_queries=1, k=3).collect()
+    }
+    assert got[(0, 1)][0] == 1 and got[(0, 1)][1] == 1.0
+    # the floor(x+0.5) grid is half-a-step asymmetric around zero
+    # (0.5 -> 64, -0.5 -> -63 at scale 127), so anti-parallel reads
+    # -1 + O(1/127), ranked last — not the exact -1.0
+    assert got[(0, 2)][0] == 3 and abs(got[(0, 2)][1] + 1.0) < 0.001
+    assert all(v[2] for v in got.values())  # everyone is in top-3 of 3
+
+
 def test_min_gram_unit(spark):
     rows = spark.range(1).select(
         joins._min_gram(F.lit("banana")).alias("g1"),

@@ -54,6 +54,24 @@ from pyspark.sql.window import Window
 # drop. Recall in the oversized regime is therefore heuristic
 # (min-gram agreement), never worse than the r11 drop-the-block rule,
 # and the under-cap regime keeps the exact guarantee.
+#
+# CLONE COLLAPSE (r13, closing the r12 clone-pile-up residual): before
+# any population is counted, records are collapsed to one
+# REPRESENTATIVE per distinct (block key, bucket, prefix) — exact
+# prefix clones contribute ONE row to every block population and ONE
+# side to every DP comparison, and the final pair set is expanded back
+# through the clone map (dist(pair) = dist(reps) exactly, since the
+# distance only reads the prefix; within-group pairs are dist 0 by
+# construction). Consequences: (a) a clone heap can never saturate a
+# block or a sub-block — the r12 residual (sub-blocks where every
+# member shares the min-gram BY CONSTRUCTION dropping wholesale) is
+# gone, recall for clone heaps is EXACT at O(group) index cost;
+# (b) the cap now bounds DISTINCT-PREFIX diversity per sub-block,
+# which is the quantity the C(cap,2) DP-cost argument actually needs.
+# Pair EXPANSION is output-bound (a clone heap's C(m,2) dist-0 pairs
+# are the operator's declared product); downstream clustering should
+# consume the clone map's star edges instead when pair enumeration
+# isn't the product — connectivity is identical at O(m) edges.
 
 LINK_PREFIX = 64  # chars the distance is computed over (O(P^2) DP per pair)
 LINK_MAX_DIST = 12  # default accept threshold (fixture corpus: near-dup
@@ -75,7 +93,8 @@ def fuzzy_join_pairs(
     max_block: int = LINK_MAX_BLOCK,
 ) -> DataFrame:
     """(doc_a, doc_b, dist): record pairs with prefix edit distance
-    <= max_dist, doc_a < doc_b, found via exact-key + length blocking.
+    <= max_dist, doc_a < doc_b, found via exact-key + length blocking
+    with clone collapse (see the module note).
 
     Distance semantics are Spark's ``levenshtein`` — CHARACTER
     (codepoint) edit distance, well-defined for any input. The DuckDB
@@ -83,17 +102,26 @@ def fuzzy_join_pairs(
     input and raises on non-ASCII rather than silently diverging (see
     fuzzy_join_pairs_sql).
 
-    Scale shape: one explode (x2 bucket replication), one shuffle on
-    the block key (BOTH window counts that size blocks and sub-blocks
-    ride it — hash on (_blk, _bkt) satisfies the refined (_blk, _bkt,
-    _sec) clustering, so level 2 adds a sort, not an exchange), a
-    block-local self-join whose per-key fan-out is hard-capped at
-    C(max_block, 2), and one pair-dedup groupBy. Never a corpus-wide
-    self-join: every joined row shares a (sub-)block, and over-cap
-    sub-blocks are gone before the join. A pair sharing BOTH
-    replicated buckets is emitted twice and deduped by the final
-    groupBy (min(dist) — the distance is identical, min is just the
-    dedup idiom).
+    Scale shape: one clone-collapse shuffle (the (_blk, _b0, _pfx)
+    window), one explode (x2 bucket replication of the REPS), one
+    shuffle on the block key (BOTH window counts that size blocks and
+    sub-blocks ride it — hash on (_blk, _bkt) satisfies the refined
+    (_blk, _bkt, _sec) clustering, so level 2 adds a sort, not an
+    exchange), a block-local rep self-join whose per-key DP fan-out is
+    hard-capped at C(max_block, 2), then the cheap expansion joins
+    (rep pairs x clone members; the clone map carries only multi-
+    member groups, so both expansion joins are vs a table the size of
+    the duplication mass, which AQE broadcasts when small) and one
+    pair-dedup groupBy. Never a corpus-wide self-join; DP distance
+    runs once per DISTINCT-PREFIX pair, however many clones share the
+    prefix.
+
+    Pair generation is a block-local self-join, NOT the grouped
+    pair-array pattern the shingle family uses: here each side of a
+    pair carries a 64-char prefix, and building C(n,2) struct copies
+    inside nested transform() runs interpreted (measured 19 s at
+    sf0.1); the equi-join keeps levenshtein and the a<b filter inside
+    whole-stage codegen (measured ~3 s on the identical pair set).
     """
     if bucket <= max_dist:
         raise ValueError(
@@ -102,19 +130,22 @@ def fuzzy_join_pairs(
         )
     from pyspark.sql.window import Window
 
-    blocks = _fuzzy_blocks(docs, text_col, block_col, len_col, prefix_len, bucket)
+    grouped = _fuzzy_groups(docs, text_col, block_col, len_col, prefix_len, bucket)
+    clone_map = grouped.where(F.col("_m") >= 2).select("_rep", "doc_id")
+    reps = grouped.where(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id",
+        "_blk",
+        "_pfx",
+        "_gram",
+        F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
+    )
     # per-block population via a window count — the same single shuffle
-    # that co-locates the block also sizes it (no second pass). Blocks
-    # under the cap keep the sentinel secondary key; oversized blocks
-    # re-key on the min-gram, and the SECOND window count (same
+    # that co-locates the block also sizes it (no second pass); counts
+    # are over REPS, so the cap now measures distinct-prefix diversity.
+    # Blocks under the cap keep the sentinel secondary key; oversized
+    # blocks re-key on the min-gram, and the SECOND window count (same
     # exchange, refined key) applies the cap to the sub-blocks — all
     # BEFORE any pair is formed.
-    # Pair generation is a block-local self-join, NOT the grouped
-    # pair-array pattern the shingle family uses: here each side of a
-    # pair carries a 64-char prefix, and building C(n,2) struct copies
-    # inside nested transform() runs interpreted (measured 19 s at
-    # sf0.1); the equi-join keeps levenshtein and the a<b filter inside
-    # whole-stage codegen (measured ~3 s on the identical pair set).
     n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
     n2_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt", "_sec"))
     # Explicit keyed repartition before the checkpoint: the block table
@@ -128,7 +159,7 @@ def fuzzy_join_pairs(
     # partitioning, so the self-join needs no further exchange.
     par = docs.sparkSession.sparkContext.defaultParallelism
     ok = (
-        blocks.withColumn("_n", n_w)
+        reps.withColumn("_n", n_w)
         .withColumn(
             "_sec",
             F.when(F.col("_n") <= max_block, F.lit(_LINK_SEC_NONE)).otherwise(
@@ -155,7 +186,7 @@ def fuzzy_join_pairs(
         "_bkt",
         "_sec",
     )
-    return (
+    rep_pairs = (
         a.join(b, ["_blk", "_bkt", "_sec"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -164,12 +195,49 @@ def fuzzy_join_pairs(
             F.levenshtein(F.col("_pa"), F.col("_pb")).alias("_d"),
         )
         .where(F.col("_d") <= max_dist)
+        .groupBy("doc_a", "doc_b")  # dedup the two-bucket duplicate
+        .agg(F.min("_d").alias("_d"))
+    )
+    # expansion: dist(member pair) == dist(rep pair) exactly (the
+    # distance reads only the prefix, shared within a group). Clone
+    # groups expand through the map (left join; singleton reps — the
+    # common case — coalesce to themselves)...
+    ma = clone_map.select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("_da"))
+    mb = clone_map.select(F.col("_rep").alias("doc_b"), F.col("doc_id").alias("_db"))
+    cross = (
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.least(
+                F.coalesce(F.col("_da"), F.col("doc_a")),
+                F.coalesce(F.col("_db"), F.col("doc_b")),
+            ).alias("doc_a"),
+            F.greatest(
+                F.coalesce(F.col("_da"), F.col("doc_a")),
+                F.coalesce(F.col("_db"), F.col("doc_b")),
+            ).alias("doc_b"),
+            "_d",
+        )
+    )
+    # ...and every multi-member group emits its own C(m, 2) dist-0
+    # pairs UNCONDITIONALLY (identical prefixes share every block by
+    # construction, so no cap may drop them — the r12 clone-pile-up
+    # residual, closed).
+    x = clone_map.select(F.col("_rep"), F.col("doc_id").alias("doc_a"))
+    y = clone_map.select(F.col("_rep"), F.col("doc_id").alias("doc_b"))
+    within = (
+        x.join(y, "_rep")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).alias("_d"))
+    )
+    return (
+        cross.unionByName(within)
         .groupBy("doc_a", "doc_b")
         .agg(F.min("_d").cast("int").alias("dist"))
     )
 
 
-def _fuzzy_blocks(
+def _fuzzy_pre(
     docs: DataFrame,
     text_col: str,
     block_col: str,
@@ -178,11 +246,12 @@ def _fuzzy_blocks(
     bucket: int,
     id_alias: str = "doc_id",
 ) -> DataFrame:
-    """The blocking transform shared by the batch and incremental
-    paths: each record replicated into its own and the next length
-    bucket, carrying its comparison prefix and its secondary-key
-    candidate (the min 4-gram of the prefix, used only when a block
-    runs over the cap).
+    """Per-record blocking attributes BEFORE bucket replication:
+    (id, _blk, _pfx, _gram, _b0). Rows with a NULL block key, prefix,
+    or bucket are dropped here — they could never produce a pair under
+    the old null-rejecting equi-join either (NULL keys don't join;
+    NULL prefixes fail the distance filter), and the clone-collapse
+    grouping must not treat NULL as a joinable clone key.
 
     The bucket is computed on least(len, prefix_len) — the PREFIX
     length, since that is what the distance runs over (prefix lengths
@@ -196,7 +265,59 @@ def _fuzzy_blocks(
         F.col(block_col).alias("_blk"),
         pfx.alias("_pfx"),
         _min_gram(pfx).alias("_gram"),
-        F.explode(F.array(b0, b0 + F.lit(1))).alias("_bkt"),
+        b0.alias("_b0"),
+    ).where(
+        F.col("_blk").isNotNull()
+        & F.col("_pfx").isNotNull()
+        & F.col("_b0").isNotNull()
+    )
+
+
+def _fuzzy_blocks(
+    docs: DataFrame,
+    text_col: str,
+    block_col: str,
+    len_col: str,
+    prefix_len: int,
+    bucket: int,
+    id_alias: str = "doc_id",
+) -> DataFrame:
+    """The row-level blocking transform (each record replicated into
+    its own and the next length bucket) — used by the streaming
+    resolver's per-batch index leaves, which accumulate raw rows."""
+    return _fuzzy_pre(
+        docs, text_col, block_col, len_col, prefix_len, bucket, id_alias
+    ).select(
+        id_alias,
+        "_blk",
+        "_pfx",
+        "_gram",
+        F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
+    )
+
+
+def _fuzzy_groups(
+    docs: DataFrame,
+    text_col: str,
+    block_col: str,
+    len_col: str,
+    prefix_len: int,
+    bucket: int,
+    id_alias: str = "doc_id",
+) -> DataFrame:
+    """Clone-collapse grouping: every record annotated with its clone
+    group's representative (_rep = min id over the records sharing its
+    (_blk, _b0, _pfx)) and the group population (_m). ONE shuffle (the
+    window key); lazily checkpointed because every caller feeds it to
+    at least two consumers (the rep table and the clone map)."""
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy("_blk", "_b0", "_pfx")
+    return (
+        _fuzzy_pre(docs, text_col, block_col, len_col, prefix_len, bucket, id_alias)
+        .withColumn("_rep", F.min(id_alias).over(wg))
+        .withColumn("_m", F.count(F.lit(1)).over(wg))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -228,19 +349,31 @@ def fuzzy_join_blocks(
     max_block: int = LINK_MAX_BLOCK,
 ) -> DataFrame:
     """The base corpus's stageable linkage index: the capped block
-    table (base_id, _blk, _bkt, _sec, _pfx). Built ONCE at ingest and
-    probed by every incremental batch — the fuzzy-join sibling of the
-    LSH band index and the SemDeDup cell assignment. Oversized blocks
-    re-key HERE on the secondary min-gram (under-cap blocks keep the
-    sentinel key), and only sub-blocks still over cap drop — so the
-    staged artifact itself carries the cost ceiling (an incremental
-    probe can never resurrect a sub-block the batch semantics would
-    drop). No >= 2 floor: a singleton base block is a legitimate probe
-    target for incoming rows."""
+    table (base_id, _blk, _bkt, _sec, _pfx) at CLONE-REP level —
+    base_id is the min doc id of its distinct-prefix group, and the
+    companion fuzzy_join_clone_map artifact expands probe hits back to
+    the group's members. Built ONCE at ingest and probed by every
+    incremental batch — the fuzzy-join sibling of the LSH band index
+    and the SemDeDup cell assignment. Block populations count REPS
+    (distinct prefixes), so a clone heap contributes one row and can
+    never saturate a block. Oversized blocks re-key HERE on the
+    secondary min-gram (under-cap blocks keep the sentinel key), and
+    only sub-blocks still over cap drop — so the staged artifact
+    itself carries the cost ceiling (an incremental probe can never
+    resurrect a sub-block the batch semantics would drop). No >= 2
+    floor: a singleton base block is a legitimate probe target for
+    incoming rows."""
     from pyspark.sql.window import Window
 
-    blocks = _fuzzy_blocks(
+    grouped = _fuzzy_groups(
         docs, text_col, block_col, len_col, prefix_len, bucket, id_alias="base_id"
+    )
+    blocks = grouped.where(F.col("base_id") == F.col("_rep")).select(
+        "base_id",
+        "_blk",
+        "_pfx",
+        "_gram",
+        F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
     )
     n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
     n2_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt", "_sec"))
@@ -258,10 +391,30 @@ def fuzzy_join_blocks(
     )
 
 
+def fuzzy_join_clone_map(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_col: str = "lang",
+    len_col: str = "n_chars",
+    prefix_len: int = LINK_PREFIX,
+    bucket: int = LINK_LEN_BUCKET,
+) -> DataFrame:
+    """(rep_id, member_id): the clone-group membership of every MULTI-
+    member distinct-prefix group (singleton groups are implicit — a
+    rep with no map row represents only itself), including the rep's
+    own row. The expansion companion of fuzzy_join_blocks: its size is
+    the corpus's duplication mass, not the corpus."""
+    grouped = _fuzzy_groups(docs, text_col, block_col, len_col, prefix_len, bucket)
+    return grouped.where(F.col("_m") >= 2).select(
+        F.col("_rep").alias("rep_id"), F.col("doc_id").alias("member_id")
+    )
+
+
 def fuzzy_join_incremental(
     incoming: DataFrame,
     base: DataFrame | None = None,
     base_blocks: DataFrame | None = None,
+    base_map: DataFrame | None = None,
     text_col: str = "text",
     block_col: str = "lang",
     len_col: str = "n_chars",
@@ -272,16 +425,22 @@ def fuzzy_join_incremental(
 ) -> DataFrame:
     """(doc_id, base_id, dist): incoming records linked to base records
     within max_dist — rolling-ingest record linkage. The base side is
-    the staged block index (pass ``base_blocks`` to probe the
-    index-at-ingest artifact; passing ``base`` rebuilds it inline);
-    the incoming batch never joins itself and the base is never
-    re-blocked per batch. Per-incoming-row cost is bounded by
+    the staged block index (pass ``base_blocks`` [+ ``base_map``, the
+    clone-map companion] to probe the index-at-ingest artifact;
+    passing ``base`` builds both inline); the incoming batch never
+    joins itself and the base is never re-blocked per batch. The
+    incoming side clone-collapses internally (identical-prefix
+    incoming rows probe once and expand after); base-side hits expand
+    through ``base_map`` when provided — a base_blocks built by
+    fuzzy_join_blocks is rep-level, so omitting its map under-reports
+    clone members (the streaming resolver's raw row-level leaves
+    legitimately carry no map). Per-incoming-GROUP cost is bounded by
     2 x 2 x max_block DP comparisons whatever the batch's own skew
-    (the cap lives on the BASE blocks; an incoming pile-up multiplies
-    rows, not per-row cost; the extra x2 is the dual-secondary probe
-    below). Same recall guarantee as the batch operator: the
-    two-bucket probe covers any pair within max_dist < bucket against
-    under-cap base blocks; split base blocks match on the min-gram.
+    (the cap lives on the BASE blocks; the extra x2 is the
+    dual-secondary probe below). Same recall guarantee as the batch
+    operator: the two-bucket probe covers any pair within max_dist <
+    bucket against under-cap base blocks; split base blocks match on
+    the min-gram; clone heaps on either side are exact.
 
     An incoming row cannot know whether its base block was split, so
     it probes BOTH secondary keys — the sentinel (matches under-cap
@@ -299,12 +458,26 @@ def fuzzy_join_incremental(
         base_blocks = fuzzy_join_blocks(
             base, text_col, block_col, len_col, prefix_len, bucket, max_block
         )
+        base_map = fuzzy_join_clone_map(
+            base, text_col, block_col, len_col, prefix_len, bucket
+        )
     # same AQE hazard as the batch op: both join inputs are byte-small
     # while the DP work per OUTPUT row is not — an explicit keyed
     # repartition keeps the probe stage at full width
     par = incoming.sparkSession.sparkContext.defaultParallelism
+    grouped = _fuzzy_groups(
+        incoming, text_col, block_col, len_col, prefix_len, bucket
+    )
+    inc_map = grouped.where(F.col("_m") >= 2).select("_rep", "doc_id")
     inc = (
-        _fuzzy_blocks(incoming, text_col, block_col, len_col, prefix_len, bucket)
+        grouped.where(F.col("doc_id") == F.col("_rep"))
+        .select(
+            "doc_id",
+            "_pfx",
+            "_blk",
+            "_gram",
+            F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
+        )
         .select(
             "doc_id",
             "_pfx",
@@ -317,7 +490,7 @@ def fuzzy_join_incremental(
     b = base_blocks.select(
         "base_id", F.col("_pfx").alias("_pb"), "_blk", "_bkt", "_sec"
     )
-    return (
+    rep_hits = (
         inc.join(b, ["_blk", "_bkt", "_sec"])
         .select(
             "doc_id",
@@ -325,7 +498,25 @@ def fuzzy_join_incremental(
             F.levenshtein(F.col("_pfx"), F.col("_pb")).alias("_d"),
         )
         .where(F.col("_d") <= max_dist)
-        .groupBy("doc_id", "base_id")
+    )
+    # expansion: incoming clone groups fan back out through inc_map;
+    # base reps through base_map (both left joins vs duplication-mass
+    # tables; singletons coalesce to themselves)
+    im = inc_map.select(F.col("_rep").alias("doc_id"), F.col("doc_id").alias("_im"))
+    expanded = rep_hits.join(im, "doc_id", "left").select(
+        F.coalesce(F.col("_im"), F.col("doc_id")).alias("doc_id"), "base_id", "_d"
+    )
+    if base_map is not None:
+        bm = base_map.select(
+            F.col("rep_id").alias("base_id"), F.col("member_id").alias("_bm")
+        )
+        expanded = expanded.join(bm, "base_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("_bm"), F.col("base_id")).alias("base_id"),
+            "_d",
+        )
+    return (
+        expanded.groupBy("doc_id", "base_id")
         .agg(F.min("_d").cast("int").alias("dist"))
     )
 
@@ -366,11 +557,23 @@ def fuzzy_join_incremental_sql(
                    substr(text, 1, {prefix_len}) AS pfx,
                    least(n_chars, {prefix_len}) // {bucket} AS b0
             FROM ({base_sql})),
+        fji_bpre AS (
+            SELECT base_id, blk, {pfx_guard} AS pfx, b0
+            FROM fji_base0
+            WHERE blk IS NOT NULL AND pfx IS NOT NULL AND b0 IS NOT NULL),
+        fji_bgrp AS (
+            SELECT blk, b0, pfx, min(base_id) AS rep, count(*) AS m
+            FROM fji_bpre GROUP BY 1, 2, 3),
+        fji_bmap AS (
+            SELECT g.rep, p.base_id
+            FROM fji_bpre p JOIN fji_bgrp g
+              ON p.blk = g.blk AND p.b0 = g.b0 AND p.pfx = g.pfx
+            WHERE g.m >= 2),
         fji_bblocks AS (
-            SELECT base_id, blk, {pfx_guard} AS pfx,
+            SELECT rep AS base_id, blk, pfx,
                    {_min_gram_sql('pfx')} AS gram,
                    unnest([b0, b0 + 1]) AS bkt
-            FROM fji_base0),
+            FROM fji_bgrp),
         fji_bpop AS (
             SELECT blk, bkt, count(*) AS n FROM fji_bblocks GROUP BY 1, 2),
         fji_blvl AS (
@@ -390,20 +593,40 @@ def fuzzy_join_incremental_sql(
             SELECT doc_id, lang AS blk, substr(text, 1, {prefix_len}) AS pfx,
                    least(n_chars, {prefix_len}) // {bucket} AS b0
             FROM ({incoming_sql})),
+        fji_ipre AS (
+            SELECT doc_id, blk, {pfx_guard} AS pfx, b0
+            FROM fji_inc0
+            WHERE blk IS NOT NULL AND pfx IS NOT NULL AND b0 IS NOT NULL),
+        fji_igrp AS (
+            SELECT blk, b0, pfx, min(doc_id) AS rep, count(*) AS m
+            FROM fji_ipre GROUP BY 1, 2, 3),
+        fji_imap AS (
+            SELECT g.rep, p.doc_id
+            FROM fji_ipre p JOIN fji_igrp g
+              ON p.blk = g.blk AND p.b0 = g.b0 AND p.pfx = g.pfx
+            WHERE g.m >= 2),
         fji_inc1 AS (
-            SELECT doc_id, blk, {pfx_guard} AS pfx,
+            SELECT rep AS doc_id, blk, pfx,
                    {_min_gram_sql('pfx')} AS gram,
                    unnest([b0, b0 + 1]) AS bkt
-            FROM fji_inc0),
+            FROM fji_igrp),
         fji_inc AS (
             SELECT doc_id, blk, bkt, pfx, unnest(['', gram]) AS sec
             FROM fji_inc1),
-        fji_pairs AS (
+        fji_rhits AS (
             SELECT i.doc_id, b.base_id, levenshtein(i.pfx, b.pfx) AS d
             FROM fji_inc i JOIN fji_bok b
-              ON i.blk = b.blk AND i.bkt = b.bkt AND i.sec = b.sec)
+              ON i.blk = b.blk AND i.bkt = b.bkt AND i.sec = b.sec
+            WHERE levenshtein(i.pfx, b.pfx) <= {max_dist}),
+        fji_pairs AS (
+            SELECT coalesce(im.doc_id, r.doc_id) AS doc_id,
+                   coalesce(bm.base_id, r.base_id) AS base_id,
+                   r.d
+            FROM fji_rhits r
+            LEFT JOIN fji_imap im ON im.rep = r.doc_id
+            LEFT JOIN fji_bmap bm ON bm.rep = r.base_id)
         SELECT doc_id, base_id, CAST(min(d) AS INT) AS dist
-        FROM fji_pairs WHERE d <= {max_dist} GROUP BY 1, 2
+        FROM fji_pairs GROUP BY 1, 2
     """
 
 
@@ -431,11 +654,23 @@ def fuzzy_join_pairs_sql(
             SELECT doc_id, lang AS blk, substr(text, 1, {prefix_len}) AS pfx,
                    least(n_chars, {prefix_len}) // {bucket} AS b0
             FROM ({from_sql})),
+        fj_pre AS (
+            SELECT doc_id, blk, {pfx_guard} AS pfx, b0
+            FROM fj_base
+            WHERE blk IS NOT NULL AND pfx IS NOT NULL AND b0 IS NOT NULL),
+        fj_grp AS (
+            SELECT blk, b0, pfx, min(doc_id) AS rep, count(*) AS m
+            FROM fj_pre GROUP BY 1, 2, 3),
+        fj_map AS (
+            SELECT g.rep, p.doc_id
+            FROM fj_pre p JOIN fj_grp g
+              ON p.blk = g.blk AND p.b0 = g.b0 AND p.pfx = g.pfx
+            WHERE g.m >= 2),
         fj_blocks AS (
-            SELECT doc_id, blk, {pfx_guard} AS pfx,
+            SELECT rep AS doc_id, blk, pfx,
                    {_min_gram_sql('pfx')} AS gram,
                    unnest([b0, b0 + 1]) AS bkt
-            FROM fj_base),
+            FROM fj_grp),
         fj_pop AS (
             SELECT blk, bkt, count(*) AS n FROM fj_blocks GROUP BY 1, 2),
         fj_lvl AS (
@@ -450,14 +685,29 @@ def fuzzy_join_pairs_sql(
             JOIN fj_pop2 p
               ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec
             WHERE p.n BETWEEN 2 AND {max_block}),
+        fj_rpairs AS (
+            SELECT doc_a, doc_b, min(d) AS d FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       levenshtein(a.pfx, b.pfx) AS d
+                FROM fj_ok a JOIN fj_ok b
+                  ON a.blk = b.blk AND a.bkt = b.bkt AND a.sec = b.sec
+                 AND a.doc_id < b.doc_id)
+            WHERE d <= {max_dist} GROUP BY 1, 2),
         fj_pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   levenshtein(a.pfx, b.pfx) AS d
-            FROM fj_ok a JOIN fj_ok b
-              ON a.blk = b.blk AND a.bkt = b.bkt AND a.sec = b.sec
-             AND a.doc_id < b.doc_id)
+            SELECT least(coalesce(ma.doc_id, r.doc_a),
+                         coalesce(mb.doc_id, r.doc_b)) AS doc_a,
+                   greatest(coalesce(ma.doc_id, r.doc_a),
+                            coalesce(mb.doc_id, r.doc_b)) AS doc_b,
+                   r.d
+            FROM fj_rpairs r
+            LEFT JOIN fj_map ma ON ma.rep = r.doc_a
+            LEFT JOIN fj_map mb ON mb.rep = r.doc_b
+            UNION ALL
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS d
+            FROM fj_map x JOIN fj_map y
+              ON x.rep = y.rep AND x.doc_id < y.doc_id)
         SELECT doc_a, doc_b, CAST(min(d) AS INT) AS dist
-        FROM fj_pairs WHERE d <= {max_dist} GROUP BY 1, 2
+        FROM fj_pairs GROUP BY 1, 2
     """
 
 

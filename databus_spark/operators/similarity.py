@@ -197,15 +197,23 @@ def sq8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_recall: bool = True,
 ) -> DataFrame:
-    """(query_id, neighbor_id, rank, sim_q8, in_float_topk): top-k by
+    """(query_id, neighbor_id, rank, sim_q8[, in_float_topk]): top-k by
     int8-quantized cosine for the hash-convention query set, each hit
     flagged against the EXACT float top-k (same k, the cosine_topk
     ranking). Deterministic: integer dots, one double expression per
     pair rounded to 6dp, ties to the lowest neighbor id. Assumes
     non-zero vectors (an all-zero vector quantizes to a zero norm and
     NaN sim — the fixture has none; a production deployment drops or
-    epsilon-pads them at ingest)."""
+    epsilon-pads them at ingest).
+
+    ``check_recall`` is fixture-scale recall INSTRUMENTATION: it runs
+    the exact float cosine_topk alongside, which costs strictly more
+    than the quantized scan it validates (r12 ADVICE). The scale
+    deployment — where SQ8 is the actual 8x IO lever — passes False
+    and the ``in_float_topk`` column is omitted; only the quantized
+    scan runs."""
     qz = emb.select(
         F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_qv")
     ).localCheckpoint(eager=False)  # quantize once, feed both join sides
@@ -229,13 +237,22 @@ def sq8_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim_q8"), F.asc("neighbor_id")
     )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    if not check_recall:
+        return ranked.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "sim_q8",
+        )
     fl = cosine_topk(emb, n_queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id", F.lit(True).alias("_in_f")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .join(F.broadcast(fl), ["query_id", "neighbor_id"], "left")
+        ranked.join(F.broadcast(fl), ["query_id", "neighbor_id"], "left")
         .select(
             "query_id",
             "neighbor_id",
@@ -298,6 +315,230 @@ def sq8_topk_sql(n_queries: int = 10, k: int = 5) -> str:
                r.sim_q8, f.query_id IS NOT NULL AS in_float_topk
         FROM sq8_rk r
         LEFT JOIN sq8_float_topk f
+          ON r.query_id = f.query_id AND r.neighbor_id = f.neighbor_id
+        WHERE r.rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF + SQ8: the serving-tier composition (r12 verdict #3)
+# ---------------------------------------------------------------------------
+# sq8_topk alone is an exact scan over quantized vectors — the 8x byte
+# win is real but at 100 TB it still touches every vector. The serving
+# shape the int8 leg exists for prunes FIRST: coarse IVF cells bound
+# which vectors are read at all (file-level pruning when the index is
+# written partitioned by cell_id), then the int8 codes inside probed
+# cells are scored with exact integer dots. Stored index = one argmax
+# cell id + 64 int8 codes per vector: 8x fewer bytes than float64 AND
+# only nprobe/n_cells of them scanned per query. Answer quality and
+# scan cost are both carried IN-ROW (`in_float_topk` vs the exact
+# float ranking; `cand_frac` = candidates scored / corpus size), so
+# the recall/IO tradeoff is a checked quantity per record, not a
+# config comment.
+
+# Fixture dial, measured (numpy sweep + Spark confirmation, r13): the
+# synthetic embeddings are ISOTROPIC (mean true-neighbor cosine 0.33 at
+# sf0.01 / 0.37 at sf0.1), so recall is information-theoretically ~= the
+# scanned fraction — no partition of random data separates neighbors,
+# and matching the flat SQ8 scan's 0.98 recall therefore forces the
+# dial to near-full coverage HERE: assign=3/probe=5 of 8 cells reads
+# recall 0.98/0.98/1.00 at cand_frac ~0.98 across the three SFs
+# (assign=2/probe=5 reads 0.96 at 0.89 — pruning buys 11% scan for
+# 0.02 recall on noise). The pruning VALUE shows on clusterable data:
+# the planted-cluster test (tests/test_round13_ops.py) pins the SAME
+# operator at a cluster-appropriate dial (assign=1, nprobe=1) reading
+# recall 1.0 at cand_frac ~1/n_cells — the shape a real (clustered)
+# 100 TB embedding corpus actually gets, where the dial is chosen per
+# corpus via the recall-eval pre-flight (ann_recall_eval).
+SQ8IVF_ASSIGN = 3  # cells each corpus vector is posted to (multi-assign)
+SQ8IVF_NPROBE = 5  # probed cells per query (of N_CELLS=8)
+
+
+def sq8_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = SQ8IVF_NPROBE,
+    assign_r: int = SQ8IVF_ASSIGN,
+    check_recall: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim_q8, cand_frac[, in_float_topk]):
+    IVF-pruned int8 top-k — each corpus vector is posted to its
+    ``assign_r`` nearest coarse cells (multi-assignment trades index
+    size for recall, the semdedup_multiprobe convention), each query
+    probes its ``nprobe`` nearest cells (same deterministic
+    hash-sampled centroids as ivf_topk; probe ranking by 6dp-rounded
+    float cosine, identical in both engines), and ONLY the quantized
+    codes posted there are scored, with exact integer dot products.
+    ``check_recall`` as in sq8_topk: fixture-scale instrumentation,
+    skipped in the scale deployment."""
+    cent = _ivf_centroids(emb, id_col, vec_col)
+    # corpus side: top-assign_r cells + int8 codes — at scale this IS
+    # the staged index (partitioned by cell_id, 8x smaller per posting
+    # than the floats, assign_r postings per vector)
+    c_scored = _ivf_scored(emb, cent, id_col, vec_col)
+    wc = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    assigned = (
+        c_scored.withColumn("cell_rank", F.row_number().over(wc))
+        .where(F.col("cell_rank") <= assign_r)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq8(F.col(vec_col)).alias("_qc"),
+            "cell_id",
+        )
+    )
+    q_scored = _ivf_scored(emb.where(F.col(id_col) < n_queries), cent, id_col, vec_col)
+    wq = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        q_scored.withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _sq8(F.col(vec_col)).alias("_qq"),
+            "cell_id",
+        )
+    )
+    # multi-assignment => a (query, neighbor) pair can surface from up
+    # to assign_r probed cells: dedup before scoring/counting
+    cand = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = F.round(
+        _idot(F.col("_qq"), F.col("_qc")).cast("double")
+        / (
+            F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double"))
+            * F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double"))
+        ),
+        6,
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim_q8")).localCheckpoint(
+        eager=False
+    )  # feeds the per-query candidate count AND the ranking
+    n_corpus = emb.count()  # one scalar: the cand_frac denominator
+    cc = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q8"), F.asc("neighbor_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(cc), "query_id")
+        .withColumn(
+            "cand_frac",
+            F.round(F.col("_nc").cast("double") / F.lit(float(n_corpus)), 6),
+        )
+    )
+    if not check_recall:
+        return ranked.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "sim_q8",
+            "cand_frac",
+        )
+    fl = cosine_topk(emb, n_queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id", F.lit(True).alias("_in_f")
+    )
+    return (
+        ranked.join(F.broadcast(fl), ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "sim_q8",
+            "cand_frac",
+            F.coalesce(F.col("_in_f"), F.lit(False)).alias("in_float_topk"),
+        )
+    )
+
+
+def sq8_ivf_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = SQ8IVF_NPROBE,
+    assign_r: int = SQ8IVF_ASSIGN,
+) -> str:
+    """DuckDB twin: same centroids (hash-sample LIMIT N_CELLS), same
+    6dp probe ranking, same top-assign_r multi-assignment, same int8
+    grid and integer dots, same in-row cand_frac (distinct candidate
+    count / corpus count, one 6dp divide)."""
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    fsim = _cosine_sql("q.embedding", "c.embedding")
+    idot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    dqc = idot.format(a="q.qv", b="c.qv")
+    dqq = idot.format(a="q.qv", b="q.qv")
+    dcc = idot.format(a="c.qv", b="c.qv")
+    return f"""
+        WITH sqiv_cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {N_CELLS}),
+        sqiv_ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS cell_rank
+            FROM embeddings v CROSS JOIN sqiv_cent c),
+        sqiv_q8 AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                        e -> CAST(floor(e / m * {SQ8_SCALE}.0 + 0.5)
+                                  AS BIGINT)) AS qv
+            FROM (SELECT vec_id, embedding,
+                         greatest(list_max(list_transform(embedding,
+                                  e -> abs(e))), 1e-30) AS m
+                  FROM embeddings)),
+        sqiv_cand AS (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell_id FROM sqiv_ranked
+                  WHERE vec_id < {n_queries} AND cell_rank <= {nprobe}) p
+            JOIN (SELECT vec_id, cell_id FROM sqiv_ranked
+                  WHERE cell_rank <= {assign_r}) a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+        sqiv_scored AS (
+            SELECT query_id, neighbor_id,
+                   round(CAST({dqc} AS DOUBLE)
+                         / (sqrt(CAST({dqq} AS DOUBLE))
+                            * sqrt(CAST({dcc} AS DOUBLE))), 6) AS sim_q8
+            FROM sqiv_cand
+            JOIN sqiv_q8 q ON q.vec_id = query_id
+            JOIN sqiv_q8 c ON c.vec_id = neighbor_id),
+        sqiv_cc AS (
+            SELECT query_id, count(*) AS nc FROM sqiv_scored GROUP BY query_id),
+        sqiv_n AS (SELECT count(*) AS n_corpus FROM embeddings),
+        sqiv_fl AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({fsim}, 6) DESC, c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {n_queries})
+            WHERE rank <= {k}),
+        sqiv_rk AS (
+            SELECT query_id, neighbor_id, sim_q8,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim_q8 DESC, neighbor_id ASC
+                   ) AS rank
+            FROM sqiv_scored)
+        SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank,
+               r.sim_q8,
+               round(CAST(cc.nc AS DOUBLE) / n.n_corpus, 6) AS cand_frac,
+               f.query_id IS NOT NULL AS in_float_topk
+        FROM sqiv_rk r
+        JOIN sqiv_cc cc USING (query_id)
+        CROSS JOIN sqiv_n n
+        LEFT JOIN sqiv_fl f
           ON r.query_id = f.query_id AND r.neighbor_id = f.neighbor_id
         WHERE r.rank <= {k}
     """

@@ -179,11 +179,25 @@ def k_anonymity_gate(
     dropped by upstream curation cannot pad out its group's anonymity
     in the shipped corpus. One map-combinable groupBy + one broadcast-
     or shuffle-join back on the QI key (Catalyst/AQE sizes it); NULL
-    QI values group together, like the audit."""
+    QI values group together, like the audit — the join back is
+    null-SAFE (<=>), so a NULL-QI group with >= k candidates carries
+    its real count instead of being unconditionally suppressed (r12
+    ADVICE: the null-rejecting equality join gave NULL-QI rows
+    group_n=0 in both engines, silently over-suppressing)."""
     cand = df if keep_pred is None else df.where(keep_pred)
     counts = cand.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("group_n"))
+    # alias the count side's key columns so the <=> condition resolves
+    # unambiguously (counts derives from df, so bare names collide)
+    counts = counts.select(
+        *[F.col(c).alias(f"_qi_{c}") for c in qi_cols], "group_n"
+    )
+    cond = None
+    for c in qi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_qi_{c}"))
+        cond = eq if cond is None else (cond & eq)
     return (
-        df.join(counts, qi_cols, "left")
+        df.join(counts, cond, "left")
+        .drop(*[f"_qi_{c}" for c in qi_cols])
         .withColumn("group_n", F.coalesce(F.col("group_n"), F.lit(0)).cast("long"))
         .withColumn("suppress", F.col("group_n") < k)
     )

@@ -881,6 +881,29 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_sq8_ivf_topk", similarity.sq8_ivf_topk_sql(n_queries=10, k=5))
+def ann_sq8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-tier ANN composition (r12 verdict #3): IVF coarse
+    cells bound WHICH vectors are read (nprobe of N_CELLS cells — at
+    scale the index is written partitioned by cell_id, so this is
+    file-listing-level pruning), then int8 scalar-quantized codes
+    inside the probed cells are scored with exact integer dots — 8x
+    fewer bytes stored AND only cand_frac of them scanned. Both sides
+    of the tradeoff ride in-row: cand_frac (scan fraction vs the full
+    corpus) and in_float_topk (vs the exact float top-k). The fixture
+    dial (assign=3, nprobe=5/8) reads recall 0.98/0.98/1.00 across the
+    SFs — matching the flat SQ8 scan's 0.98 — at cand_frac ~0.98,
+    because the fixture's embeddings are ISOTROPIC noise (mean true-
+    neighbor cosine 0.33-0.37), where recall ~= scanned fraction is
+    information-theoretic and near-full coverage is the only way to
+    hold flat-scan recall; the planted-cluster test pins recall 1.0 at
+    cand_frac ~1/8 on clusterable data, the real-corpus shape (see the
+    dial note at operators/similarity.py SQ8IVF_ASSIGN)."""
+    return similarity.sq8_ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )
+
+
 @query("ann_lsh_topk", similarity.lsh_topk_sql(n_queries=10, k=5))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table sign-LSH (OR-amplified recall, scale path)."""
@@ -1640,7 +1663,9 @@ def _release_gate_sql() -> str:
     FROM rg_v3 v
     JOIN rg_docs d USING (doc_id)
     LEFT JOIN rg_groups g
-      ON d.lang = g.lang AND d.source = g.source AND d.len_bkt = g.len_bkt
+      ON d.lang IS NOT DISTINCT FROM g.lang
+     AND d.source IS NOT DISTINCT FROM g.source
+     AND d.len_bkt IS NOT DISTINCT FROM g.len_bkt
     """
 
 
@@ -4099,8 +4124,11 @@ def fuzzy_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (approximate string join / record linkage):
     document pairs within prefix edit distance LINK_MAX_DIST, blocked
     on (lang, length bucket) with the two-bucket probe — recall-exact
-    for the declared block key, never an all-pairs compare; oversized
-    blocks drop at LINK_MAX_BLOCK (joins.py). The edit-distance sibling
+    for the declared block key, never an all-pairs compare; exact
+    prefix clones collapse to one representative before any population
+    counting (clone heaps are exact at O(group) DP cost), and only
+    sub-blocks with > LINK_MAX_BLOCK DISTINCT prefixes drop
+    (joins.py). The edit-distance sibling
     of the set-based near-dup family: sequence semantics catch small
     in-place edits the shingle signatures can only approximate."""
     return joins.fuzzy_join_pairs(load_table(spark, sf_dir, "documents"))
@@ -4143,6 +4171,7 @@ def fuzzy_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.fuzzy_join_incremental(
         incoming,
         base_blocks=spark.read.parquet(os.path.join(idx_dir, "blocks")),
+        base_map=spark.read.parquet(os.path.join(idx_dir, "clone_map")),
     )
 
 
@@ -4169,14 +4198,18 @@ def _staged_link_index(spark: SparkSession, sf_dir: str) -> str:
 
     def build(d: str) -> None:
         joins.fuzzy_join_blocks(base).write.parquet(os.path.join(d, "blocks"))
+        joins.fuzzy_join_clone_map(base).write.parquet(
+            os.path.join(d, "clone_map")
+        )
         dedup_clusters(joins.fuzzy_join_pairs(base)).write.parquet(
             os.path.join(d, "clusters")
         )
 
-    # linkidx-v3: prefix-length bucketing + secondary min-gram blocking
-    # (round-12 blocking rework in operators/joins.py)
+    # linkidx-v4: clone-collapsed rep-level blocks + the clone-map
+    # expansion companion (round-13 clone-pile-up closure in
+    # operators/joins.py; v3 was the r12 secondary min-gram blocking)
     return _staged_artifact(
-        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v3"
+        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v4"
     )
 
 
@@ -4202,10 +4235,11 @@ def record_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx_dir = _staged_link_index(spark, sf_dir)
     blocks = spark.read.parquet(os.path.join(idx_dir, "blocks"))
+    base_map = spark.read.parquet(os.path.join(idx_dir, "clone_map"))
     base_cl = spark.read.parquet(os.path.join(idx_dir, "clusters"))
-    cross = joins.fuzzy_join_incremental(incoming, base_blocks=blocks).select(
-        F.col("doc_id").alias("doc_a"), F.col("base_id").alias("doc_b")
-    )
+    cross = joins.fuzzy_join_incremental(
+        incoming, base_blocks=blocks, base_map=base_map
+    ).select(F.col("doc_id").alias("doc_a"), F.col("base_id").alias("doc_b"))
     within = joins.fuzzy_join_pairs(incoming).select("doc_a", "doc_b")
     star = base_cl.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")

@@ -298,7 +298,17 @@ class StreamingEntityResolver:
     named by the version that commits it. Per-batch write cost is
     O(batch); a crash between leaf write and commit leaves an orphan
     leaf numbered past ``_VERSION`` that readers ignore and the replay
-    overwrites. Within-batch pair generation runs at the configured
+    overwrites. Every ``compact_every``-th leaf FOLDS the live leaves
+    into itself instead (log-structured compaction, r12 verdict #8:
+    append-only fixed the write cost but left the probe-side read
+    growing O(#batches) file listings/opens) — the ``_VERSION`` file
+    carries a third field, the leaf FLOOR, and readers union only
+    leaves in (floor, version], so live-leaf count is bounded by
+    ``compact_every`` for the life of the stream. The fold write is
+    O(accumulated) but amortizes to O(batch x const) per batch; a
+    crash mid-fold leaves the floor unmoved and the orphan fold leaf
+    ignored, exactly like an ordinary leaf. Within-batch pair
+    generation runs at the configured
     ``max_block`` (default the base LINK_MAX_BLOCK — the r11 1<<30
     effectively-uncapped value let one hot block go quadratic in batch
     size). The ACCUMULATED index still has no cross-batch cap: the cap
@@ -321,6 +331,7 @@ class StreamingEntityResolver:
         max_dist: int | None = None,
         bucket: int | None = None,
         max_block: int | None = None,
+        compact_every: int = 16,
     ):
         from databus_spark.operators import joins
 
@@ -330,6 +341,7 @@ class StreamingEntityResolver:
         self.max_dist = joins.LINK_MAX_DIST if max_dist is None else max_dist
         self.bucket = joins.LINK_LEN_BUCKET if bucket is None else bucket
         self.max_block = joins.LINK_MAX_BLOCK if max_block is None else max_block
+        self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
         staged = os.path.join(root, "base_blocks", "_STAGED")
         if not os.path.exists(staged):
@@ -354,6 +366,22 @@ class StreamingEntityResolver:
     _last_batch = StreamingDistinctCounter._last_batch
     _commit = StreamingDistinctCounter._commit
 
+    def _leaf_floor(self) -> int:
+        """Compaction watermark: leaves numbered <= floor were folded
+        into a later leaf and are dead (vacuum-able). Third field of
+        _VERSION; absent (pre-compaction state dirs) means 0."""
+        p = os.path.join(self.root, "_VERSION")
+        if not os.path.exists(p):
+            return 0
+        parts = open(p).read().split(":")
+        return int(parts[2]) if len(parts) > 2 else 0
+
+    def _commit_er(self, v: int, batch_id: int, floor: int) -> None:
+        tmp = os.path.join(self.root, "_VERSION.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"{v}:{batch_id}:{floor}")
+        os.replace(tmp, os.path.join(self.root, "_VERSION"))
+
     def _read(self, leaf: str) -> DataFrame | None:
         v = self._version()
         if v == 0:
@@ -369,11 +397,14 @@ class StreamingEntityResolver:
         return got
 
     def _inc_leaf_dirs(self) -> list[str]:
-        """Committed incoming-index leaves: leaf numbers <= the current
-        version (an orphan leaf from a crash-before-commit is numbered
-        past it and ignored until its replay overwrites it)."""
+        """LIVE committed incoming-index leaves: leaf numbers in
+        (floor, version] — an orphan leaf from a crash-before-commit is
+        numbered past the version and ignored until its replay
+        overwrites it; leaves at or below the compaction floor were
+        folded into a later leaf and are skipped (then vacuumed)."""
         d = os.path.join(self.root, "inc_leaves")
         v = self._version()
+        floor = self._leaf_floor()
         if not os.path.isdir(d):
             return []
         return [
@@ -381,7 +412,7 @@ class StreamingEntityResolver:
             for name in sorted(os.listdir(d))
             if name.startswith("leaf")
             and name[4:].isdigit()
-            and int(name[4:]) <= v
+            and floor < int(name[4:]) <= v
         ]
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -432,15 +463,33 @@ class StreamingEntityResolver:
         vdir = os.path.join(self.root, f"v{v}")
         merged.write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
         # append-only: ONE leaf per batch, O(batch) bytes written — never
-        # the r11 read-union-overwrite of the whole accumulated index
+        # the r11 read-union-overwrite of the whole accumulated index.
+        # Every compact_every-th leaf instead FOLDS the live leaves in
+        # with the batch (log-structured compaction: probe-side leaf
+        # count stays bounded; the fold cost amortizes over the window).
+        floor = self._leaf_floor()
+        if leaves and len(leaves) + 1 >= self.compact_every:
+            new_inc = new_inc.unionByName(self.spark.read.parquet(*leaves))
+            floor = v - 1  # everything before this fold is dead
         new_inc.write.mode("overwrite").parquet(
             os.path.join(self.root, "inc_leaves", f"leaf{v}")
         )
-        self._commit(v, batch_id)
+        self._commit_er(v, batch_id, floor)
 
     def vacuum(self, keep_last: int = 2) -> None:
         v = self._version()
+        floor = self._leaf_floor()
         for name in os.listdir(self.root):
             if name.startswith("v") and name[1:].isdigit():
                 if int(name[1:]) <= v - keep_last:
                     shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        # dead leaves: folded into a later leaf by compaction
+        leaf_dir = os.path.join(self.root, "inc_leaves")
+        if os.path.isdir(leaf_dir):
+            for name in os.listdir(leaf_dir):
+                if (
+                    name.startswith("leaf")
+                    and name[4:].isdigit()
+                    and int(name[4:]) <= floor
+                ):
+                    shutil.rmtree(os.path.join(leaf_dir, name), ignore_errors=True)

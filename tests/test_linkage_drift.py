@@ -169,18 +169,27 @@ def test_property_long_texts_equal_prefix_bruteforce(spark, rows, max_dist):
     assert got == want
 
 
-def test_block_cap_drops_oversized_blocks(spark):
-    # 5 IDENTICAL docs: with max_block >= 10 (5 docs x 2 buckets) all
-    # C(5,2)=10 pairs emit; with max_block 4 every block is oversized,
-    # and because identical texts share their min-gram the secondary
-    # re-blocking cannot split them — the sub-block is still over cap
-    # and drops (the honest residual of the round-12 split: a clone
-    # pile-up is exactly what the cap exists to bound)
+def test_block_cap_counts_distinct_prefixes(spark):
+    # 5 IDENTICAL docs collapse to ONE distinct-prefix rep (r13 clone
+    # collapse), so the cap — which now bounds distinct-prefix
+    # DIVERSITY, the quantity the C(cap,2) DP-cost argument needs —
+    # never sees them: all C(5,2)=10 dist-0 pairs emit at ANY cap.
+    # (The r12 shape dropped this heap wholesale at max_block=4: the
+    # clone pile-up residual the round-13 rework closed.)
     docs = _docs(spark, [("same text here", "en")] * 5)
     full = joins.fuzzy_join_pairs(docs, max_dist=2, max_block=16).collect()
     assert len(full) == 10
     capped = joins.fuzzy_join_pairs(docs, max_dist=2, max_block=4).collect()
-    assert capped == []
+    assert len(capped) == 10
+    assert all(r.dist == 0 for r in capped)
+    # the cap still binds where it should: 5 DISTINCT same-length
+    # prefixes sharing their min-gram (common min suffix) over cap -> drop
+    diverse = _docs(
+        spark, [(f"{ch} same tail here", "en") for ch in "vwxyz"]
+    )
+    assert (
+        joins.fuzzy_join_pairs(diverse, max_dist=2, max_block=4).count() == 0
+    )
 
 
 def test_truncated_duplicate_long_texts_found(spark):
@@ -305,21 +314,39 @@ def test_incremental_staged_equals_inline(spark):
 
 
 def test_incremental_base_cap_rides_the_index(spark):
-    # 5 identical base docs overflow a cap of 4 (x2 bucket replication
-    # -> blocks of 5 > 4); the staged index drops them, so even an
-    # exact incoming mirror finds nothing — batch and incremental cap
-    # semantics agree
+    # r13 clone collapse: 5 IDENTICAL base docs are ONE rep in the
+    # staged index — they can't overflow any cap, and an exact incoming
+    # mirror finds all 5 through the clone map at every cap setting
     base = _docs(spark, [("same text here", "en")] * 5)
     incoming = spark.createDataFrame(
         [(100, "same text here", "en", "m", 14)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    idx = joins.fuzzy_join_blocks(base, max_block=4)
-    assert joins.fuzzy_join_incremental(incoming, base_blocks=idx).collect() == []
-    full = joins.fuzzy_join_incremental(
-        incoming, base_blocks=joins.fuzzy_join_blocks(base, max_block=16)
-    ).collect()
-    assert len(full) == 5 and all(r.dist == 0 for r in full)
+    for cap in (4, 16):
+        got = joins.fuzzy_join_incremental(
+            incoming,
+            base_blocks=joins.fuzzy_join_blocks(base, max_block=cap),
+            base_map=joins.fuzzy_join_clone_map(base),
+        ).collect()
+        assert len(got) == 5 and all(r.dist == 0 for r in got)
+    # the cap still rides the index where it should: 5 DISTINCT base
+    # prefixes sharing their min-gram (common min suffix) overflow a
+    # cap of 4 at index-build time, so a probe finds nothing — batch
+    # and incremental cap semantics agree
+    diverse = _docs(spark, [(f"{ch} same tail here", "en") for ch in "vwxyz"])
+    idx = joins.fuzzy_join_blocks(diverse, max_block=4)
+    probe = spark.createDataFrame(
+        [(200, "v same tail here", "en", "m", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert (
+        joins.fuzzy_join_incremental(
+            probe,
+            base_blocks=idx,
+            base_map=joins.fuzzy_join_clone_map(diverse),
+        ).collect()
+        == []
+    )
 
 
 def test_incremental_clusters_equal_full_recompute(spark):

@@ -1,0 +1,325 @@
+"""Round-13 operator tests.
+
+The oracle gate (test_registry_oracles / the driver) pins cross-engine
+equality; these pin the SEMANTIC claims the oracle is structurally
+blind to:
+
+* sq8_ivf_topk: on clusterABLE data the IVF+SQ8 composition reads
+  perfect recall at a ~1/n_cells scan fraction (the 100 TB shape) —
+  the registry fixture can't show this because its embeddings are
+  isotropic noise (recall ~= scan coverage is information-theoretic
+  there; the registry dial assign=2/probe=5 is pinned >= 0.98 on the
+  real fixture below);
+* check_recall=False actually removes the exact-float reference
+  ranking from the plan (r12 ADVICE #3): the in_float_topk column is
+  gone and the result matches the instrumented run's quantized fields;
+* k_anonymity_gate: a NULL-QI group with >= k candidates carries its
+  real count instead of being unconditionally suppressed (r12 ADVICE
+  #1 — the old null-rejecting join gave NULL groups group_n=0);
+* fuzzy-join clone collapse: a clone heap LARGER than max_block emits
+  its full exact pair set (the r12 clone-pile-up residual dropped it
+  wholesale), near-dup pairs expand through clone groups on both
+  sides, and the incremental probe expands base-side clones through
+  the staged clone map;
+* streaming-ER leaf compaction: live probe-side leaves stay bounded by
+  compact_every across a long stream, labels keep matching the batch
+  recompute, and a crash between fold-write and commit replays clean.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from databus_spark.operators import joins, similarity, validate
+
+
+# ---------------------------------------------------------------------------
+# sq8_ivf_topk
+# ---------------------------------------------------------------------------
+
+
+def _clustered_emb(spark, n_clusters=8, per_cluster=40, dim=16, seed=7, noise=0.0):
+    """Deterministic clusterable embeddings: orthogonal-ish cluster
+    centers (+ optional noise), so IVF cells align with true
+    neighborhoods. noise=0 keeps every member's centroid cosines
+    bit-identical — assignment is uniform per cluster by construction
+    (noise would let near-tie cosines to two same-cluster sampled
+    centroids flip the argmax between members and split a cluster
+    across cells, which is a centroid-sampling artifact, not the
+    pruning behavior under test)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4.0
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + (rng.randn(dim) * noise if noise else 0.0)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # shuffle ids across clusters so query ids (vec_id < n_queries)
+    # span several clusters, not just cluster 0
+    perm = rng.permutation(len(rows))
+    rows = [(int(i), rows[p][1]) for i, p in enumerate(perm)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_sq8_ivf_planted_clusters_prune_and_recall(spark):
+    emb = _clustered_emb(spark)
+    out = similarity.sq8_ivf_topk(emb, n_queries=6, k=5, nprobe=1, assign_r=1)
+    rows = out.collect()
+    assert len(rows) == 30
+    recall = sum(1 for r in rows if r.in_float_topk) / len(rows)
+    mean_frac = sum(r.cand_frac for r in rows) / len(rows)
+    # tight clusters: the probed single cell holds every true neighbor,
+    # and the scan touches ~1 of 8 cells (<= 0.4 allows an unsampled
+    # cluster to share the probed cell)
+    assert recall == 1.0
+    assert mean_frac <= 0.40
+
+
+def test_sq8_ivf_fixture_dial_recall_floor(spark):
+    from databus_spark.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = similarity.sq8_ivf_topk(emb, n_queries=10, k=5).collect()
+    recall = sum(1 for r in rows if r.in_float_topk) / len(rows)
+    assert recall >= 0.98  # the registry dial's pinned floor (isotropic data)
+    assert all(0 < r.cand_frac < 1 for r in rows)  # pruned, reported
+
+
+def test_sq8_check_recall_off_drops_reference_scan(spark):
+    emb = _clustered_emb(spark, n_clusters=4, per_cluster=10)
+    flat_on = similarity.sq8_topk(emb, n_queries=3, k=4)
+    flat_off = similarity.sq8_topk(emb, n_queries=3, k=4, check_recall=False)
+    assert "in_float_topk" in flat_on.columns
+    assert "in_float_topk" not in flat_off.columns
+    on = {(r.query_id, r.neighbor_id, r.rank, r.sim_q8) for r in flat_on.collect()}
+    off = {(r.query_id, r.neighbor_id, r.rank, r.sim_q8) for r in flat_off.collect()}
+    assert on == off  # instrumentation changes nothing but the flag column
+    ivf_off = similarity.sq8_ivf_topk(
+        emb, n_queries=3, k=4, nprobe=1, assign_r=1, check_recall=False
+    )
+    assert "in_float_topk" not in ivf_off.columns
+    assert ivf_off.count() == 12
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_gate NULL-QI groups
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_gate_null_qi_group_counts(spark):
+    rows = [(i, None, "keep") for i in range(5)] + [
+        (10, "en", "keep"),
+        (11, "en", "drop"),
+        (12, "fr", "keep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, decision string")
+    out = validate.k_anonymity_gate(
+        df, ["lang"], k=3, keep_pred=F.col("decision") == "keep"
+    )
+    got = {r.doc_id: (r.group_n, r.suppress) for r in out.collect()}
+    # the NULL group has 5 candidates >= k: real count, NOT suppressed
+    for i in range(5):
+        assert got[i] == (5, False)
+    # 'en' has 1 candidate (the drop row doesn't count): suppressed
+    assert got[10] == (1, True)
+    assert got[11] == (1, True)
+    assert got[12] == (1, True)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-join clone collapse
+# ---------------------------------------------------------------------------
+
+
+def _link_docs(spark, texts, start=0, lang="en"):
+    return spark.createDataFrame(
+        [(start + i, lang, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+
+
+def test_clone_heap_larger_than_cap_is_exact(spark):
+    """20 exact clones with max_block=8: the r12 shape dropped the
+    whole sub-block (identical min-grams by construction); the collapse
+    makes the heap ONE rep, so every C(20,2) dist-0 pair survives,
+    plus each clone pairs with the near-dup at its real distance."""
+    clone = "the quick brown fox jumps over the lazy dog again and again xx"
+    near = "The quick brown fox jumps over the lazy dog again and again xx"
+    docs = _link_docs(spark, [clone] * 20 + [near])
+    pairs = joins.fuzzy_join_pairs(docs, max_block=8, max_dist=4)
+    got = {(r.doc_a, r.doc_b): r.dist for r in pairs.collect()}
+    assert len(got) == 20 * 21 // 2  # C(20,2) clone pairs + 20 near pairs
+    for a in range(20):
+        for b in range(a + 1, 20):
+            assert got[(a, b)] == 0
+        assert got[(a, 20)] == 1
+    # the diverse-heap cap still holds: >max_block DISTINCT prefixes drop
+    diverse = _link_docs(
+        spark, [f"{chr(65 + i)} completely different text number {i:02d}" for i in range(12)]
+    )
+    assert joins.fuzzy_join_pairs(diverse, max_block=4).count() == 0
+
+
+def test_clone_groups_expand_on_both_sides(spark):
+    """Two clone groups within edit distance: every member of A pairs
+    with every member of B at the groups' rep distance."""
+    a = "identical prefix text copy number one for group a paddingpad"
+    b = "identical prefix text copy number two for group b paddingpad"
+    docs = _link_docs(spark, [a, a, a] + [b, b])
+    pairs = joins.fuzzy_join_pairs(docs, max_dist=8)
+    got = {(r.doc_a, r.doc_b): r.dist for r in pairs.collect()}
+    # within A: C(3,2)=3 at 0; within B: 1 at 0; cross: 3x2=6 at dist(a,b)
+    assert len(got) == 10
+    assert got[(0, 1)] == got[(0, 2)] == got[(1, 2)] == 0
+    assert got[(3, 4)] == 0
+    d = got[(0, 3)]
+    assert 0 < d <= 8
+    assert all(got[(x, y)] == d for x in (0, 1, 2) for y in (3, 4))
+
+
+def test_incremental_expands_base_clones_through_map(spark):
+    base_txt = "shared base prefix content that repeats exactly padpadpad"
+    other = "totally different base content with nothing in common here"
+    base = _link_docs(spark, [base_txt] * 4 + [other])
+    inc = _link_docs(spark, [base_txt.replace("shared", "sharEd")], start=100)
+    blocks = joins.fuzzy_join_blocks(base)
+    cmap = joins.fuzzy_join_clone_map(base)
+    assert cmap.count() == 4  # one multi-member group, 4 members
+    out = joins.fuzzy_join_incremental(
+        inc, base_blocks=blocks, base_map=cmap, max_dist=4
+    )
+    got = {(r.doc_id, r.base_id): r.dist for r in out.collect()}
+    # the incoming edit links to ALL FOUR clone members, not just the rep
+    assert set(got) == {(100, i) for i in range(4)}
+    assert set(got.values()) == {1}
+    # inline base path (base=) builds the map itself
+    out2 = joins.fuzzy_join_incremental(inc, base=base, max_dist=4)
+    assert {(r.doc_id, r.base_id) for r in out2.collect()} == set(got)
+
+
+def test_null_keys_never_pair(spark):
+    """NULL block key or NULL text could never pair under the old
+    null-rejecting equi-join; the clone-collapse grouping must not
+    resurrect them as a NULL 'clone group'. A NULL length is NOT a
+    null key: least() ignores NULLs in both engines, so the bucket
+    falls back to the prefix length and such rows pair normally (the
+    pre-collapse behavior, preserved)."""
+    rows = [
+        (0, None, "same null-block text padded out to length", 40),
+        (1, None, "same null-block text padded out to length", 40),
+        (2, "en", None, 10),
+        (3, "en", None, 10),
+        (4, "en", "valid text with a null length sibling pad", None),
+        (5, "en", "valid text with a null length sibling pad", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    )
+    got = {(r.doc_a, r.doc_b): r.dist for r in joins.fuzzy_join_pairs(docs).collect()}
+    assert got == {(4, 5): 0}
+
+
+# ---------------------------------------------------------------------------
+# streaming-ER leaf compaction
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_er_leaf_compaction_bounds_live_leaves(spark, tmp_path):
+    from databus_spark.operators.dedup import dedup_clusters
+    from databus_spark.streaming.sketches import StreamingEntityResolver
+
+    base_txt = [
+        "base record one content padded to a reasonable length here",
+        "base record two content padded to a reasonable length here",
+    ]
+    base = _link_docs(spark, base_txt)
+    resolver = StreamingEntityResolver(
+        spark,
+        str(tmp_path / "er"),
+        base_blocks=joins.fuzzy_join_blocks(base),
+        base_labels=dedup_clusters(joins.fuzzy_join_pairs(base)),
+        compact_every=4,
+    )
+    all_rows = list(base_txt)
+    max_live = 0
+    for i in range(10):
+        txts = [f"streamed record {i:02d} batch content padded out to len {j}" for j in range(3)]
+        all_rows.extend(txts)
+        resolver.process_batch(_link_docs(spark, txts, start=1000 + 10 * i), i)
+        max_live = max(max_live, len(resolver._inc_leaf_dirs()))
+    assert max_live <= 4  # bounded for the life of the stream
+    assert len(resolver._inc_leaf_dirs()) <= 4
+    # equivalence after compaction: streamed labels == batch recompute
+    full = _link_docs(spark, base_txt) .unionByName(
+        spark.createDataFrame(
+            [
+                (1000 + 10 * i + j, "en", t, len(t))
+                for i in range(10)
+                for j, t in enumerate(
+                    [f"streamed record {i:02d} batch content padded out to len {k}" for k in range(3)]
+                )
+            ],
+            "doc_id long, lang string, text string, n_chars long",
+        )
+    )
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(joins.fuzzy_join_pairs(full)).collect()
+    }
+    got = {(r.doc_id, r.cluster_id) for r in resolver.labels().collect()}
+    assert got == want
+    # vacuum removes dead (folded) leaves without touching live ones
+    resolver.vacuum()
+    live_after = resolver._inc_leaf_dirs()
+    assert resolver.labels().count() == len(want)
+    assert len(live_after) <= 4
+
+
+def test_streaming_er_fold_crash_replay(spark, tmp_path):
+    """Crash between fold-leaf write and commit: the orphan fold leaf is
+    ignored (floor unmoved), and replaying the batch overwrites it."""
+    import os
+
+    from databus_spark.operators.dedup import dedup_clusters
+    from databus_spark.streaming.sketches import StreamingEntityResolver
+
+    base = _link_docs(spark, ["crash test base record padded to length xx"])
+    root = str(tmp_path / "er2")
+    resolver = StreamingEntityResolver(
+        spark,
+        root,
+        base_blocks=joins.fuzzy_join_blocks(base),
+        base_labels=dedup_clusters(joins.fuzzy_join_pairs(base)),
+        compact_every=2,
+    )
+    resolver.process_batch(
+        _link_docs(spark, ["first streamed record padded out to length"], start=10), 0
+    )
+    v_before = resolver._version()
+    floor_before = resolver._leaf_floor()
+    # simulate: batch 1 wrote its (fold) leaf but died before commit
+    fold_leaf = os.path.join(root, "inc_leaves", f"leaf{v_before + 1}")
+    joins.fuzzy_join_blocks(
+        _link_docs(spark, ["orphan leaf content that must be ignored xx"], start=99)
+    ).write.mode("overwrite").parquet(fold_leaf)
+    assert resolver._version() == v_before
+    assert resolver._leaf_floor() == floor_before
+    assert fold_leaf not in resolver._inc_leaf_dirs()  # orphan invisible
+    # replay batch 1 for real: overwrites the orphan, commits, folds
+    resolver.process_batch(
+        _link_docs(spark, ["second streamed record padded out to length"], start=20), 1
+    )
+    assert resolver._version() == v_before + 1
+    assert resolver._leaf_floor() == v_before  # fold moved the floor
+    live = resolver._inc_leaf_dirs()
+    assert live == [fold_leaf]
+    # the orphan content is gone; the fold carries both real batches
+    ids = {
+        r.base_id
+        for r in spark.read.parquet(*live).select("base_id").collect()
+    }
+    assert ids == {10, 20}

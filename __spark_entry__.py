@@ -40,76 +40,23 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 12: the two NEW queries (bm25_incremental staged-postings
-    # retrieval, release_gate curation + k-anonymity composition)
-    # first; then every row whose engine path GENUINELY changed this
-    # round — the fuzzy-join/linkage family (prefix-length bucketing +
-    # secondary min-gram blocking, both twins), the semdedup family
-    # (derived n_probe rule, norm-at-top checkpoint surgery in
-    # survivors_v2's shared tail), k_anonymity_audit (validate.py
-    # gained the gate), bm25_topk (module sibling of the new serve
-    # path), curation_decisions_v3 (now composed by release_gate) —
-    # then the whole r7-last-green cohort (33 rows, the oldest external
-    # greens) plus the two oldest r8 rows. The mechanical freshness
-    # check (tools/window_manifest.py) marks ALL queries affected this
-    # round (the registry-wide fingerprint-memo unit changed), so the
-    # window is legitimately spent on changed rows; within that, age
-    # breaks ties.
-    "bm25_incremental",
-    "release_gate",
+    # round 13: the ONE new query (ann_sq8_ivf_topk — the IVF+SQ8
+    # serving composition) plus the six rows the mechanical freshness
+    # check (tools/window_manifest.py, affected_queries vs the r12
+    # manifest) marks as engine-path-changed this round: ann_sq8_topk
+    # (check_recall parameter), the fuzzy-join/linkage quartet (clone
+    # collapse — rep-level blocks, clone-map expansion, both twins),
+    # and release_gate (null-safe k_anonymity_gate join + IS NOT
+    # DISTINCT FROM twin). The remaining 43 slots rotate the oldest
+    # external greens — the whole r8 cohort plus the r9 rows at the
+    # top of last round's _REST, top-down.
+    "ann_sq8_ivf_topk",
     "ann_sq8_topk",
     "fuzzy_join_docs",
-    "record_linkage_clusters",
     "fuzzy_join_incremental",
+    "record_linkage_clusters",
     "record_linkage_incremental",
-    "semdedup_survivors_v2",
-    "semdedup_incremental",
-    "semdedup_survivors",
-    "semdedup_trained",
-    "semdedup_multiprobe",
-    "semdedup_recall_eval",
-    "k_anonymity_audit",
-    "bm25_topk",
-    "curation_decisions_v3",
-    "approx_quantiles_binned",
-    "approx_stats",
-    "avro_binary_decode",
-    "boilerplate_strip",
-    "buffer_info",
-    "chunk_documents",
-    "cm_frequency_profile",
-    "dedup_cdc_chunks",
-    "dedup_embedding_cosine",
-    "event_metadata_extract",
-    "events_as_changelog_state",
-    "hll_distinct_users",
-    "json_props_extract",
-    "media_jpeg_probe",
-    "null_rate_profile",
-    "opcode_transitions",
-    "partition_spread_per_source",
-    "pii_redact",
-    "returned_items_topk",
-    "revenue_by_nation",
-    "running_account_balance",
-    "sessionize",
-    "source_registry_join",
-    "sql_txlog_pull",
-    "structure_profile",
-    "supplier_profit_by_nation",
-    "text_compressibility",
-    "text_novelty",
-    "text_token_stats",
-    "time_window_sliding",
-    "time_window_tumbling",
-    "train_split_assign",
-    "urgent_orders_shipped",
-    "as_of_join_events",
-]
-
-# below the 50-row window this round (all still verified locally),
-# oldest external green first — next round's rotation reads top-down:
-_REST = [
+    "release_gate",
     "decontaminate_vs_benchmark",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -153,6 +100,11 @@ _REST = [
     "bootstrap_snapshot_catchup",
     "bpe_learn_merges",
     "bpe_learn_merges_batched",
+]
+
+# below the 50-row window this round (all still verified locally),
+# oldest external green first — next round's rotation reads top-down:
+_REST = [
     "checkpoint_mult_fetch",
     "contamination_fraction",
     "cube_rollup",
@@ -225,6 +177,51 @@ _REST = [
     "snapshot_customer",
     "trail_file_seek",
     "zorder_box_read",
+    # the r12 window cohort (newest external greens, r12):
+    "bm25_incremental",
+    "semdedup_survivors_v2",
+    "semdedup_incremental",
+    "semdedup_survivors",
+    "semdedup_trained",
+    "semdedup_multiprobe",
+    "semdedup_recall_eval",
+    "k_anonymity_audit",
+    "bm25_topk",
+    "curation_decisions_v3",
+    "approx_quantiles_binned",
+    "approx_stats",
+    "avro_binary_decode",
+    "boilerplate_strip",
+    "buffer_info",
+    "chunk_documents",
+    "cm_frequency_profile",
+    "dedup_cdc_chunks",
+    "dedup_embedding_cosine",
+    "event_metadata_extract",
+    "events_as_changelog_state",
+    "hll_distinct_users",
+    "json_props_extract",
+    "media_jpeg_probe",
+    "null_rate_profile",
+    "opcode_transitions",
+    "partition_spread_per_source",
+    "pii_redact",
+    "returned_items_topk",
+    "revenue_by_nation",
+    "running_account_balance",
+    "sessionize",
+    "source_registry_join",
+    "sql_txlog_pull",
+    "structure_profile",
+    "supplier_profit_by_nation",
+    "text_compressibility",
+    "text_novelty",
+    "text_token_stats",
+    "time_window_sliding",
+    "time_window_tumbling",
+    "train_split_assign",
+    "urgent_orders_shipped",
+    "as_of_join_events",
 ]
 
 _PRIORITY = _WINDOW + _REST

@@ -290,6 +290,84 @@ def main() -> None:
     batch_ms = sorted(b.process_ms for b in listener.batches if b.num_input_rows > 0)
     p50_batch_ms = batch_ms[len(batch_ms) // 2] if batch_ms else None
 
+    # 4. BM25 staged-serve vs from-scratch rebuild on the SAME workload
+    # (r12 verdict #7: the suite's bm25_incremental vs bm25_topk rows
+    # measure different work — serve answers base ∪ delta from the
+    # staged partition-pruned index + a delta explode; the rebuild leg
+    # recomputes postings over the whole unioned corpus for the same
+    # staged query set. Same output by the additivity argument the
+    # oracle checks; the ratio is the staged path's actual win.)
+    #
+    # REPLICATED x16: at raw sf0.1 the rebuild's full corpus explode is
+    # ~2 s and the serve path's FIXED overheads (64-bucket dir listing,
+    # checkpoints, the delta union) make the ratio read 1.09 — a
+    # small-denominator artifact, the same class as the r10 keymod
+    # band (a first measured run of this leg proved it). The staged
+    # path's win scales with corpus size while serve cost stays
+    # query-bound, so the measurement replicates the corpus (doc_ids
+    # remapped, texts verbatim: vocabulary and df shape preserved) and
+    # stages its index ONCE under the content-keyed marker protocol.
+    import hashlib as _hashlib
+    import os as _os
+
+    from databus_spark.operators import dedup as _dedup
+    from databus_spark.operators import text as _text
+    from databus_spark.registry import load_table
+
+    BM25X = 16
+    _base = load_table(spark, sf_dir, "documents")
+    _basex = (
+        _base.crossJoin(spark.range(BM25X).select(_F.col("id").alias("_rep")))
+        .select(
+            (_F.col("doc_id") * BM25X + _F.col("_rep")).alias("doc_id"),
+            "text",
+        )
+    )
+    _digest = _hashlib.md5(f"{sf_dir}|x{BM25X}".encode()).hexdigest()[:12]
+    _idx = _os.path.join(tempfile.gettempdir(), f"databus_bm25x_{_digest}")
+    if not _os.path.exists(_os.path.join(_idx, "_COMPLETE")):
+        _text.bm25_postings(_basex).write.mode("overwrite").partitionBy(
+            "bkt"
+        ).parquet(_os.path.join(_idx, "postings"))
+        _text.bm25_corpus_stats(_basex).write.mode("overwrite").parquet(
+            _os.path.join(_idx, "stats")
+        )
+        _text.bm25_query_terms(_basex).write.mode("overwrite").parquet(
+            _os.path.join(_idx, "queries")
+        )
+        with open(_os.path.join(_idx, "_COMPLETE"), "w") as f:
+            f.write("1")
+    _qt = spark.read.parquet(_os.path.join(_idx, "queries"))
+    _delta = _dedup.documents_with_dups(spark, sf_dir).where(
+        _F.col("doc_id") >= 1_000_000
+    )
+    _unionx = _basex.unionByName(_delta.select("doc_id", "text"))
+
+    def _bm25_serve_leg():
+        return _text.bm25_serve(
+            spark.read.parquet(_os.path.join(_idx, "postings")),
+            spark.read.parquet(_os.path.join(_idx, "stats")),
+            _qt,
+            delta_docs=_delta,
+        )
+
+    def _bm25_rebuild_leg():
+        return _text.bm25_serve(
+            _text.bm25_postings(_unionx), _text.bm25_corpus_stats(_unionx), _qt
+        )
+
+    def _best2(mk) -> float:
+        best = float("inf")
+        for _ in range(2):
+            clear_caches()
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    bm25_serve_s = _best2(_bm25_serve_leg)
+    bm25_rebuild_s = _best2(_bm25_rebuild_leg)
+
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
@@ -306,6 +384,9 @@ def main() -> None:
         # the cost route_partition materialization removes (not a target metric)
         "keymod_hash_overhead_ratio": round(keymod_hash_s / max(unfiltered_s, 1e-9), 3),
         "bootstrap_wall_s": round(bootstrap_s, 3),
+        "bm25_serve_s": round(bm25_serve_s, 3),
+        "bm25_rebuild_s": round(bm25_rebuild_s, 3),
+        "bm25_serve_ratio": round(bm25_serve_s / max(bm25_rebuild_s, 1e-9), 3),
         "stream_apply_wall_s": round(stream_apply_s, 3),
         "stream_apply_rows_per_sec": round(applier.rows_applied / max(stream_apply_s, 1e-9), 1),
         "microbatch_p50_ms": p50_batch_ms,
@@ -328,32 +409,57 @@ def main() -> None:
         spec = json.load(f)
 
     def _cmp(value, op, target):
+        if value is None:
+            return None  # metric absent from the record: unmeasured, not failed
         return value <= target if op == "<=" else value >= target
 
     out["seconds_per_query"] = round(total / max(len(headline), 1), 3)
+
+    def _gates_unmet(row) -> str | None:
+        """Evaluate a row's valid_if precondition(s). Returns the first
+        unmet gate as a string, else None. valid_if is one gate object or
+        a list of them; each gate checks a top-level record field (so box
+        health — the calibration probes — can gate any wall/throughput
+        row: r12 committed a record whose six misses were a degraded box,
+        and a record that can't tell box from code is not evidence)."""
+        gates = row.get("valid_if")
+        if gates is None:
+            return None
+        if isinstance(gates, dict):
+            gates = [gates]
+        for gate in gates:
+            gv = out.get(gate["metric"])
+            ok = _cmp(gv, gate["op"], gate["target"])
+            if ok is not True:
+                why = "unmeasured" if gv is None else "unmet"
+                return f"{gate['metric']}={gv} (need {gate['op']} {gate['target']}) {why}"
+        return None
+
+    def _verdict(value, row) -> dict:
+        entry = {"value": value, "op": row["op"], "target": row["target"]}
+        unmet = _gates_unmet(row)
+        if unmet is not None:
+            entry["pass"] = None  # precondition unmet: measurement invalid
+            entry["invalid"] = unmet
+        else:
+            entry["pass"] = _cmp(value, row["op"], row["target"])
+            if entry["pass"] is None:
+                entry["invalid"] = "metric absent from record (unmeasured)"
+        return entry
+
     verdicts = {}
     for name, row in spec.get("metrics", {}).items():
-        entry = {"value": out.get(name), "op": row["op"], "target": row["target"]}
-        gate = row.get("valid_if")
-        if gate is not None and not _cmp(
-            out.get(gate["metric"]), gate["op"], gate["target"]
-        ):
-            entry["pass"] = None  # precondition unmet: measurement invalid
-            entry["invalid"] = f"{gate['metric']} {gate['op']} {gate['target']} unmet"
-        else:
-            entry["pass"] = _cmp(out.get(name), row["op"], row["target"])
-        verdicts[name] = entry
+        verdicts[name] = _verdict(out.get(name), row)
     for name, row in spec.get("queries", {}).items():
-        if name in timings:
-            verdicts[f"query:{name}"] = {
-                "value": timings[name],
-                "op": row["op"],
-                "target": row["target"],
-                "pass": _cmp(timings[name], row["op"], row["target"]),
-            }
+        verdicts[f"query:{name}"] = _verdict(timings.get(name), row)
     out["targets"] = verdicts
     out["targets_failed"] = sorted(
         n for n, v in verdicts.items() if v["pass"] is False
+    )
+    # rows whose measurement-validity gate tripped (box contended, metric
+    # unmeasured): visible in the record, distinct from a real miss
+    out["targets_invalid"] = sorted(
+        n for n, v in verdicts.items() if v["pass"] is None
     )
 
     # Full result (all per-query timings) goes to a file AND one full JSON

@@ -23,19 +23,66 @@ import time
 # outside this band at either end means the record was contended.
 IDLE_PROBE_REF_S = (0.25, 0.60)
 
+# Healthy ceiling for the PARALLEL scaling ratio (32-way fixed-work
+# wall / single-probe wall). On a true 32-core box the 32 independent
+# tasks run concurrently: ratio ~1.1-1.5 from scheduling overhead
+# alone; 3.5 budgets generous slack. r13 measured THIS box at 8.5+
+# while 99%-idle by load and in-band on the SINGLE probe — 63% kernel
+# time + 9% steal under 32-wide load (hypervisor/kernel contention the
+# 1-thread probe cannot see), which is exactly the uniform ~1.6x
+# per-query slowdown vs the r11 records. Wall/throughput targets are
+# gated on this ratio so a degraded-parallel-host record reads
+# invalid_box, not fail — and a healthy-host run un-gates mechanically.
+PARALLEL_SCALING_REF = 3.5
+_PAR_N = 32
 
-def _calibration_probe_s() -> float:
-    """Fixed-work CPU probe (numpy matmul, deterministic size): its
-    wall time depends only on box contention, never on the engine, so a
-    drifted value flags a loaded-box record. Idle-box reference:
-    IDLE_PROBE_REF_S."""
+
+def _probe_work(_i: int = 0) -> float:
     import numpy as np
 
     a = np.arange(640_000, dtype=np.float64).reshape(800, 800) % 251
     t0 = time.time()
     for _ in range(8):
         a = (a @ a) % 251
-    return round(time.time() - t0, 3)
+    return time.time() - t0
+
+
+def _parallel_probe_s() -> float:
+    """Wall seconds for _PAR_N copies of the fixed-work probe run
+    concurrently in separate processes (fork; no JVM involvement) —
+    the box's PARALLEL capability, which a 1-thread probe cannot see."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(_PAR_N) as ex:
+        t0 = time.time()
+        list(ex.map(_probe_work, range(_PAR_N)))
+        return round(time.time() - t0, 3)
+
+
+def _calibration_probe_s() -> float:
+    """Fixed-work CPU probe (numpy matmul, deterministic size): its
+    wall time depends only on box contention, never on the engine, so a
+    drifted value flags a loaded-box record. Idle-box reference:
+    IDLE_PROBE_REF_S.
+
+    MIN of 3 samples (r13): a single cold sample pays the CPU
+    governor's frequency ramp-up and reads 0.7-1.5 s on a PROVABLY
+    idle box (measured sequence 0.699 -> 0.34-0.50 settled; best-of-3
+    spread 0.30-0.36 across five trials at 99% idle / 0.9% steal),
+    which would trip the box gate on a perfectly valid record.
+    Sustained contention elevates the minimum too, so the gate's
+    purpose — telling a contended record from a clean one — survives;
+    only the one-sample cold-start artifact is removed."""
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(3):
+        a = np.arange(640_000, dtype=np.float64).reshape(800, 800) % 251
+        t0 = time.time()
+        for _ in range(8):
+            a = (a @ a) % 251
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -50,6 +97,7 @@ def main() -> None:
     # fixed-work calibration probe at both ends.
     load_start = os.getloadavg()
     calib_start_s = _calibration_probe_s()
+    par_start_s = _parallel_probe_s()
 
     # Stage each synthetic changelog to parquet ONCE and let every query
     # read the staged copy (envelope._staged) — queries then time the
@@ -399,7 +447,20 @@ def main() -> None:
         "calibration_probe_start_s": calib_start_s,
         "calibration_probe_end_s": _calibration_probe_s(),
         "idle_probe_ref_s": list(IDLE_PROBE_REF_S),
+        "parallel_probe_start_s": par_start_s,
+        "parallel_probe_end_s": _parallel_probe_s(),
+        "parallel_scaling_ref": PARALLEL_SCALING_REF,
     }
+    # worst-end parallel scaling: 32-way wall over the single-probe
+    # floor — the box's delivered parallelism, gated by TARGETS rows
+    out["parallel_scaling_ratio"] = round(
+        max(out["parallel_probe_start_s"], out["parallel_probe_end_s"])
+        / max(
+            min(out["calibration_probe_start_s"], out["calibration_probe_end_s"]),
+            1e-9,
+        ),
+        2,
+    )
     # --- the authoritative target table (TARGETS.json, r11 verdict #5) --
     # Every self-set watchpoint lives in ONE loaded file and the record
     # carries its own pass/fail — a miss prints the miss instead of

@@ -137,17 +137,22 @@ def fuzzy_join_pairs(
         "_blk",
         "_pfx",
         "_gram",
+        "_gram2",
         F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
     )
     # per-block population via a window count — the same single shuffle
     # that co-locates the block also sizes it (no second pass); counts
     # are over REPS, so the cap now measures distinct-prefix diversity.
     # Blocks under the cap keep the sentinel secondary key; oversized
-    # blocks re-key on the min-gram, and the SECOND window count (same
-    # exchange, refined key) applies the cap to the sub-blocks — all
-    # BEFORE any pair is formed.
+    # blocks re-key on the min-gram, the SECOND window count (same
+    # exchange, refined key) applies the cap to the sub-blocks, and
+    # sub-blocks STILL over cap re-key once more on the reversed-prefix
+    # min-gram (the r13 tertiary split) — all BEFORE any pair is formed.
     n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
     n2_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt", "_sec"))
+    n3_w = F.count(F.lit(1)).over(
+        Window.partitionBy("_blk", "_bkt", "_sec", "_sec2")
+    )
     # Explicit keyed repartition before the checkpoint: the block table
     # is small in BYTES (ids + 64-char prefixes), so AQE coalesces its
     # shuffle to one partition — and the join's C(n,2) levenshtein DP
@@ -167,9 +172,18 @@ def fuzzy_join_pairs(
             ),
         )
         .withColumn("_n2", n2_w)
-        .where((F.col("_n2") >= 2) & (F.col("_n2") <= max_block))
-        .drop("_n", "_n2", "_gram")
-        .repartition(par, "_blk", "_bkt", "_sec")
+        .withColumn(
+            "_sec2",
+            F.when(
+                (F.col("_sec") == _LINK_SEC_NONE)
+                | (F.col("_n2") <= max_block),
+                F.lit(_LINK_SEC_NONE),
+            ).otherwise(F.col("_gram2")),
+        )
+        .withColumn("_n3", n3_w)
+        .where((F.col("_n3") >= 2) & (F.col("_n3") <= max_block))
+        .drop("_n", "_n2", "_n3", "_gram", "_gram2")
+        .repartition(par, "_blk", "_bkt", "_sec", "_sec2")
         .localCheckpoint(eager=False)  # self-joined: scan once, not twice
     )
     a = ok.select(
@@ -178,6 +192,7 @@ def fuzzy_join_pairs(
         "_blk",
         "_bkt",
         "_sec",
+        "_sec2",
     )
     b = ok.select(
         F.col("doc_id").alias("doc_b"),
@@ -185,9 +200,10 @@ def fuzzy_join_pairs(
         "_blk",
         "_bkt",
         "_sec",
+        "_sec2",
     )
     rep_pairs = (
-        a.join(b, ["_blk", "_bkt", "_sec"])
+        a.join(b, ["_blk", "_bkt", "_sec", "_sec2"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -265,6 +281,7 @@ def _fuzzy_pre(
         F.col(block_col).alias("_blk"),
         pfx.alias("_pfx"),
         _min_gram(pfx).alias("_gram"),
+        _min_gram2(pfx).alias("_gram2"),
         b0.alias("_b0"),
     ).where(
         F.col("_blk").isNotNull()
@@ -339,6 +356,18 @@ def _min_gram(pfx, gram: int = LINK_GRAM):
     )
 
 
+def _min_gram2(pfx, gram: int = LINK_GRAM):
+    """The TERTIARY split key: the min gram of the REVERSED prefix — a
+    second, near-independent 1-permutation MinHash over (reversed)
+    shingles. Used only for sub-blocks still over cap after the
+    min-gram split (r13: at x100, 273 diverse sub-blocks shared their
+    min-gram and dropped 5.9% of candidate pair mass wholesale; the
+    second key splits them instead). Same small-edit robustness
+    argument as _min_gram; near-identical prefixes agree on both keys
+    with ~p^2 probability, unrelated same-min-gram texts spread."""
+    return _min_gram(F.reverse(pfx), gram)
+
+
 def fuzzy_join_blocks(
     docs: DataFrame,
     text_col: str = "text",
@@ -373,10 +402,14 @@ def fuzzy_join_blocks(
         "_blk",
         "_pfx",
         "_gram",
+        "_gram2",
         F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
     )
     n_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt"))
     n2_w = F.count(F.lit(1)).over(Window.partitionBy("_blk", "_bkt", "_sec"))
+    n3_w = F.count(F.lit(1)).over(
+        Window.partitionBy("_blk", "_bkt", "_sec", "_sec2")
+    )
     return (
         blocks.withColumn("_n", n_w)
         .withColumn(
@@ -386,8 +419,17 @@ def fuzzy_join_blocks(
             ),
         )
         .withColumn("_n2", n2_w)
-        .where(F.col("_n2") <= max_block)
-        .drop("_n", "_n2", "_gram")
+        .withColumn(
+            "_sec2",
+            F.when(
+                (F.col("_sec") == _LINK_SEC_NONE)
+                | (F.col("_n2") <= max_block),
+                F.lit(_LINK_SEC_NONE),
+            ).otherwise(F.col("_gram2")),
+        )
+        .withColumn("_n3", n3_w)
+        .where(F.col("_n3") <= max_block)
+        .drop("_n", "_n2", "_n3", "_gram", "_gram2")
     )
 
 
@@ -435,18 +477,12 @@ def fuzzy_join_incremental(
     fuzzy_join_blocks is rep-level, so omitting its map under-reports
     clone members (the streaming resolver's raw row-level leaves
     legitimately carry no map). Per-incoming-GROUP cost is bounded by
-    2 x 2 x max_block DP comparisons whatever the batch's own skew
-    (the cap lives on the BASE blocks; the extra x2 is the
-    dual-secondary probe below). Same recall guarantee as the batch
-    operator: the two-bucket probe covers any pair within max_dist <
-    bucket against under-cap base blocks; split base blocks match on
-    the min-gram; clone heaps on either side are exact.
-
-    An incoming row cannot know whether its base block was split, so
-    it probes BOTH secondary keys — the sentinel (matches under-cap
-    base blocks) and its own min-gram (matches the split rows). At
-    most one leg has matching base rows per (block, bucket), and the
-    final pair-dedup groupBy absorbs any double hit."""
+    2 x 3 x max_block DP comparisons whatever the batch's own skew
+    (the cap lives on the BASE blocks; the x3 is the three-leg split
+    probe below). Same recall guarantee as the batch operator: the
+    two-bucket probe covers any pair within max_dist < bucket against
+    under-cap base blocks; split base blocks match on the min-gram(s);
+    clone heaps on either side are exact."""
     if bucket <= max_dist:
         raise ValueError(
             f"fuzzy_join_incremental: bucket width {bucket} must exceed "
@@ -469,6 +505,17 @@ def fuzzy_join_incremental(
         incoming, text_col, block_col, len_col, prefix_len, bucket
     )
     inc_map = grouped.where(F.col("_m") >= 2).select("_rep", "doc_id")
+    # an incoming row cannot know how deep its base block was split, so
+    # it probes the three key shapes a base row can carry: the sentinel
+    # pair (under-cap block), (min-gram, sentinel) (level-2 split), and
+    # (min-gram, reversed-min-gram) (level-3 split). At most one leg
+    # has matching base rows per (block, bucket).
+    sec_none = F.lit(_LINK_SEC_NONE)
+    probe_legs = F.array(
+        F.struct(sec_none.alias("s"), sec_none.alias("s2")),
+        F.struct(F.col("_gram").alias("s"), sec_none.alias("s2")),
+        F.struct(F.col("_gram").alias("s"), F.col("_gram2").alias("s2")),
+    )
     inc = (
         grouped.where(F.col("doc_id") == F.col("_rep"))
         .select(
@@ -476,6 +523,7 @@ def fuzzy_join_incremental(
             "_pfx",
             "_blk",
             "_gram",
+            "_gram2",
             F.explode(F.array(F.col("_b0"), F.col("_b0") + F.lit(1))).alias("_bkt"),
         )
         .select(
@@ -483,15 +531,23 @@ def fuzzy_join_incremental(
             "_pfx",
             "_blk",
             "_bkt",
-            F.explode(F.array(F.lit(_LINK_SEC_NONE), F.col("_gram"))).alias("_sec"),
+            F.explode(probe_legs).alias("_leg"),
         )
-        .repartition(par, "_blk", "_bkt", "_sec")
+        .select(
+            "doc_id",
+            "_pfx",
+            "_blk",
+            "_bkt",
+            F.col("_leg.s").alias("_sec"),
+            F.col("_leg.s2").alias("_sec2"),
+        )
+        .repartition(par, "_blk", "_bkt", "_sec", "_sec2")
     )
     b = base_blocks.select(
-        "base_id", F.col("_pfx").alias("_pb"), "_blk", "_bkt", "_sec"
+        "base_id", F.col("_pfx").alias("_pb"), "_blk", "_bkt", "_sec", "_sec2"
     )
     rep_hits = (
-        inc.join(b, ["_blk", "_bkt", "_sec"])
+        inc.join(b, ["_blk", "_bkt", "_sec", "_sec2"])
         .select(
             "doc_id",
             "base_id",
@@ -572,22 +628,35 @@ def fuzzy_join_incremental_sql(
         fji_bblocks AS (
             SELECT rep AS base_id, blk, pfx,
                    {_min_gram_sql('pfx')} AS gram,
+                   {_min_gram_sql('reverse(pfx)')} AS gram2,
                    unnest([b0, b0 + 1]) AS bkt
             FROM fji_bgrp),
         fji_bpop AS (
             SELECT blk, bkt, count(*) AS n FROM fji_bblocks GROUP BY 1, 2),
         fji_blvl AS (
-            SELECT b.base_id, b.blk, b.bkt, b.pfx,
+            SELECT b.base_id, b.blk, b.bkt, b.pfx, b.gram2,
                    CASE WHEN p.n <= {max_block} THEN '' ELSE b.gram END AS sec
             FROM fji_bblocks b
             JOIN fji_bpop p ON b.blk = p.blk AND b.bkt = p.bkt),
         fji_bpop2 AS (
             SELECT blk, bkt, sec, count(*) AS n
             FROM fji_blvl GROUP BY 1, 2, 3),
-        fji_bok AS (
-            SELECT b.* FROM fji_blvl b
+        fji_blvl2 AS (
+            SELECT b.base_id, b.blk, b.bkt, b.pfx, b.sec,
+                   CASE WHEN b.sec = '' OR p.n <= {max_block}
+                        THEN '' ELSE b.gram2 END AS sec2
+            FROM fji_blvl b
             JOIN fji_bpop2 p
-              ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec
+              ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec),
+        fji_bpop3 AS (
+            SELECT blk, bkt, sec, sec2, count(*) AS n
+            FROM fji_blvl2 GROUP BY 1, 2, 3, 4),
+        fji_bok AS (
+            SELECT b.* FROM fji_blvl2 b
+            JOIN fji_bpop3 p
+              ON b.blk = p.blk AND b.bkt = p.bkt
+             AND b.sec IS NOT DISTINCT FROM p.sec
+             AND b.sec2 IS NOT DISTINCT FROM p.sec2
             WHERE p.n <= {max_block}),
         fji_inc0 AS (
             SELECT doc_id, lang AS blk, substr(text, 1, {prefix_len}) AS pfx,
@@ -608,15 +677,20 @@ def fuzzy_join_incremental_sql(
         fji_inc1 AS (
             SELECT rep AS doc_id, blk, pfx,
                    {_min_gram_sql('pfx')} AS gram,
+                   {_min_gram_sql('reverse(pfx)')} AS gram2,
                    unnest([b0, b0 + 1]) AS bkt
             FROM fji_igrp),
         fji_inc AS (
-            SELECT doc_id, blk, bkt, pfx, unnest(['', gram]) AS sec
-            FROM fji_inc1),
+            SELECT doc_id, blk, bkt, pfx, '' AS sec, '' AS sec2 FROM fji_inc1
+            UNION ALL
+            SELECT doc_id, blk, bkt, pfx, gram, '' FROM fji_inc1
+            UNION ALL
+            SELECT doc_id, blk, bkt, pfx, gram, gram2 FROM fji_inc1),
         fji_rhits AS (
             SELECT i.doc_id, b.base_id, levenshtein(i.pfx, b.pfx) AS d
             FROM fji_inc i JOIN fji_bok b
               ON i.blk = b.blk AND i.bkt = b.bkt AND i.sec = b.sec
+             AND i.sec2 = b.sec2
             WHERE levenshtein(i.pfx, b.pfx) <= {max_dist}),
         fji_pairs AS (
             SELECT coalesce(im.doc_id, r.doc_id) AS doc_id,
@@ -669,21 +743,34 @@ def fuzzy_join_pairs_sql(
         fj_blocks AS (
             SELECT rep AS doc_id, blk, pfx,
                    {_min_gram_sql('pfx')} AS gram,
+                   {_min_gram_sql('reverse(pfx)')} AS gram2,
                    unnest([b0, b0 + 1]) AS bkt
             FROM fj_grp),
         fj_pop AS (
             SELECT blk, bkt, count(*) AS n FROM fj_blocks GROUP BY 1, 2),
         fj_lvl AS (
-            SELECT b.doc_id, b.blk, b.bkt, b.pfx,
+            SELECT b.doc_id, b.blk, b.bkt, b.pfx, b.gram2,
                    CASE WHEN p.n <= {max_block} THEN '' ELSE b.gram END AS sec
             FROM fj_blocks b
             JOIN fj_pop p ON b.blk = p.blk AND b.bkt = p.bkt),
         fj_pop2 AS (
             SELECT blk, bkt, sec, count(*) AS n FROM fj_lvl GROUP BY 1, 2, 3),
-        fj_ok AS (
-            SELECT b.* FROM fj_lvl b
+        fj_lvl2 AS (
+            SELECT b.doc_id, b.blk, b.bkt, b.pfx, b.sec,
+                   CASE WHEN b.sec = '' OR p.n <= {max_block}
+                        THEN '' ELSE b.gram2 END AS sec2
+            FROM fj_lvl b
             JOIN fj_pop2 p
-              ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec
+              ON b.blk = p.blk AND b.bkt = p.bkt AND b.sec IS NOT DISTINCT FROM p.sec),
+        fj_pop3 AS (
+            SELECT blk, bkt, sec, sec2, count(*) AS n
+            FROM fj_lvl2 GROUP BY 1, 2, 3, 4),
+        fj_ok AS (
+            SELECT b.* FROM fj_lvl2 b
+            JOIN fj_pop3 p
+              ON b.blk = p.blk AND b.bkt = p.bkt
+             AND b.sec IS NOT DISTINCT FROM p.sec
+             AND b.sec2 IS NOT DISTINCT FROM p.sec2
             WHERE p.n BETWEEN 2 AND {max_block}),
         fj_rpairs AS (
             SELECT doc_a, doc_b, min(d) AS d FROM (
@@ -691,7 +778,7 @@ def fuzzy_join_pairs_sql(
                        levenshtein(a.pfx, b.pfx) AS d
                 FROM fj_ok a JOIN fj_ok b
                   ON a.blk = b.blk AND a.bkt = b.bkt AND a.sec = b.sec
-                 AND a.doc_id < b.doc_id)
+                 AND a.sec2 = b.sec2 AND a.doc_id < b.doc_id)
             WHERE d <= {max_dist} GROUP BY 1, 2),
         fj_pairs AS (
             SELECT least(coalesce(ma.doc_id, r.doc_a),

@@ -4205,11 +4205,12 @@ def _staged_link_index(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(d, "clusters")
         )
 
-    # linkidx-v4: clone-collapsed rep-level blocks + the clone-map
-    # expansion companion (round-13 clone-pile-up closure in
-    # operators/joins.py; v3 was the r12 secondary min-gram blocking)
+    # linkidx-v5: clone-collapsed rep-level blocks + the clone-map
+    # expansion companion + the tertiary reversed-min-gram split key
+    # (_sec2) for sub-blocks still over cap (round-13, operators/
+    # joins.py; v3 was the r12 secondary min-gram blocking)
     return _staged_artifact(
-        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v4"
+        "databus_linkidx", sf_dir, fingerprint, build, version="linkidx-v5"
     )
 
 

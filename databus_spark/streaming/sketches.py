@@ -458,6 +458,7 @@ class StreamingEntityResolver:
         ).select(
             "base_id", "_blk", "_pfx", "_bkt",
             F.lit(joins._LINK_SEC_NONE).alias("_sec"),
+            F.lit(joins._LINK_SEC_NONE).alias("_sec2"),
         )
         v = self._version() + 1
         vdir = os.path.join(self.root, f"v{v}")

@@ -62,15 +62,30 @@ def min_gram(p: str | None) -> str | None:
     return min(s[i : i + GRAM] for i in range(len(s) - GRAM + 1))
 
 
+def _min_gram_sql(expr: str, gram: int = GRAM) -> str:
+    """DuckDB twin of min_gram (mirrors operators/joins._min_gram_sql)."""
+    padded = (
+        f"CASE WHEN length({expr}) < {gram} "
+        f"THEN rpad({expr}, {gram}, chr(1)) ELSE {expr} END"
+    )
+    return (
+        f"list_min(list_transform("
+        f"range(1, length({padded}) - {gram - 2}), "
+        f"i -> substr({padded}, CAST(i AS INT), {gram})))"
+    )
+
+
 def _c2(n: int) -> int:
     return n * (n - 1) // 2
 
 
 def pair_mass() -> None:
     """Member-pair-mass accounting per (blk, bkt) top block, with the
-    clone collapse: populations/caps apply to DISTINCT-PREFIX groups,
-    within-group mass is unconditional, and only CROSS-group mass of
-    over-cap rep sub-blocks drops."""
+    clone collapse AND the tertiary reversed-min-gram split:
+    populations/caps apply to DISTINCT-PREFIX groups, within-group
+    mass is unconditional, over-cap rep sub-blocks re-split on the
+    second key, and only CROSS-group mass of sub-sub-blocks still over
+    cap drops."""
     con = _con()
     rows = con.execute(
         f"""
@@ -84,7 +99,7 @@ def pair_mass() -> None:
     for blk, bkt, b0, pfx, m in rows:
         top[(blk, bkt)].append((pfx, m))
     unc = within = cross_kept = cross_drop = cross_split = 0
-    over_blocks = over_subs = 0
+    over_blocks = over_subs = over_subs2 = 0
     for _key, groups in top.items():
         n = sum(m for _p, m in groups)
         w = sum(_c2(m) for _p, m in groups)
@@ -98,37 +113,42 @@ def pair_mass() -> None:
         over_blocks += 1
         subs: dict = defaultdict(list)
         for pfx, m in groups:
-            subs[min_gram(pfx)].append(m)
+            subs[min_gram(pfx)].append((pfx, m))
         sub_cross_sum = 0
-        for _sec, ms in subs.items():
-            ns, ws = sum(ms), sum(_c2(m) for m in ms)
+        for _sec, gs in subs.items():
+            ns = sum(m for _p, m in gs)
+            ws = sum(_c2(m) for _p, m in gs)
             sub_cross = _c2(ns) - ws
             sub_cross_sum += sub_cross
-            if len(ms) <= CAP:
+            if len(gs) <= CAP:
                 cross_kept += sub_cross
-            else:
-                cross_drop += sub_cross
-                over_subs += 1
+                continue
+            over_subs += 1
+            # tertiary: re-split on the reversed-prefix min-gram
+            subs2: dict = defaultdict(list)
+            for pfx, m in gs:
+                subs2[min_gram(pfx[::-1])].append(m)
+            sub2_cross_sum = 0
+            for _sec2, ms in subs2.items():
+                ns2, ws2 = sum(ms), sum(_c2(m) for m in ms)
+                s2_cross = _c2(ns2) - ws2
+                sub2_cross_sum += s2_cross
+                if len(ms) <= CAP:
+                    cross_kept += s2_cross
+                else:
+                    cross_drop += s2_cross
+                    over_subs2 += 1
+            cross_split += sub_cross - sub2_cross_sum
         cross_split += cross_total - sub_cross_sum
     gen = within + cross_kept
     print(
         f"blocks={len(top)} oversized(rep-pop)={over_blocks} "
-        f"overcap_subblocks={over_subs}\n"
+        f"overcap_subblocks={over_subs} overcap_after_tertiary={over_subs2}\n"
         f"uncapped={unc} generated={gen} "
         f"(within-clone={within} cross_kept={cross_kept})\n"
         f"cap_dropped={cross_drop} ({cross_drop / max(unc, 1):.3%}) "
         f"split_separated={cross_split} ({cross_split / max(unc, 1):.3%})"
     )
-
-
-def _lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
 
 
 def _wilson(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
@@ -145,78 +165,127 @@ def gram_recall(max_members: int, max_dist: int, n_samples: int, seed: int) -> N
     """True-pair retention over EVERY oversized (rep-pop > CAP) block.
 
     A pair is KEPT under the r13 semantics iff the two prefixes are
-    identical (clone pair: unconditional) or they share the min-gram
-    AND their sub-block's rep population is <= CAP. Blocks with
-    <= max_members members are brute-forced exactly; larger blocks are
-    estimated from ``n_samples`` seeded uniform member pairs with a
-    Wilson 95% CI on the conditional kept|true proportion."""
+    identical (clone pair: unconditional), or they share the min-gram
+    AND their sub-block's rep population is <= CAP, or (sub over cap)
+    they also share the reversed-prefix min-gram AND that sub-sub-
+    block's rep population is <= CAP. Blocks with <= max_members
+    members are brute-forced exactly; larger blocks are estimated from
+    ``n_samples`` seeded uniform member pairs with a Wilson 95% CI on
+    the conditional kept|true proportion. The Levenshtein DP and the
+    kept-rule run inside DuckDB (native) — the pure-python DP version
+    needed hours at x100."""
     con = _con()
-    rows = con.execute(
+    g1 = _min_gram_sql("pfx")
+    g2 = _min_gram_sql("reverse(pfx)")
+    con.execute(
         f"""
+        CREATE TEMP TABLE mem AS
         WITH {_BLOCKS_CTE},
         pop AS (
-            SELECT blk, bkt, count(DISTINCT pfx) AS r, count(*) AS n
-            FROM blocks GROUP BY 1, 2),
-        ov AS (SELECT blk, bkt, n FROM pop WHERE r > {CAP})
-        SELECT b.blk, b.bkt, b.doc_id, b.pfx
+            SELECT blk, bkt, count(DISTINCT pfx) AS r FROM blocks GROUP BY 1, 2),
+        ov AS (SELECT blk, bkt FROM pop WHERE r > {CAP})
+        SELECT b.blk, b.bkt,
+               row_number() OVER (PARTITION BY b.blk, b.bkt
+                                  ORDER BY b.doc_id) - 1 AS idx,
+               b.pfx, {g1} AS g1, {g2} AS g2
         FROM blocks b JOIN ov o ON b.blk = o.blk AND b.bkt = o.bkt
         """
-    ).fetchall()
-    blocks: dict = defaultdict(list)
-    for blk, bkt, did, pfx in rows:
-        blocks[(blk, bkt)].append((did, pfx))
+    )
+    con.execute(
+        f"""
+        CREATE TEMP TABLE subok AS
+        SELECT blk, bkt, g1, count(DISTINCT pfx) <= {CAP} AS ok
+        FROM mem GROUP BY 1, 2, 3
+        """
+    )
+    con.execute(
+        f"""
+        CREATE TEMP TABLE sub2ok AS
+        SELECT blk, bkt, g1, g2, count(DISTINCT pfx) <= {CAP} AS ok
+        FROM mem GROUP BY 1, 2, 3, 4
+        """
+    )
+    kept_expr = """
+        (a.pfx = b.pfx OR (a.g1 = b.g1 AND
+            (so.ok OR (a.g2 = b.g2 AND s2.ok))))
+    """
+    kept_joins = """
+        JOIN subok so ON so.blk = a.blk AND so.bkt = a.bkt AND so.g1 = a.g1
+        JOIN sub2ok s2 ON s2.blk = a.blk AND s2.bkt = a.bkt
+             AND s2.g1 = a.g1 AND s2.g2 = a.g2
+    """
+    sizes = dict(
+        ((blk, bkt), n)
+        for blk, bkt, n in con.execute(
+            "SELECT blk, bkt, count(*) FROM mem GROUP BY 1, 2"
+        ).fetchall()
+    )
+    # the exact leg must see ONLY brute-forceable blocks BEFORE the
+    # self-join (a size filter after the join materializes C(100k,2))
+    con.execute(
+        f"""
+        CREATE TEMP TABLE mem_small AS
+        SELECT m.* FROM mem m
+        JOIN (SELECT blk, bkt FROM mem GROUP BY 1, 2
+              HAVING count(*) <= {max_members}) s
+          ON s.blk = m.blk AND s.bkt = m.bkt
+        """
+    )
     rng = random.Random(seed)
-    tot_true = tot_kept = 0  # pooled over exact + sampled true pairs
-    n_exact = n_sampled = 0
-    sizes = sorted(len(m) for m in blocks.values())
-    for key, mem in sorted(blocks.items(), key=lambda kv: len(kv[1])):
-        # sub-block rep populations for the kept-rule (per this block)
-        reps_per_sec: dict = defaultdict(set)
-        for _did, pfx in mem:
-            reps_per_sec[min_gram(pfx)].add(pfx)
-        sub_ok = {sec: len(ps) <= CAP for sec, ps in reps_per_sec.items()}
-
-        def kept(pi: str, pj: str) -> bool:
-            if pi == pj:
-                return True
-            gi, gj = min_gram(pi), min_gram(pj)
-            return gi == gj and sub_ok[gi]
-
-        n = len(mem)
-        if n <= max_members:
-            t = k = 0
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if _lev(mem[i][1], mem[j][1]) <= max_dist:
-                        t += 1
-                        if kept(mem[i][1], mem[j][1]):
-                            k += 1
-            n_exact += 1
-            mode = f"exact pairs={_c2(n)}"
-        else:
-            t = k = 0
+    samp_rows = []
+    for (blk, bkt), n in sizes.items():
+        if n > max_members:
             for _ in range(n_samples):
                 i = rng.randrange(n)
                 j = rng.randrange(n - 1)
                 if j >= i:
                     j += 1
-                if _lev(mem[i][1], mem[j][1]) <= max_dist:
-                    t += 1
-                    if kept(mem[i][1], mem[j][1]):
-                        k += 1
-            n_sampled += 1
-            mode = f"sampled pairs={n_samples}"
+                samp_rows.append((blk, bkt, min(i, j), max(i, j)))
+    import pandas as pd
+
+    samp_df = pd.DataFrame(samp_rows, columns=["blk", "bkt", "i", "j"])
+    con.register("samp_df", samp_df)
+    con.execute("CREATE TEMP TABLE samp AS SELECT * FROM samp_df")
+    per_block = con.execute(
+        f"""
+        SELECT blk, bkt, mode, sum(is_true) AS t, sum(is_true * is_kept) AS k
+        FROM (
+            SELECT a.blk, a.bkt, 'exact' AS mode,
+                   CAST(levenshtein(a.pfx, b.pfx) <= {max_dist} AS INT) AS is_true,
+                   CAST({kept_expr} AS INT) AS is_kept
+            FROM mem_small a
+            JOIN mem_small b ON b.blk = a.blk AND b.bkt = a.bkt AND b.idx < a.idx
+            {kept_joins}
+            UNION ALL
+            SELECT a.blk, a.bkt, 'sampled',
+                   CAST(levenshtein(a.pfx, b.pfx) <= {max_dist} AS INT),
+                   CAST({kept_expr} AS INT)
+            FROM samp s
+            JOIN mem a ON a.blk = s.blk AND a.bkt = s.bkt AND a.idx = s.i
+            JOIN mem b ON b.blk = s.blk AND b.bkt = s.bkt AND b.idx = s.j
+            {kept_joins}
+        )
+        GROUP BY 1, 2, 3 ORDER BY 2, 1
+        """
+    ).fetchall()
+    tot_true = tot_kept = n_exact = n_sampled = 0
+    for blk, bkt, mode, t, k in per_block:
+        t, k = int(t or 0), int(k or 0)
         tot_true += t
         tot_kept += k
+        n_exact += mode == "exact"
+        n_sampled += mode == "sampled"
         lo, hi = _wilson(k, t)
         print(
-            f"{key[0][:24]} bkt={key[1]} n={n} [{mode}] true={t} kept={k} "
-            f"recall={k / max(t, 1):.3f} ci95=[{lo:.3f},{hi:.3f}]"
+            f"{str(blk)[:24]} bkt={bkt} n={sizes[(blk, bkt)]} [{mode}] "
+            f"true={t} kept={k} recall={k / max(t, 1):.3f} "
+            f"ci95=[{lo:.3f},{hi:.3f}]"
         )
     lo, hi = _wilson(tot_kept, tot_true)
+    szs = sorted(sizes.values())
     print(
-        f"TOTAL blocks={len(blocks)} (exact={n_exact} sampled={n_sampled}) "
-        f"sizes={sizes[:3]}..{sizes[-3:] if len(sizes) >= 3 else sizes}\n"
+        f"TOTAL blocks={len(sizes)} (exact={n_exact} sampled={n_sampled}) "
+        f"sizes={szs[:3]}..{szs[-3:] if len(szs) >= 3 else szs}\n"
         f"true={tot_true} kept={tot_kept} "
         f"recall={tot_kept / max(tot_true, 1):.3f} ci95=[{lo:.3f},{hi:.3f}]"
     )

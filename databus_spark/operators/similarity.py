@@ -214,19 +214,26 @@ def sq8_topk(
     deployment — where SQ8 is the actual 8x IO lever — passes False
     and the ``in_float_topk`` column is omitted; only the quantized
     scan runs."""
-    qz = emb.select(
-        F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_qv")
-    ).localCheckpoint(eager=False)  # quantize once, feed both join sides
-    q = qz.where(F.col("_id") < n_queries).select(
-        F.col("_id").alias("query_id"), F.col("_qv").alias("_qq")
+    # self-norms ride each ROW (one HOF dot per vector, not three per
+    # pair): bit-identical output, same doubles in the same order
+    qz = (
+        emb.select(F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_qv"))
+        .withColumn("_n", F.sqrt(_idot(F.col("_qv"), F.col("_qv")).cast("double")))
+        .localCheckpoint(eager=False)  # quantize once, feed both join sides
     )
-    c = qz.select(F.col("_id").alias("neighbor_id"), F.col("_qv").alias("_qc"))
+    q = qz.where(F.col("_id") < n_queries).select(
+        F.col("_id").alias("query_id"),
+        F.col("_qv").alias("_qq"),
+        F.col("_n").alias("_qn"),
+    )
+    c = qz.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_qv").alias("_qc"),
+        F.col("_n").alias("_cn"),
+    )
     sim = F.round(
         _idot(F.col("_qq"), F.col("_qc")).cast("double")
-        / (
-            F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double"))
-            * F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double"))
-        ),
+        / (F.col("_qn") * F.col("_cn")),
         6,
     )
     scored = (
@@ -377,7 +384,11 @@ def sq8_ivf_topk(
     cent = _ivf_centroids(emb, id_col, vec_col)
     # corpus side: top-assign_r cells + int8 codes — at scale this IS
     # the staged index (partitioned by cell_id, 8x smaller per posting
-    # than the floats, assign_r postings per vector)
+    # than the floats, assign_r postings per vector). Self-norms are
+    # hoisted to one column per ROW here (not per candidate pair): the
+    # pair expression then pays ONE interpreted HOF dot instead of
+    # three, with bit-identical output (the same doubles, multiplied
+    # in the same order).
     c_scored = _ivf_scored(emb, cent, id_col, vec_col)
     wc = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     assigned = (
@@ -387,6 +398,9 @@ def sq8_ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             _sq8(F.col(vec_col)).alias("_qc"),
             "cell_id",
+        )
+        .withColumn(
+            "_cn", F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double"))
         )
     )
     q_scored = _ivf_scored(emb.where(F.col(id_col) < n_queries), cent, id_col, vec_col)
@@ -399,6 +413,9 @@ def sq8_ivf_topk(
             _sq8(F.col(vec_col)).alias("_qq"),
             "cell_id",
         )
+        .withColumn(
+            "_qn", F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double"))
+        )
     )
     # multi-assignment => a (query, neighbor) pair can surface from up
     # to assign_r probed cells: dedup before scoring/counting
@@ -409,10 +426,7 @@ def sq8_ivf_topk(
     )
     sim = F.round(
         _idot(F.col("_qq"), F.col("_qc")).cast("double")
-        / (
-            F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double"))
-            * F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double"))
-        ),
+        / (F.col("_qn") * F.col("_cn")),
         6,
     )
     scored = cand.select("query_id", "neighbor_id", sim.alias("sim_q8")).localCheckpoint(

@@ -130,6 +130,49 @@ def test_k_anonymity_gate_null_qi_group_counts(spark):
     assert got[12] == (1, True)
 
 
+def test_k_anonymity_gate_null_qi_cross_engine(spark):
+    """The fixture documents table carries no NULL QI values, so the
+    driver's oracle never exercises the twins' NULL paths — this pins
+    Spark's eqNullSafe join against the SQL twin's IS NOT DISTINCT
+    FROM shape on planted NULLs."""
+    import duckdb
+
+    rows = [(i, None if i < 4 else "en", "keep" if i != 9 else "drop")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, decision string")
+    got = {
+        r.doc_id: (r.group_n, r.suppress)
+        for r in validate.k_anonymity_gate(
+            df, ["lang"], k=5, keep_pred=F.col("decision") == "keep"
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {'NULL' if lang is None else repr(lang)}, '{dec}')"
+        for i, lang, dec in rows
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            WITH t(doc_id, lang, decision) AS (VALUES {vals}),
+            g AS (SELECT lang, count(*) AS group_n FROM t
+                  WHERE decision = 'keep' GROUP BY lang)
+            SELECT t.doc_id,
+                   CAST(coalesce(g.group_n, 0) AS BIGINT),
+                   coalesce(g.group_n, 0) < 5
+            FROM t LEFT JOIN g ON t.lang IS NOT DISTINCT FROM g.lang
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # and the semantics themselves: NULL group has 4 candidates < k=5
+    # -> suppressed with its REAL count (not the old 0)
+    assert got[0] == (4, True)
+    assert got[5] == (5, False)  # 'en' keeps: 5 candidates ('drop' row out)
+    assert got[9] == (5, False)  # the dropped row still sees its group count
+
+
 # ---------------------------------------------------------------------------
 # fuzzy-join clone collapse
 # ---------------------------------------------------------------------------

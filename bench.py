@@ -85,6 +85,69 @@ def _calibration_probe_s() -> float:
     return round(best, 3)
 
 
+def _cmp(value, op, target):
+    if value is None:
+        return None  # metric absent from the record: unmeasured, not failed
+    return value <= target if op == "<=" else value >= target
+
+
+def _gates_unmet(row: dict, out: dict) -> str | None:
+    """Evaluate a row's valid_if precondition(s). Returns the first
+    unmet gate as a string, else None. valid_if is one gate object or
+    a list of them; each gate checks a top-level record field (so box
+    health — the calibration probes — can gate any wall/throughput
+    row: r12 committed a record whose six misses were a degraded box,
+    and a record that can't tell box from code is not evidence)."""
+    gates = row.get("valid_if")
+    if gates is None:
+        return None
+    if isinstance(gates, dict):
+        gates = [gates]
+    for gate in gates:
+        gv = out.get(gate["metric"])
+        ok = _cmp(gv, gate["op"], gate["target"])
+        if ok is not True:
+            why = "unmeasured" if gv is None else "unmet"
+            return f"{gate['metric']}={gv} (need {gate['op']} {gate['target']}) {why}"
+    return None
+
+
+def _verdict(value, row: dict, out: dict) -> dict:
+    entry = {"value": value, "op": row["op"], "target": row["target"]}
+    unmet = _gates_unmet(row, out)
+    if unmet is not None:
+        entry["pass"] = None  # precondition unmet: measurement invalid
+        entry["invalid"] = unmet
+    else:
+        entry["pass"] = _cmp(value, row["op"], row["target"])
+        if entry["pass"] is None:
+            entry["invalid"] = "metric absent from record (unmeasured)"
+    return entry
+
+
+def evaluate_targets(spec: dict, out: dict, timings: dict) -> dict:
+    """Evaluate every TARGETS.json row against the record `out` and
+    write targets / targets_failed / targets_invalid into it. Module-
+    level (not buried in main) so the gate mechanics — None-guarded
+    comparisons, single-or-list valid_if, invalid-vs-fail — are unit-
+    testable without a Spark session (tests/test_round13_ops.py)."""
+    verdicts = {}
+    for name, row in spec.get("metrics", {}).items():
+        verdicts[name] = _verdict(out.get(name), row, out)
+    for name, row in spec.get("queries", {}).items():
+        verdicts[f"query:{name}"] = _verdict(timings.get(name), row, out)
+    out["targets"] = verdicts
+    out["targets_failed"] = sorted(
+        n for n, v in verdicts.items() if v["pass"] is False
+    )
+    # rows whose measurement-validity gate tripped (box contended, metric
+    # unmeasured): visible in the record, distinct from a real miss
+    out["targets_invalid"] = sorted(
+        n for n, v in verdicts.items() if v["pass"] is None
+    )
+    return verdicts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -469,59 +532,8 @@ def main() -> None:
     with open(os.path.join(here, "TARGETS.json")) as f:
         spec = json.load(f)
 
-    def _cmp(value, op, target):
-        if value is None:
-            return None  # metric absent from the record: unmeasured, not failed
-        return value <= target if op == "<=" else value >= target
-
     out["seconds_per_query"] = round(total / max(len(headline), 1), 3)
-
-    def _gates_unmet(row) -> str | None:
-        """Evaluate a row's valid_if precondition(s). Returns the first
-        unmet gate as a string, else None. valid_if is one gate object or
-        a list of them; each gate checks a top-level record field (so box
-        health — the calibration probes — can gate any wall/throughput
-        row: r12 committed a record whose six misses were a degraded box,
-        and a record that can't tell box from code is not evidence)."""
-        gates = row.get("valid_if")
-        if gates is None:
-            return None
-        if isinstance(gates, dict):
-            gates = [gates]
-        for gate in gates:
-            gv = out.get(gate["metric"])
-            ok = _cmp(gv, gate["op"], gate["target"])
-            if ok is not True:
-                why = "unmeasured" if gv is None else "unmet"
-                return f"{gate['metric']}={gv} (need {gate['op']} {gate['target']}) {why}"
-        return None
-
-    def _verdict(value, row) -> dict:
-        entry = {"value": value, "op": row["op"], "target": row["target"]}
-        unmet = _gates_unmet(row)
-        if unmet is not None:
-            entry["pass"] = None  # precondition unmet: measurement invalid
-            entry["invalid"] = unmet
-        else:
-            entry["pass"] = _cmp(value, row["op"], row["target"])
-            if entry["pass"] is None:
-                entry["invalid"] = "metric absent from record (unmeasured)"
-        return entry
-
-    verdicts = {}
-    for name, row in spec.get("metrics", {}).items():
-        verdicts[name] = _verdict(out.get(name), row)
-    for name, row in spec.get("queries", {}).items():
-        verdicts[f"query:{name}"] = _verdict(timings.get(name), row)
-    out["targets"] = verdicts
-    out["targets_failed"] = sorted(
-        n for n, v in verdicts.items() if v["pass"] is False
-    )
-    # rows whose measurement-validity gate tripped (box contended, metric
-    # unmeasured): visible in the record, distinct from a real miss
-    out["targets_invalid"] = sorted(
-        n for n, v in verdicts.items() if v["pass"] is None
-    )
+    evaluate_targets(spec, out, timings)
 
     # Full result (all per-query timings) goes to a file AND one full JSON
     # line; the LAST stdout line is a compact (<1 KB) headline so the

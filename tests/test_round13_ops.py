@@ -267,6 +267,85 @@ def test_null_keys_never_pair(spark):
 
 
 # ---------------------------------------------------------------------------
+# bench target gating (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+def test_bench_target_gating_mechanics():
+    """Pins the r13 gate semantics: a tripped box gate reads
+    invalid (pass=None), a healthy-box miss reads fail, a missing
+    metric reads unmeasured instead of raising (r12 ADVICE #2), and
+    valid_if accepts one gate or a list."""
+    import importlib.util
+    import os as _os
+
+    spec_path = _os.path.join(_os.path.dirname(__file__), "..", "bench.py")
+    s = importlib.util.spec_from_file_location("bench_mod", spec_path)
+    bench = importlib.util.module_from_spec(s)
+    s.loader.exec_module(bench)
+
+    gates = [
+        {"metric": "probe", "op": "<=", "target": 0.6},
+        {"metric": "par", "op": "<=", "target": 3.5},
+    ]
+    spec = {
+        "metrics": {
+            "thr": {"op": ">=", "target": 100, "valid_if": gates},
+            "ratio": {"op": "<=", "target": 1.2},
+            "ghost": {"op": "<=", "target": 1.0},  # never measured (typo'd key)
+            "single_gate": {
+                "op": "<=",
+                "target": 5,
+                "valid_if": {"metric": "probe", "op": "<=", "target": 0.6},
+            },
+        },
+        "queries": {"q1": {"op": "<=", "target": 2.0, "valid_if": gates}},
+    }
+    # healthy box: misses FAIL, passes pass, ghost is invalid-unmeasured
+    out = {"probe": 0.4, "par": 1.2, "thr": 50, "ratio": 1.1, "single_gate": 4}
+    bench.evaluate_targets(spec, out, {"q1": 3.0})
+    assert out["targets_failed"] == ["query:q1", "thr"]
+    assert out["targets_invalid"] == ["ghost"]
+    assert "unmeasured" in out["targets"]["ghost"]["invalid"]
+    assert out["targets"]["ratio"]["pass"] is True
+    assert out["targets"]["single_gate"]["pass"] is True
+    # degraded box (parallel gate trips): same readings become invalid,
+    # not failed — and the ungated ratio row still fails on a real miss
+    out2 = {"probe": 0.4, "par": 16.7, "thr": 50, "ratio": 1.5, "single_gate": 9}
+    bench.evaluate_targets(spec, out2, {"q1": 3.0})
+    assert out2["targets_failed"] == ["ratio", "single_gate"]
+    assert set(out2["targets_invalid"]) == {"ghost", "query:q1", "thr"}
+    assert "par=16.7" in out2["targets"]["thr"]["invalid"]
+    # a gate on an UNMEASURED metric is itself invalid, never a crash
+    out3 = {"thr": 500, "ratio": 1.0, "single_gate": 1, "probe": 0.4}
+    bench.evaluate_targets(spec, out3, {})
+    assert out3["targets"]["thr"]["pass"] is None
+    assert "par=None" in out3["targets"]["thr"]["invalid"]
+    assert out3["targets"]["single_gate"]["pass"] is True
+
+
+def test_bench_committed_record_reproduces():
+    """The committed r13 record's verdicts re-derive from TARGETS.json
+    through evaluate_targets — the record and the evaluator agree."""
+    import importlib.util
+    import json
+    import os as _os
+
+    root = _os.path.join(_os.path.dirname(__file__), "..")
+    s = importlib.util.spec_from_file_location(
+        "bench_mod2", _os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(s)
+    s.loader.exec_module(bench)
+    rec = json.load(open(_os.path.join(root, "bench_queries.json")))
+    spec = json.load(open(_os.path.join(root, "TARGETS.json")))
+    fresh = {k: v for k, v in rec.items() if k not in ("targets", "targets_failed", "targets_invalid")}
+    bench.evaluate_targets(spec, fresh, rec["queries"])
+    assert fresh["targets_failed"] == rec["targets_failed"]
+    assert fresh["targets_invalid"] == rec["targets_invalid"]
+
+
+# ---------------------------------------------------------------------------
 # streaming-ER leaf compaction
 # ---------------------------------------------------------------------------
 

@@ -40,16 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 13: the ONE new query (ann_sq8_ivf_topk — the IVF+SQ8
-    # serving composition) plus the six rows the mechanical freshness
-    # check (tools/window_manifest.py, affected_queries vs the r12
-    # manifest) marks as engine-path-changed this round: ann_sq8_topk
-    # (check_recall parameter), the fuzzy-join/linkage quartet (clone
-    # collapse — rep-level blocks, clone-map expansion, both twins),
-    # and release_gate (null-safe k_anonymity_gate join + IS NOT
-    # DISTINCT FROM twin). The remaining 43 slots rotate the oldest
-    # external greens — the whole r8 cohort plus the r9 rows at the
-    # top of last round's _REST, top-down.
+    # round 13: the TWO new queries (filter_keymod_staged_hash — the
+    # any-modulus stored-hash subscription tier — and ann_sq8_ivf_topk,
+    # the IVF+SQ8 serving composition) plus the rows the mechanical
+    # freshness check (tools/window_manifest.py, affected_queries vs
+    # the r12 manifest) marks as engine-path-changed this round:
+    # filter_keymod_subscribe (subscribe_key_mod grew the staged-hash
+    # middle tier), ann_sq8_topk (check_recall parameter), the
+    # fuzzy-join/linkage quartet (clone collapse — rep-level blocks,
+    # clone-map expansion, both twins), and release_gate (null-safe
+    # k_anonymity_gate join + IS NOT DISTINCT FROM twin). The remaining
+    # slots rotate the oldest external greens — the whole r8 cohort
+    # plus the r9 rows at the top of last round's _REST, top-down.
+    "filter_keymod_staged_hash",
+    "filter_keymod_subscribe",
     "ann_sq8_ivf_topk",
     "ann_sq8_topk",
     "fuzzy_join_docs",
@@ -98,13 +102,13 @@ _WINDOW = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "bootstrap_snapshot_catchup",
-    "bpe_learn_merges",
-    "bpe_learn_merges_batched",
 ]
 
 # below the 50-row window this round (all still verified locally),
 # oldest external green first — next round's rotation reads top-down:
 _REST = [
+    "bpe_learn_merges",
+    "bpe_learn_merges_batched",
     "checkpoint_mult_fetch",
     "contamination_fraction",
     "cube_rollup",
@@ -162,7 +166,6 @@ _REST = [
     "exactsubstr_incremental",
     "exactsubstr_spans",
     "exactsubstr_stats",
-    "filter_keymod_subscribe",
     "jdbc_txlog_pull",
     "jsonl_ingest_audit",
     "kmeans_assign_summary",

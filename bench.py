@@ -26,22 +26,28 @@ import time
 # at either end means the record was contended.
 IDLE_PROBE_REF_S = (0.25, 0.60)
 
-# Healthy ceiling for the PARALLEL scaling ratio (32-way fixed-work
-# wall / single-probe wall). Re-calibrated when the probe went
-# BLAS-free (r13, see _probe_work): the healthy band on this host
-# class is 2.2-3.0 — the single probe (min-of-3) runs at single-core
-# turbo while 32-wide load drops to all-core frequency (per-task
-# median is ~1.6-1.9x even at n=2), plus pool fork overhead and one
-# straggler. 4.0 budgets slack above the 3.0 worst healthy trial while
-# staying far under degraded-host readings (8.5-16.7 earlier this
-# round: 63% kernel time + 9% steal under 32-wide load that the
-# 1-thread probe cannot see — the uniform ~1.6x per-query slowdown vs
-# the r11 records). Wall/throughput targets are gated on this ratio so
-# a degraded-parallel-host record reads invalid_box, not fail — and a
-# healthy-host run un-gates mechanically.
+# INFORMATIONAL ceiling for the median-based parallel scaling ratio
+# (32-way fixed-work wall / single-probe wall; healthy band on this
+# host class 2.2-3.0 — the single probe runs at single-core turbo
+# while 32-wide load drops to all-core frequency — vs 6.3-16.7 in
+# degraded phases: 63% kernel time + 9% steal under 32-wide load that
+# the 1-thread probe cannot see). The GATE is the absolute wall
+# (PARALLEL_WALL_REF_S below): a worst/best ratio across different
+# moments of the run tripped on a provably healthy record.
 PARALLEL_SCALING_REF = 4.0
 _PAR_N = 32
-_MID_PROBE_EVERY = 20  # queries between mid-run box-health samples
+_MID_PROBE_EVERY = 10  # queries between mid-run box-health samples
+
+# Healthy ceiling for the parallel probe's ABSOLUTE fixed-work wall
+# (32 copies of _probe_work, seconds). Idle-box measurements: 0.80-1.34
+# across starts/mids/ends of healthy runs; degraded phases read
+# 2.6-7.5. The absolute wall replaces the scaling RATIO as the gate:
+# the ratio divided the worst parallel wall by the best single sample
+# from a DIFFERENT moment of the run, so one lucky single sample
+# (deeper turbo) could trip the gate on a healthy record (measured:
+# 1.343/0.332 = 4.05 on a run whose every parallel sample was
+# healthy). Fixed work means the wall needs no denominator.
+PARALLEL_WALL_REF_S = 1.8
 
 
 def _probe_work(_i: int = 0) -> float:
@@ -110,7 +116,16 @@ def _calibration_probe_s() -> float:
     cold-start artifact (cold == warm), but min-of-3 is kept: it
     reads the box's turbo-frequency floor, which is the stable
     quantity the band was calibrated on, and sustained contention
-    elevates the minimum too — the gate's purpose survives."""
+    elevates the minimum too — the gate's purpose survives.
+
+    One UNTIMED warm-up call precedes the samples: at process start
+    the CPU governor sits at a low frequency and all three timed
+    samples of a min-of-3 ran inside the ramp (start probes read a
+    reproducible 0.63-0.65 on an idle box — two records tripped their
+    own gate on it — while every later probe in the same process read
+    0.35-0.48). ~0.4 s of sustained load reaches the governor's
+    steady state before anything is measured."""
+    _probe_work()
     best = float("inf")
     for _ in range(3):
         best = min(best, _probe_work())
@@ -306,18 +321,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    # Mid-run box-health timeline: one single-sample calibration probe
-    # every _MID_PROBE_EVERY queries (warm, BLAS-free — no cold
-    # artifact, ~0.4 s each). The end probes proved blind to mid-run
-    # contention bursts: a run this round read healthy probes at BOTH
-    # ends while queries 140-150 ran 2-6x their committed times during
-    # a transient host burst. The timeline makes such bursts in-record
-    # evidence (probe_mid_max vs the idle band) instead of invisible
-    # noise attributed to the engine.
+    # Mid-run box-health timeline: every _MID_PROBE_EVERY queries, one
+    # warm single-thread sample (~0.4 s) AND one 32-way parallel probe
+    # (~1 s healthy). Both are needed: this host oscillates between
+    # good and bad phases on a minutes timescale, and in a bad phase
+    # the single-thread probe still reads in-band (0.35-0.48) while
+    # identical shuffle-heavy queries run 3-10x slow — only the
+    # parallel probe sees the degradation (healthy 1.3-3.1x the single
+    # floor vs 6.3-16.7 in bad phases; the "63% kernel + 9% steal
+    # under 32-wide load" signature). End-only probes proved blind
+    # twice this round: runs read healthy at BOTH ends while mid-suite
+    # stretches ran 2-6x their committed times. Probes run OUTSIDE the
+    # per-query timers — they cost real time, never timed seconds.
     probe_timeline: list[float] = []
+    par_timeline: list[float] = []
     for qi, name in enumerate(headline):
         if qi % _MID_PROBE_EVERY == 0:
             probe_timeline.append(round(_probe_work(), 3))
+            par_timeline.append(_parallel_probe_s())
         clear_caches()
         t0 = time.time()
         df = queries[name](spark, sf_dir)
@@ -326,6 +347,7 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
     probe_timeline.append(round(_probe_work(), 3))
+    par_timeline.append(_parallel_probe_s())
 
     # Headline throughput: change-stream apply — full multi-source changelog
     # compacted to latest-state (the reference's applier hot path).
@@ -361,6 +383,7 @@ def main() -> None:
 
     from databus_spark.operators.filters import (
         key_mod_filter,
+        key_mod_filter_staged,
         key_mod_subscription,
         physical_partition_filter,
     )
@@ -390,7 +413,7 @@ def main() -> None:
         .withColumn("scn", _F.col("scn") * 32 + _F.col("_rep"))
         .drop("_rep")
     )
-    _stage(biglog, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True)
+    _stage(biglog, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True, key_hash=True)
     staged = spark.read.option("basePath", routed_dir).parquet(routed_dir + "/chunk=*")
 
     def best_of(df, n: int = 4) -> float:
@@ -409,6 +432,14 @@ def main() -> None:
     filtered_s = best_of(staged.where(physical_partition_filter([0, 1])))
     keymod_s = best_of(staged.where(key_mod_subscription(8, 0, 4, route_buckets=8)))
     keymod_hash_s = best_of(staged.where(key_mod_filter(8, 0, 4)))
+    # the staged-hash middle tier (r13): same buckets over the key_hash
+    # column materialized at ingest — one stored-column pmod per row,
+    # zero hashing. This is the TARGET row for string-keyed key-mod
+    # subscriptions without a routed layout; the reflect fallback above
+    # stays an ungated informational field (its numerator is a 32-wide
+    # pure-CPU scan, maximally sensitive to host phase — readings
+    # 1.9-3.7 straddled the band on probes-healthy runs).
+    keymod_staged_s = best_of(staged.where(key_mod_filter_staged(8, 0, 4)))
     shutil.rmtree(routed_dir, ignore_errors=True)
 
     # 2. bootstrap snapshot+catchup wall time at this SF
@@ -539,6 +570,11 @@ def main() -> None:
         # diagnostic: per-row Java-hashCode filtering WITHOUT routed staging —
         # the cost route_partition materialization removes (not a target metric)
         "keymod_hash_overhead_ratio": round(keymod_hash_s / max(unfiltered_s, 1e-9), 3),
+        # staged-hash subscription tier (stored-column pmod; the target
+        # row replacing the reflect diagnostic as of late r13)
+        "keymod_staged_hash_overhead_ratio": round(
+            keymod_staged_s / max(unfiltered_s, 1e-9), 3
+        ),
         "bootstrap_wall_s": round(bootstrap_s, 3),
         "bm25_serve_s": round(bm25_serve_s, 3),
         "bm25_rebuild_s": round(bm25_rebuild_s, 3),
@@ -558,25 +594,45 @@ def main() -> None:
         "parallel_probe_start_s": par_start_s,
         "parallel_probe_end_s": _parallel_probe_s(),
         "parallel_scaling_ref": PARALLEL_SCALING_REF,
-        # mid-run box-health timeline (one warm single sample per
-        # _MID_PROBE_EVERY queries): max should sit inside the idle
-        # band on a clean record; a burst here localizes WHICH stretch
-        # of the suite was contended (recorded, not gated — gate after
-        # a quiet-box reference band exists)
+        # mid-run box-health timelines (one warm single-thread sample +
+        # one 32-way parallel probe per _MID_PROBE_EVERY queries): a
+        # burst localizes WHICH stretch of the suite was contended, and
+        # the parallel timeline catches the bad-phase mode the single
+        # probe cannot see (identical shuffle queries 3-10x slow while
+        # single-thread reads in-band)
         "calibration_probe_mid_s": probe_timeline,
         "calibration_probe_mid_max_s": max(probe_timeline),
+        "parallel_probe_mid_s": par_timeline,
         "bandwidth_probe_start_gbps": bw_start_gbps,
         "bandwidth_probe_end_gbps": _bandwidth_probe_gbps(),
     }
-    # worst-end parallel scaling: 32-way wall over the single-probe
-    # floor — the box's delivered parallelism, gated by TARGETS rows
-    out["parallel_scaling_ratio"] = round(
-        max(out["parallel_probe_start_s"], out["parallel_probe_end_s"])
-        / max(
-            min(out["calibration_probe_start_s"], out["calibration_probe_end_s"]),
-            1e-9,
+    # The GATED parallel signal: worst absolute 32-way fixed-work wall
+    # seen ANYWHERE in the run (start, every mid sample, end) vs
+    # PARALLEL_WALL_REF_S. (Worst-end alone passed on runs whose
+    # mid-suite stretches were provably degraded; a ratio against the
+    # best single sample tripped on a healthy run when one single
+    # sample caught deeper turbo.)
+    out["parallel_probe_max_s"] = round(
+        max(
+            out["parallel_probe_start_s"],
+            out["parallel_probe_end_s"],
+            *par_timeline,
         ),
-        2,
+        3,
+    )
+    out["parallel_wall_ref_s"] = PARALLEL_WALL_REF_S
+    # informational only: median-based scaling ratio (stable against
+    # single-sample luck in either dimension)
+    _meds = sorted(
+        [out["calibration_probe_start_s"], out["calibration_probe_end_s"]]
+        + probe_timeline
+    )
+    _medp = sorted(
+        [out["parallel_probe_start_s"], out["parallel_probe_end_s"]]
+        + par_timeline
+    )
+    out["parallel_scaling_ratio"] = round(
+        _medp[len(_medp) // 2] / max(_meds[len(_meds) // 2], 1e-9), 2
     )
     # --- the authoritative target table (TARGETS.json, r11 verdict #5) --
     # Every self-set watchpoint lives in ONE loaded file and the record

@@ -144,6 +144,28 @@ def key_mod_filter(num_buckets: int, min_bucket: int, max_bucket: int) -> Column
     return (b >= min_bucket) & (b < max_bucket)
 
 
+def key_mod_filter_staged(
+    num_buckets: int,
+    min_bucket: int,
+    max_bucket: int,
+    hash_col: str = "key_hash",
+) -> Column:
+    """``key_mod_filter`` over a MATERIALIZED hash column
+    (partitioners.with_key_hash): identical bucket function, zero
+    per-row hashing. Serves ANY modulus (unlike the routed layout,
+    which needs ``num_buckets`` to divide the staged bucket count) —
+    the middle subscription tier for string-keyed sources whose logs
+    were staged with the hash column. Same single-bound fast path as
+    the fallback; with a stored column the re-evaluation concern is
+    moot, but the form stays textually parallel."""
+    b = F.pmod(F.col(hash_col), F.lit(num_buckets))
+    if min_bucket <= 0:
+        return b < max_bucket
+    if max_bucket >= num_buckets:
+        return b >= min_bucket
+    return (b >= min_bucket) & (b < max_bucket)
+
+
 def key_mod_subscription(
     num_buckets: int,
     min_bucket: int,
@@ -188,18 +210,21 @@ def subscribe_key_mod(
     max_bucket: int,
     route_buckets: int | None = None,
     route_col: str = "route_partition",
+    hash_col: str = "key_hash",
 ):
     """The ENFORCED key-mod subscription entry point (DataFrame-level).
 
-    Uses the materialized ``route_col`` (directory-pruned, ~0.65x an
-    unfiltered scan) whenever the log was staged with routing and the
-    subscription modulus divides the staged one; otherwise falls back to
-    the per-row ``key_mod_filter`` scan and emits UnroutedKeyModWarning —
-    for string keys the fallback re-hashes every row at scan time
-    (~4x an unfiltered scan even with the AND-fold fast path), which is
-    the cost this contract exists to surface. Reference semantics:
-    KeyModFilter.java:34-79; routing equivalence as in
-    ``key_mod_subscription``.
+    Three tiers, fastest available wins:
+    1. materialized ``route_col`` (directory-pruned, ~0.65x an
+       unfiltered scan) when the log was staged with routing and the
+       subscription modulus divides the staged bucket count;
+    2. materialized ``hash_col`` (partitioners.with_key_hash): one
+       stored-column pmod, ANY modulus, no per-row re-hash;
+    3. the per-row ``key_mod_filter`` scan, with UnroutedKeyModWarning —
+       for string keys the fallback re-hashes every row at scan time,
+       which is the cost this contract exists to surface.
+    Reference semantics: KeyModFilter.java:34-79; routing equivalence
+    as in ``key_mod_subscription``.
     """
     import warnings
 
@@ -210,19 +235,33 @@ def subscribe_key_mod(
                     num_buckets, min_bucket, max_bucket, route_buckets, route_col
                 )
             )
+        # incompatible modulus: the staged hash column (any-modulus
+        # tier) still avoids the per-row re-hash if present
+        if hash_col in df.columns:
+            return df.where(
+                key_mod_filter_staged(num_buckets, min_bucket, max_bucket, hash_col)
+            )
         warnings.warn(
             f"num_buckets={num_buckets} does not divide route_buckets="
-            f"{route_buckets}; key-mod subscription falls back to the "
-            "per-row hash scan — restage with a compatible bucket count",
+            f"{route_buckets} and no staged '{hash_col}' column exists; "
+            "key-mod subscription falls back to the per-row hash scan — "
+            "restage with a compatible bucket count or with_key_hash",
             UnroutedKeyModWarning,
             stacklevel=2,
+        )
+    elif hash_col in df.columns:
+        # middle tier: hash materialized at ingest (with_key_hash) —
+        # one stored-column pmod, any modulus, no per-row re-hash
+        return df.where(
+            key_mod_filter_staged(num_buckets, min_bucket, max_bucket, hash_col)
         )
     else:
         warnings.warn(
             "key-mod subscription over an unrouted log falls back to a "
-            "per-row Java-hashCode scan (string keys: ~4x an unfiltered "
-            "scan); stage with stage_changelog(..., route_buckets=N) and "
-            "pass route_buckets= for the directory-pruned path",
+            "per-row Java-hashCode scan (string keys: ~1.3-4x an "
+            "unfiltered scan); stage with stage_changelog(..., "
+            "route_buckets=N) for the directory-pruned path, or "
+            "with_key_hash for the any-modulus stored-hash path",
             UnroutedKeyModWarning,
             stacklevel=2,
         )

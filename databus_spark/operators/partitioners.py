@@ -29,6 +29,26 @@ def hash_router(n_partitions: int) -> Column:
     return F.pmod(key_mod_bucket(), F.lit(n_partitions)).cast("int")
 
 
+KEY_HASH_COL = "key_hash"
+
+
+def with_key_hash(df, hash_col: str = KEY_HASH_COL):
+    """Materialize the subscription hash itself — abs(numeric key |
+    Java String.hashCode) — as an envelope column: the middle staging
+    tier between an unstaged log and a routed layout.
+
+    A routed layout (``with_route_partition``) freezes ONE bucket count
+    at ingest and serves only subscriptions whose modulus divides it
+    (by directory pruning — the fastest tier). The materialized hash
+    serves ANY modulus as one stored-column pmod: no per-row re-hash at
+    scan time, and when the key is consumed only by the subscription
+    predicate, column pruning drops the key strings from the scan
+    entirely. Cost: 8 bytes/row in the staged file. Reference parity:
+    the relay also hashes once, event-entry-side
+    (core/DbusHashPartitionRouter.java), never per subscription."""
+    return df.withColumn(hash_col, key_mod_bucket())
+
+
 ROUTE_COL = "route_partition"
 
 

@@ -292,6 +292,53 @@ def filter_keymod_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_keymod_staged_hash",
+    f"""
+    SELECT {_ENV_OUT_SQL}
+    FROM ({CUSTOMER_CHANGELOG_SQL})
+    WHERE (CASE WHEN key_num IS NOT NULL THEN abs(key_num)
+                WHEN TRY_CAST(key_str AS BIGINT) IS NOT NULL
+                     THEN abs(TRY_CAST(key_str AS BIGINT))
+                ELSE abs(CAST({java_hash_sql('key_str')} AS BIGINT)) END) % 5 < 2
+    """,
+)
+def filter_keymod_staged_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANY-MODULUS staged-hash subscription tier driver-checked
+    end-to-end: the changelog staged with the subscription hash
+    materialized as a stored column (partitioners.with_key_hash — the
+    middle tier between an unstaged log and a routed layout), then
+    subscribed with a modulus (5) that divides NO routed bucket count —
+    subscribe_key_mod resolves to one stored-column pmod, zero per-row
+    hashing, and the result must equal the per-row KeyModFilter oracle
+    exactly. The oracle recomputes the hash from the key; the Spark
+    side reads only the staged column — equality proves the staged
+    hash IS the subscription hash (KeyModFilter.java:34-79)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from databus_spark.operators.filters import subscribe_key_mod
+    from databus_spark.streaming.source import stage_changelog
+
+    log = customer_changelog(spark, sf_dir)
+    fingerprint = _content_fingerprint(log, "scn") + "|c2-keyhash-v1"
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"databus_keyhash_{digest}")
+    marker = os.path.join(stage, "_KEYHASH_COMPLETE")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fingerprint
+    if stale:
+        shutil.rmtree(stage, ignore_errors=True)
+        stage_changelog(log, stage, n_chunks=2, key_hash=True)
+        with open(marker, "w") as f:
+            f.write(fingerprint)
+    staged = spark.read.option("basePath", stage).parquet(stage + "/chunk=*")
+    return subscribe_key_mod(staged, 5, 0, 2).select(*ENV_OUT)
+
+
+@query(
     "filter_keyrange",
     f"""
     SELECT {_ENV_OUT_SQL} FROM ({ORDERS_CHANGELOG_SQL})

@@ -36,6 +36,7 @@ def stage_changelog(
     route_buckets: int | None = None,
     first_chunk: int = 1,
     part_dirs: bool = False,
+    key_hash: bool = False,
 ) -> None:
     """TEST-FIXTURE / STAGING ONLY — not a production write path. Write a
     changelog as n_chunks scn-range files so a file stream replays it in
@@ -62,6 +63,13 @@ def stage_changelog(
         from databus_spark.operators.partitioners import with_route_partition
 
         log = with_route_partition(log, route_buckets)
+    if key_hash:
+        # the any-modulus middle tier: the subscription hash stored as a
+        # plain column (8 bytes/row), so downstream key-mod filters are
+        # one stored-column pmod — see partitioners.with_key_hash
+        from databus_spark.operators.partitioners import with_key_hash
+
+        log = with_key_hash(log)
     chunked = log.withColumn("_chunk", F.ntile(n_chunks).over(Window.orderBy(order_col)))
     # ntile can split a txn window across chunks; snap each scn to its min chunk
     snap = F.min("_chunk").over(Window.partitionBy(order_col))

@@ -175,6 +175,54 @@ def test_subscribe_key_mod_warns_on_unrouted_fallback(spark, sf_dir, tmp_path):
     assert incompatible.count() == log.where(key_mod_filter(3, 0, 1)).count()
 
 
+def test_subscribe_key_mod_staged_hash_tier(spark, sf_dir, tmp_path):
+    """The ANY-MODULUS middle tier: a log staged with with_key_hash
+    serves key-mod subscriptions from the stored column — silently (no
+    UnroutedKeyModWarning), equal to the per-row hash fallback for
+    every modulus (including ones no routed layout could serve), and
+    with zero hash evaluation in the physical plan."""
+    import warnings
+
+    from databus_spark.envelope import customer_changelog
+    from databus_spark.operators.filters import (
+        key_mod_filter,
+        key_mod_filter_staged,
+        subscribe_key_mod,
+    )
+    from databus_spark.streaming.source import stage_changelog
+
+    log = customer_changelog(spark, sf_dir)
+    stage = str(tmp_path / "keyhash")
+    stage_changelog(log, stage, n_chunks=2, key_hash=True)
+    staged = spark.read.option("basePath", stage).parquet(stage + "/chunk=*")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # staged tier must be silent
+        for n, lo, hi in [(8, 0, 4), (5, 0, 2), (3, 1, 3), (7, 2, 7)]:
+            sub = subscribe_key_mod(staged, n, lo, hi)
+            assert sub.count() == log.where(key_mod_filter(n, lo, hi)).count(), (n, lo, hi)
+        # the staged plan evaluates NO hash: no JVM reflect call, no
+        # string fold — one pmod over the stored column
+        plan = (
+            staged.where(key_mod_filter_staged(5, 0, 2))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "reflect" not in plan.lower()
+        assert "key_hash" in plan
+
+    # routed layout present but modulus incompatible: the hash column
+    # still serves it silently (no fallback warning)
+    routed = str(tmp_path / "routed_and_hashed")
+    stage_changelog(log, routed, n_chunks=2, route_buckets=8, key_hash=True)
+    staged2 = spark.read.option("basePath", routed).parquet(routed + "/chunk=*")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sub = subscribe_key_mod(staged2, 3, 0, 1, route_buckets=8)
+        assert sub.count() == log.where(key_mod_filter(3, 0, 1)).count()
+
+
 def test_avro_binary_wire_format_roundtrip():
     """Pure-Python Avro binary codec: round-trip + spec-exact primitives."""
     from databus_spark.functions.avro_codec import decode_record, encode_record

@@ -129,6 +129,20 @@ def fam_ann_ivfpq(spark, docs, emb, sf_dir):
     codes.write.format("noop").mode("overwrite").save()
 
 
+def fam_sq8_ivf(spark, docs, emb, sf_dir):
+    """IVF+SQ8 serving composition in its SCALE shape (check_recall=
+    False — no exact float reference scan, the fixture-only
+    instrumentation). Replica component-rotation decorrelates
+    cross-replica vectors, so the same assign/probe dial faces a 10x
+    corpus with 10x-denser cells; wall and shuffle bytes should scale
+    ~linearly with the scanned candidate mass."""
+    from databus_spark.operators import similarity
+
+    similarity.sq8_ivf_topk(
+        emb, n_queries=10, k=5, check_recall=False
+    ).write.format("noop").mode("overwrite").save()
+
+
 def fam_curation(spark, docs, emb, sf_dir):
     # registry query: loads documents from sf_dir (soak dir has them)
     from databus_spark.registry import QUERIES
@@ -470,6 +484,7 @@ FAMILIES = {
     "stream_apply": fam_stream_apply,
     "semdedup": fam_semdedup,
     "ann_ivfpq_build": fam_ann_ivfpq,
+    "sq8_ivf": fam_sq8_ivf,
     "curation_v2": fam_curation,
     "exact_dedup": fam_exact_dedup,
     "exactsubstr": fam_exactsubstr,

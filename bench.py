@@ -315,6 +315,10 @@ def main() -> None:
         # corpus scalars + query workload): the timed row measures the
         # partition-pruned serve path, not the ingest-time index build
         "bm25_incremental",
+        # the keyhash-staged changelog parquet (content-fingerprinted):
+        # the timed row measures the stored-column pmod subscription,
+        # not the one-time staging write
+        "filter_keymod_staged_hash",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)

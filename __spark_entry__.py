@@ -40,9 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 13: the TWO new queries (filter_keymod_staged_hash — the
-    # any-modulus stored-hash subscription tier — and ann_sq8_ivf_topk,
-    # the IVF+SQ8 serving composition) plus the rows the mechanical
+    # round 13: the THREE new queries (weighted_sample_topk — A-ES
+    # weighted sampling without replacement — filter_keymod_staged_hash,
+    # the any-modulus stored-hash subscription tier, and
+    # ann_sq8_ivf_topk, the IVF+SQ8 serving composition) plus the rows
+    # the mechanical
     # freshness check (tools/window_manifest.py, affected_queries vs
     # the r12 manifest) marks as engine-path-changed this round:
     # filter_keymod_subscribe (subscribe_key_mod grew the staged-hash
@@ -52,6 +54,7 @@ _WINDOW = [
     # k_anonymity_gate join + IS NOT DISTINCT FROM twin). The remaining
     # slots rotate the oldest external greens — the whole r8 cohort
     # plus the r9 rows at the top of last round's _REST, top-down.
+    "weighted_sample_topk",
     "filter_keymod_staged_hash",
     "filter_keymod_subscribe",
     "ann_sq8_ivf_topk",
@@ -100,13 +103,13 @@ _WINDOW = [
     "topk_orders_per_segment",
     "xml_trail_parse",
     "ann_cosine_topk",
-    "ann_lsh_topk",
     "bootstrap_snapshot_catchup",
 ]
 
 # below the 50-row window this round (all still verified locally),
 # oldest external green first — next round's rotation reads top-down:
 _REST = [
+    "ann_lsh_topk",
     "bpe_learn_merges",
     "bpe_learn_merges_batched",
     "checkpoint_mult_fetch",

@@ -73,6 +73,67 @@ def stratified_sample_sql(
     """
 
 
+WSAMPLE_SEED = "aes"
+_WSAMPLE_U_DEN = float((1 << 60) + 1)  # hash range is [0, 2^60): u in (0,1) strictly
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = WSAMPLE_SEED,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, A-ES): key_i = u_i^(1/w_i); the n largest keys are a weighted
+    sample without replacement — inclusion probability proportional to
+    weight, sequentially over the n draws. The training-data use is
+    token-budget-proportional corpus draws (weight = document length):
+    sampling docs uniformly under-represents long documents' tokens.
+
+    Engine shape: computed in log space (lkey = ln(u)/w, monotone in
+    the key), u derived from the seeded portable hash so both engines
+    generate the SAME randomness; selection = top-n by (lkey DESC, id)
+    via orderBy+limit, which Spark executes as TakeOrderedAndProject —
+    a per-partition top-n then a driver merge of n*partitions rows,
+    never a global sort shuffle. lkey is rounded to 9 dp BEFORE
+    selection so both engines rank identical doubles (libm ln may
+    differ in the last ulp between the JVM intrinsic and DuckDB's
+    std::log; at 9 dp the per-row flip probability is ~1e-7 — pinned
+    empirically by the oracle at three SFs). Zero-weight rows are
+    excluded (their key is 0 = never sampled, and ln/w is undefined).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (portable_hash64(F.col(id_col).cast("string"), F.lit(seed)) + F.lit(1)) / F.lit(
+        _WSAMPLE_U_DEN
+    )
+    lkey = F.round(F.log(u) / w, 9)
+    return (
+        docs.where(w > 0)
+        .select(id_col, "lang", weight_col, lkey.alias("lkey"))
+        .orderBy(F.desc("lkey"), F.col(id_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    n: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = WSAMPLE_SEED,
+) -> str:
+    h = portable_hash64_sql(f"CAST({id_col} AS VARCHAR)", f"'{seed}'")
+    return f"""
+        SELECT {id_col}, lang, {weight_col},
+               round(ln(({h} + 1) / {_WSAMPLE_U_DEN!r}) /
+                     CAST({weight_col} AS DOUBLE), 9) AS lkey
+        FROM documents
+        WHERE CAST({weight_col} AS DOUBLE) > 0
+        ORDER BY lkey DESC, {id_col}
+        LIMIT {n}
+    """
+
+
 def sequence_packing(
     docs: DataFrame,
     n_tokens: Column,

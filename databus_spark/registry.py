@@ -1878,6 +1878,18 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.stratified_sample(load_table(spark, sf_dir, "documents"))
 
 
+@query("weighted_sample_topk", shards.weighted_sample_sql())
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    key = u^(1/w), top-n in log space): token-budget-proportional corpus
+    draws — inclusion probability proportional to document length, the
+    draw a token-counted pretraining mixture actually needs. Seeded
+    portable hash = both engines generate the same randomness; Spark
+    executes the selection as TakeOrderedAndProject (per-partition
+    top-n + driver merge, no global sort shuffle)."""
+    return shards.weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "per_group_quota",
     shards.per_group_quota_sql("SELECT doc_id, source FROM documents", "source", 50),

@@ -445,3 +445,51 @@ def test_streaming_er_fold_crash_replay(spark, tmp_path):
         for r in spark.read.parquet(*live).select("base_id").collect()
     }
     assert ids == {10, 20}
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_aes_properties(spark, sf_dir):
+    """Efraimidis-Spirakis invariants: deterministic across runs, no
+    replacement, weight-proportional inclusion (the selected sample's
+    mean weight exceeds the corpus mean — the point of the operator:
+    token-budget draws overrepresent long documents), and rows with
+    zero/NULL weight never appear."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators.shards import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 50
+    a = weighted_sample(docs, n=n).collect()
+    b = weighted_sample(docs, n=n).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # deterministic
+    ids = [r.doc_id for r in a]
+    assert len(ids) == len(set(ids)) == n  # without replacement
+    corpus_mean = (
+        docs.where("n_chars > 0").agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in a) / n
+    assert sample_mean > corpus_mean  # length-weighted inclusion
+    assert all(r.n_chars > 0 for r in a)
+    # a doubled weight beats an equal-hash single weight: check the key
+    # formula directly — lkey = ln(u)/w is monotone INCREASING in w for
+    # fixed u (ln(u) < 0), so heavier rows rank higher at equal hash
+    import math
+
+    u = 0.37
+    assert math.log(u) / 200 > math.log(u) / 100
+
+
+def test_weighted_sample_scale_plan(spark, sf_dir):
+    """The selection must be TakeOrderedAndProject (per-partition top-n
+    + driver merge of n*partitions rows), never a global sort shuffle —
+    the property that makes a top-n draw viable over a 100 TB corpus."""
+    from databus_spark.catalog import load_table
+    from databus_spark.operators.shards import weighted_sample
+
+    df = weighted_sample(load_table(spark, sf_dir, "documents"), n=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -84,12 +84,20 @@ def _parallel_probe_s() -> float:
 
 
 def _bandwidth_probe_gbps(_samples: int = 3) -> float:
-    """Best-of-3 single-thread STREAM-triad (100 MB fp64 a + s*b, ~3
-    bytes moved per FLOP-pair): the memory-bandwidth dimension that the
-    cache-resident CPU probes above cannot see, and the one a Spark
-    shuffle actually feels. Recorded (not gated) from r13 so future
-    rounds can tell a bandwidth-degraded host from a CPU-degraded one —
-    this host class reads ~4.5-5 GB/s single-thread."""
+    """Best-of-3 single-thread triad-SHAPED probe (100 MB fp64 a + s*b):
+    the memory-bandwidth dimension that the cache-resident CPU probes
+    above cannot see, and the one a Spark shuffle actually feels.
+    Recorded (not gated) from r13 so future rounds can tell a
+    bandwidth-degraded host from a CPU-degraded one.
+
+    ACCOUNTING NOTE (r13 ADVICE): this is a RELATIVE index, not an
+    absolute STREAM number. numpy evaluates `a + 2.5 * b` as two
+    elementwise ops with a materialized temporary, so true memory
+    traffic is ~5 arrays per iteration while the figure below counts 3
+    — the absolute GB/s understates real bandwidth by ~40%. The
+    divisor is kept at 3 ON PURPOSE: every committed record since r13
+    used it, and the probe's only job is round-over-round comparability
+    on the same formula (this host class reads ~4.5-5 by this index)."""
     import numpy as np
 
     a = np.arange(12_500_000, dtype=np.float64)

@@ -203,6 +203,31 @@ class UnroutedKeyModWarning(UserWarning):
     """A key-mod subscription fell back to the per-row hash scan."""
 
 
+class StagedHashMismatchWarning(UserWarning):
+    """A column named like the staged key hash failed the sampled
+    consistency probe against key_mod_bucket() and was NOT trusted."""
+
+
+def _staged_hash_trusted(df, hash_col: str, sample_n: int = 64) -> bool:
+    """Sampled consistency probe for the staged-hash tier: compare the
+    stored column against key_mod_bucket() on the first ``sample_n``
+    rows (one bounded job, ~ms). The routed tier requires an explicit
+    ``route_buckets`` opt-in, but before this guard the hash tier
+    auto-activated on the COLUMN NAME alone — any input that happened
+    to carry an unrelated ``key_hash`` column would be silently
+    filtered on it and return wrong rows with no warning (r13 ADVICE).
+    A 64-row sample cannot prove the whole column, but it kills the
+    realistic failure (an unrelated or stale-geometry column disagrees
+    immediately), and callers that staged the column themselves can
+    skip the probe with ``trust_staged_hash=True``."""
+    rows = (
+        df.select((F.col(hash_col) == key_mod_bucket()).alias("_ok"))
+        .limit(sample_n)
+        .collect()
+    )
+    return all(r["_ok"] for r in rows)
+
+
 def subscribe_key_mod(
     df,
     num_buckets: int,
@@ -211,6 +236,7 @@ def subscribe_key_mod(
     route_buckets: int | None = None,
     route_col: str = "route_partition",
     hash_col: str = "key_hash",
+    trust_staged_hash: bool = False,
 ):
     """The ENFORCED key-mod subscription entry point (DataFrame-level).
 
@@ -219,7 +245,11 @@ def subscribe_key_mod(
        unfiltered scan) when the log was staged with routing and the
        subscription modulus divides the staged bucket count;
     2. materialized ``hash_col`` (partitioners.with_key_hash): one
-       stored-column pmod, ANY modulus, no per-row re-hash;
+       stored-column pmod, ANY modulus, no per-row re-hash. Guarded by
+       a sampled consistency probe (``_staged_hash_trusted``) unless
+       the caller vouches for the column with ``trust_staged_hash=True``
+       — presence of a column NAME is not evidence it holds the
+       subscription hash;
     3. the per-row ``key_mod_filter`` scan, with UnroutedKeyModWarning —
        for string keys the fallback re-hashes every row at scan time,
        which is the cost this contract exists to surface.
@@ -227,6 +257,20 @@ def subscribe_key_mod(
     as in ``key_mod_subscription``.
     """
     import warnings
+
+    def _hash_tier_ok() -> bool:
+        if hash_col not in df.columns:
+            return False
+        if trust_staged_hash or _staged_hash_trusted(df, hash_col):
+            return True
+        warnings.warn(
+            f"column '{hash_col}' failed the sampled consistency probe "
+            "against key_mod_bucket() — it is not this subscription's "
+            "staged hash; falling back to the per-row hash scan",
+            StagedHashMismatchWarning,
+            stacklevel=3,
+        )
+        return False
 
     if route_col in df.columns and route_buckets is not None:
         if route_buckets % num_buckets == 0:
@@ -236,20 +280,20 @@ def subscribe_key_mod(
                 )
             )
         # incompatible modulus: the staged hash column (any-modulus
-        # tier) still avoids the per-row re-hash if present
-        if hash_col in df.columns:
+        # tier) still avoids the per-row re-hash if present and trusted
+        if _hash_tier_ok():
             return df.where(
                 key_mod_filter_staged(num_buckets, min_bucket, max_bucket, hash_col)
             )
         warnings.warn(
             f"num_buckets={num_buckets} does not divide route_buckets="
-            f"{route_buckets} and no staged '{hash_col}' column exists; "
-            "key-mod subscription falls back to the per-row hash scan — "
-            "restage with a compatible bucket count or with_key_hash",
+            f"{route_buckets} and no trusted staged '{hash_col}' column "
+            "exists; key-mod subscription falls back to the per-row hash "
+            "scan — restage with a compatible bucket count or with_key_hash",
             UnroutedKeyModWarning,
             stacklevel=2,
         )
-    elif hash_col in df.columns:
+    elif _hash_tier_ok():
         # middle tier: hash materialized at ingest (with_key_hash) —
         # one stored-column pmod, any modulus, no per-row re-hash
         return df.where(

@@ -74,7 +74,16 @@ def stratified_sample_sql(
 
 
 WSAMPLE_SEED = "aes"
-_WSAMPLE_U_DEN = float((1 << 60) + 1)  # hash range is [0, 2^60): u in (0,1) strictly
+# hash range is [0, 2^60): u = (h + 0.5) / 2^60 is strictly inside (0,1)
+# at BOTH ends. The first cut, (h+1)/(2^60+1), rounded its denominator to
+# exactly 2^60 (2^60+1 is not double-representable), so the maximal hash
+# mapped to u = 1.0 exactly and ln(u)/w = 0 ranked that key first
+# regardless of weight (r13 ADVICE) — a 2^-60 per-row event, but it
+# contradicted the A-ES inclusion-probability premise. 0.5/2^60 and
+# 2^60 are both exact doubles, so u is exact and identical in both
+# engines by construction.
+_WSAMPLE_U_DEN = float(1 << 60)
+_WSAMPLE_U_OFF = 0.5
 
 
 def weighted_sample(
@@ -104,9 +113,10 @@ def weighted_sample(
     excluded (their key is 0 = never sampled, and ln/w is undefined).
     """
     w = F.col(weight_col).cast("double")
-    u = (portable_hash64(F.col(id_col).cast("string"), F.lit(seed)) + F.lit(1)) / F.lit(
-        _WSAMPLE_U_DEN
-    )
+    u = (
+        portable_hash64(F.col(id_col).cast("string"), F.lit(seed))
+        + F.lit(_WSAMPLE_U_OFF)
+    ) / F.lit(_WSAMPLE_U_DEN)
     lkey = F.round(F.log(u) / w, 9)
     return (
         docs.where(w > 0)
@@ -125,7 +135,7 @@ def weighted_sample_sql(
     h = portable_hash64_sql(f"CAST({id_col} AS VARCHAR)", f"'{seed}'")
     return f"""
         SELECT {id_col}, lang, {weight_col},
-               round(ln(({h} + 1) / {_WSAMPLE_U_DEN!r}) /
+               round(ln(({h} + {_WSAMPLE_U_OFF!r}) / {_WSAMPLE_U_DEN!r}) /
                      CAST({weight_col} AS DOUBLE), 9) AS lkey
         FROM documents
         WHERE CAST({weight_col} AS DOUBLE) > 0

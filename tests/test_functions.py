@@ -223,6 +223,42 @@ def test_subscribe_key_mod_staged_hash_tier(spark, sf_dir, tmp_path):
         assert sub.count() == log.where(key_mod_filter(3, 0, 1)).count()
 
 
+def test_subscribe_key_mod_rejects_unrelated_key_hash(spark, sf_dir):
+    """An input that merely CARRIES a column named ``key_hash`` with
+    unrelated values must not be silently filtered on it (r13 ADVICE:
+    the routed tier needs an explicit route_buckets opt-in, but the
+    hash tier auto-activated on the column name alone). The sampled
+    consistency probe rejects the impostor column, warns, and falls
+    back to the per-row hash scan — correct rows, visible cost."""
+    import warnings
+
+    from databus_spark.envelope import customer_changelog
+    from databus_spark.operators.filters import (
+        StagedHashMismatchWarning,
+        key_mod_filter,
+        subscribe_key_mod,
+    )
+
+    log = customer_changelog(spark, sf_dir)
+    expected = log.where(key_mod_filter(8, 0, 4)).count()
+
+    poisoned = log.withColumn("key_hash", F.col("scn") * 7 + 1)
+    with pytest.warns(StagedHashMismatchWarning):
+        sub = subscribe_key_mod(poisoned, 8, 0, 4)
+    assert sub.count() == expected
+
+    # trust_staged_hash=True is the explicit caller vouch: it skips the
+    # probe entirely and takes the stored column at its word — which on
+    # the impostor column returns DIFFERENT rows (that's what "vouch"
+    # means; the silent default must never do this)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vouched = subscribe_key_mod(poisoned, 8, 0, 4, trust_staged_hash=True)
+    got = {r["scn"] for r in vouched.select("scn").collect()}
+    want = {r["scn"] for r in sub.select("scn").collect()}
+    assert got != want  # the vouched path really did trust the impostor
+
+
 def test_avro_binary_wire_format_roundtrip():
     """Pure-Python Avro binary codec: round-trip + spec-exact primitives."""
     from databus_spark.functions.avro_codec import decode_record, encode_record

@@ -167,14 +167,43 @@ def _gates_unmet(row: dict, out: dict) -> str | None:
     return None
 
 
-def _verdict(value, row: dict, out: dict) -> dict:
-    entry = {"value": value, "op": row["op"], "target": row["target"]}
+def _strict_applies(spec: dict, out: dict) -> bool:
+    """True when the record's own probes certify an r11-class host
+    (spec ``_strict_if`` preconditions all met), in which case every
+    dual-pinned row is graded against its ``target_strict``. This is
+    the MECHANICAL restore condition for the late-r13 host-class
+    re-pins (r13 verdict #1): the prose clause 'restore the old pin
+    when probes match the r11-class floor' is now evaluated on every
+    record, so a recovered host automatically re-grades against the
+    r11-class pins and an engine regression cannot hide under the soft
+    host-class floor. An unmeasured probe reads as NOT met (strict
+    grading needs positive evidence of a fast host)."""
+    gates = spec.get("_strict_if") or []
+    return bool(gates) and all(
+        _cmp(out.get(g["metric"]), g["op"], g["target"]) is True for g in gates
+    )
+
+
+def _verdict(value, row: dict, out: dict, strict_applies: bool = False) -> dict:
+    target = row["target"]
+    entry = {"value": value, "op": row["op"], "target": target}
+    if "target_strict" in row:
+        # dual-class pin: report BOTH evaluations, grade on the class
+        # the probes selected (host-class floor vs r11-class strict)
+        entry["pin_class"] = "strict" if strict_applies else "host"
+        entry["target_host"] = row["target"]
+        entry["target_strict"] = row["target_strict"]
+        entry["pass_host"] = _cmp(value, row["op"], row["target"])
+        entry["pass_strict"] = _cmp(value, row["op"], row["target_strict"])
+        if strict_applies:
+            target = row["target_strict"]
+            entry["target"] = target
     unmet = _gates_unmet(row, out)
     if unmet is not None:
         entry["pass"] = None  # precondition unmet: measurement invalid
         entry["invalid"] = unmet
     else:
-        entry["pass"] = _cmp(value, row["op"], row["target"])
+        entry["pass"] = _cmp(value, row["op"], target)
         if entry["pass"] is None:
             entry["invalid"] = "metric absent from record (unmeasured)"
     return entry
@@ -184,13 +213,18 @@ def evaluate_targets(spec: dict, out: dict, timings: dict) -> dict:
     """Evaluate every TARGETS.json row against the record `out` and
     write targets / targets_failed / targets_invalid into it. Module-
     level (not buried in main) so the gate mechanics — None-guarded
-    comparisons, single-or-list valid_if, invalid-vs-fail — are unit-
-    testable without a Spark session (tests/test_round13_ops.py)."""
+    comparisons, single-or-list valid_if, invalid-vs-fail, dual-class
+    pin selection — are unit-testable without a Spark session
+    (tests/test_round13_ops.py)."""
+    strict = _strict_applies(spec, out)
+    out["strict_pins_applied"] = strict
+    if spec.get("_strict_if"):
+        out["strict_if"] = spec["_strict_if"]
     verdicts = {}
     for name, row in spec.get("metrics", {}).items():
-        verdicts[name] = _verdict(out.get(name), row, out)
+        verdicts[name] = _verdict(out.get(name), row, out, strict)
     for name, row in spec.get("queries", {}).items():
-        verdicts[f"query:{name}"] = _verdict(timings.get(name), row, out)
+        verdicts[f"query:{name}"] = _verdict(timings.get(name), row, out, strict)
     out["targets"] = verdicts
     out["targets_failed"] = sorted(
         n for n, v in verdicts.items() if v["pass"] is False
@@ -327,6 +361,10 @@ def main() -> None:
         # the timed row measures the stored-column pmod subscription,
         # not the one-time staging write
         "filter_keymod_staged_hash",
+        # the staged IVF+SQ8 serving index (cell_id-partitioned codes):
+        # the timed row measures probe + pruned-cell scoring, not the
+        # one-time corpus quantize/assign
+        "ann_sq8_ivf_serve",
     ):
         if _fixture_q in queries:
             queries[_fixture_q](spark, sf_dir)
@@ -567,6 +605,35 @@ def main() -> None:
     bm25_serve_s = _best2(_bm25_serve_leg)
     bm25_rebuild_s = _best2(_bm25_rebuild_leg)
 
+    # 5. ANN staged-index serve vs inline rebuild on the SAME workload
+    # (r13 verdict next-#2, mirroring the bm25_serve_ratio discipline):
+    # serve answers the 10-query batch from the cell_id-partitioned
+    # staged index (probe -> open only probed cells -> integer dots);
+    # the rebuild leg recomputes centroids + assignment + quantization
+    # inline for the same batch (sq8_ivf_topk, check_recall=False —
+    # the deployment shape, no float-instrumentation leg in either
+    # side). Same output by the serve==inline construction the oracle
+    # checks. Self-normalizing ratio, both legs one process: no box
+    # gate. No corpus replication needed: the rebuild leg's corpus
+    # work is ~3-5 s at sf0.1, well clear of the r10 small-denominator
+    # class.
+    from databus_spark.operators import similarity as _sim
+    from databus_spark.registry import _staged_sq8ivf_index
+
+    _annidx = _staged_sq8ivf_index(spark, sf_dir)  # staged untimed
+    _embf = load_table(spark, sf_dir, "embeddings")
+
+    def _ann_serve_leg():
+        return _sim.sq8_ivf_serve(
+            spark, _annidx, _embf.where(_F.col("vec_id") < 10), k=5
+        )
+
+    def _ann_rebuild_leg():
+        return _sim.sq8_ivf_topk(_embf, n_queries=10, k=5, check_recall=False)
+
+    ann_serve_s = _best2(_ann_serve_leg)
+    ann_rebuild_s = _best2(_ann_rebuild_leg)
+
     out = {
         "metric": "headline_suite_wall",
         "value": round(total, 3),
@@ -591,6 +658,9 @@ def main() -> None:
         "bm25_serve_s": round(bm25_serve_s, 3),
         "bm25_rebuild_s": round(bm25_rebuild_s, 3),
         "bm25_serve_ratio": round(bm25_serve_s / max(bm25_rebuild_s, 1e-9), 3),
+        "ann_serve_s": round(ann_serve_s, 3),
+        "ann_rebuild_s": round(ann_rebuild_s, 3),
+        "ann_serve_ratio": round(ann_serve_s / max(ann_rebuild_s, 1e-9), 3),
         "stream_apply_wall_s": round(stream_apply_s, 3),
         "stream_apply_rows_per_sec": round(applier.rows_applied / max(stream_apply_s, 1e-9), 1),
         "microbatch_p50_ms": p50_batch_ms,

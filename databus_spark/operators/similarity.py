@@ -559,6 +559,287 @@ def sq8_ivf_topk_sql(
 
 
 # ---------------------------------------------------------------------------
+# IVF + SQ8 as an ON-DISK serving artifact (r13 verdict next-#2)
+# ---------------------------------------------------------------------------
+# sq8_ivf_topk above recomputes centroids, assignments, and int8 codes
+# inline per query batch; its own docstring said "at scale this IS the
+# staged index (partitioned by cell_id)". These three functions make
+# that true, the way BM25 did it (text.bm25_postings partitioned by
+# token bucket + bm25_serve): build once -> parquet partitioned by
+# cell_id -> serve by reading ONLY the probed cells' directories
+# (file-listing-level pruning, not a post-scan filter), merge unindexed
+# deltas inline, append increments without touching staged partitions.
+#
+# Layout:
+#   <dir>/centroids/   N_CELLS rows (cell_id, cell_vec) — frozen at build
+#   <dir>/postings/cell_id=<c>/  (neighbor_id, _qc int8-code array, _cn)
+#                      assign_r postings per vector, 8x smaller than floats
+#   <dir>/stats/       one (n_rows) row per build/append; reader sums
+
+
+def sq8_ivf_index_build(
+    emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_r: int = SQ8IVF_ASSIGN,
+) -> None:
+    """Materialize the IVF+SQ8 serving index. Exactly the corpus-side
+    plan of sq8_ivf_topk (same centroids, same top-assign_r
+    multi-assignment, same int8 grid, same hoisted self-norms), written
+    instead of joined — so a serve over the artifact is bit-equal to
+    the inline composition by construction. Codes are array<long>
+    holding int8 values: parquet round-trips them exactly, and the
+    integer dot at serve time is the same exact arithmetic."""
+    import os as _o
+
+    cent = _ivf_centroids(emb, id_col, vec_col)
+    wc = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    assigned = (
+        _ivf_scored(emb, cent, id_col, vec_col)
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .where(F.col("cell_rank") <= assign_r)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq8(F.col(vec_col)).alias("_qc"),
+            "cell_id",
+        )
+        .withColumn("_cn", F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double")))
+    )
+    cent.write.mode("overwrite").parquet(_o.path.join(index_dir, "centroids"))
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        _o.path.join(index_dir, "postings")
+    )
+    emb.groupBy().agg(F.count(F.lit(1)).alias("n_rows")).write.mode(
+        "overwrite"
+    ).parquet(_o.path.join(index_dir, "stats"))
+
+
+def sq8_ivf_index_append(
+    spark,
+    index_dir: str,
+    delta_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_r: int = SQ8IVF_ASSIGN,
+) -> None:
+    """Incremental ingest: assign the delta against the FROZEN build
+    centroids (re-training would orphan every staged posting), append
+    its postings into the existing cell_id partitions, and append a
+    stats row (the reader sums). Append-only — no staged partition is
+    rewritten, so a crash mid-append leaves the old index serving."""
+    import os as _o
+
+    cent = spark.read.parquet(_o.path.join(index_dir, "centroids"))
+    wc = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    assigned = (
+        _ivf_scored(delta_emb, cent, id_col, vec_col)
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .where(F.col("cell_rank") <= assign_r)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq8(F.col(vec_col)).alias("_qc"),
+            "cell_id",
+        )
+        .withColumn("_cn", F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double")))
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(
+        _o.path.join(index_dir, "postings")
+    )
+    delta_emb.groupBy().agg(F.count(F.lit(1)).alias("n_rows")).write.mode(
+        "append"
+    ).parquet(_o.path.join(index_dir, "stats"))
+
+
+def sq8_ivf_serve(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = SQ8IVF_NPROBE,
+    delta_emb: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim_q8, cand_frac): serve top-k
+    from the staged artifact — equal to sq8_ivf_topk(check_recall=
+    False) over the same corpus, but the corpus-side work (centroids,
+    assignment, quantization) happened once at build time, and ONLY
+    the probed cells' partition directories are opened (explicit path
+    list + basePath, so the pruning is in the file listing itself, not
+    a filter the scan might or might not push). The probed-cell
+    collect is bounded by n_queries * nprobe distinct cell ids.
+
+    ``delta_emb``: vectors ingested since the last build/append —
+    unindexed, so EVERY query scores them (the bounded full-scan tail
+    every staged-index serve carries; bm25_serve's delta_docs is the
+    same shape). cand_frac's denominator grows by the delta count.
+
+    The returned DataFrame carries ``_sq8_probed_paths`` — the literal
+    directory list the postings read was scoped to. The plan's leaf
+    scans hide behind lazy localCheckpoints (inputFiles() reads
+    empty), but spark.read.parquet(*paths) CANNOT read outside its
+    path list, so the attribute is the ground truth the pruning test
+    asserts on (tests/test_round14_ops.py)."""
+    import os as _o
+
+    cent = spark.read.parquet(_o.path.join(index_dir, "centroids"))
+    wq = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        _ivf_scored(queries, cent, id_col, vec_col)
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _sq8(F.col(vec_col)).alias("_qq"),
+            "cell_id",
+        )
+        .withColumn("_qn", F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double")))
+        .localCheckpoint(eager=False)  # feeds the cell collect AND the join
+    )
+    cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    postings_root = _o.path.join(index_dir, "postings")
+    paths = [
+        p
+        for c in cells
+        if _o.path.isdir(p := _o.path.join(postings_root, f"cell_id={c}"))
+    ]
+    if paths:
+        assigned = spark.read.option("basePath", postings_root).parquet(*paths)
+        cand = (
+            assigned.join(F.broadcast(probes), "cell_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_qq", "_qn", "_qc", "_cn")
+        )
+    else:  # every probed cell empty (possible on a tiny delta-only index)
+        cand = None
+    n_corpus = (
+        spark.read.parquet(_o.path.join(index_dir, "stats"))
+        .agg(F.sum("n_rows"))
+        .collect()[0][0]
+    )
+    if delta_emb is not None:
+        dq = delta_emb.select(
+            F.col(id_col).alias("neighbor_id"), _sq8(F.col(vec_col)).alias("_qc")
+        ).withColumn("_cn", F.sqrt(_idot(F.col("_qc"), F.col("_qc")).cast("double")))
+        qd = probes.dropDuplicates(["query_id"]).select("query_id", "_qq", "_qn")
+        dcand = (
+            dq.crossJoin(F.broadcast(qd))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "_qq", "_qn", "_qc", "_cn")
+        )
+        cand = dcand if cand is None else cand.unionByName(dcand)
+        n_corpus += delta_emb.count()
+    if cand is None:
+        raise ValueError(f"empty index at {index_dir} and no delta to serve from")
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    sim = F.round(
+        _idot(F.col("_qq"), F.col("_qc")).cast("double")
+        / (F.col("_qn") * F.col("_cn")),
+        6,
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim_q8")).localCheckpoint(
+        eager=False
+    )
+    cc = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("_nc"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q8"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(cc), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "sim_q8",
+            F.round(
+                F.col("_nc").cast("double") / F.lit(float(n_corpus)), 6
+            ).alias("cand_frac"),
+        )
+    )
+    out._sq8_probed_paths = paths
+    return out
+
+
+def sq8_ivf_serve_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = SQ8IVF_NPROBE,
+    assign_r: int = SQ8IVF_ASSIGN,
+) -> str:
+    """DuckDB twin of the SERVED composition: sq8_ivf_topk_sql minus
+    the float-reference leg (the serve path is the deployment shape —
+    check_recall instrumentation never runs there), same centroids,
+    probe ranking, multi-assignment, int8 grid, and in-row cand_frac."""
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    idot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    dqc = idot.format(a="q.qv", b="c.qv")
+    dqq = idot.format(a="q.qv", b="q.qv")
+    dcc = idot.format(a="c.qv", b="c.qv")
+    return f"""
+        WITH sqsv_cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {N_CELLS}),
+        sqsv_ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS cell_rank
+            FROM embeddings v CROSS JOIN sqsv_cent c),
+        sqsv_q8 AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                        e -> CAST(floor(e / m * {SQ8_SCALE}.0 + 0.5)
+                                  AS BIGINT)) AS qv
+            FROM (SELECT vec_id, embedding,
+                         greatest(list_max(list_transform(embedding,
+                                  e -> abs(e))), 1e-30) AS m
+                  FROM embeddings)),
+        sqsv_cand AS (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell_id FROM sqsv_ranked
+                  WHERE vec_id < {n_queries} AND cell_rank <= {nprobe}) p
+            JOIN (SELECT vec_id, cell_id FROM sqsv_ranked
+                  WHERE cell_rank <= {assign_r}) a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+        sqsv_scored AS (
+            SELECT query_id, neighbor_id,
+                   round(CAST({dqc} AS DOUBLE)
+                         / (sqrt(CAST({dqq} AS DOUBLE))
+                            * sqrt(CAST({dcc} AS DOUBLE))), 6) AS sim_q8
+            FROM sqsv_cand
+            JOIN sqsv_q8 q ON q.vec_id = query_id
+            JOIN sqsv_q8 c ON c.vec_id = neighbor_id),
+        sqsv_cc AS (
+            SELECT query_id, count(*) AS nc FROM sqsv_scored GROUP BY query_id),
+        sqsv_n AS (SELECT count(*) AS n_corpus FROM embeddings),
+        sqsv_rk AS (
+            SELECT query_id, neighbor_id, sim_q8,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim_q8 DESC, neighbor_id ASC
+                   ) AS rank
+            FROM sqsv_scored)
+        SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank,
+               r.sim_q8,
+               round(CAST(cc.nc AS DOUBLE) / n.n_corpus, 6) AS cand_frac
+        FROM sqsv_rk r
+        JOIN sqsv_cc cc USING (query_id)
+        CROSS JOIN sqsv_n n
+        WHERE r.rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # Sign-LSH bucketing (the scale path)
 # ---------------------------------------------------------------------------
 

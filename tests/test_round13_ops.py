@@ -341,8 +341,15 @@ def test_bench_committed_record_reproduces():
     spec = json.load(open(_os.path.join(root, "TARGETS.json")))
     fresh = {k: v for k, v in rec.items() if k not in ("targets", "targets_failed", "targets_invalid")}
     bench.evaluate_targets(spec, fresh, rec["queries"])
-    assert fresh["targets_failed"] == rec["targets_failed"]
-    assert fresh["targets_invalid"] == rec["targets_invalid"]
+    # compare on the rows the committed record measured: a target row
+    # ADDED to TARGETS.json after the record was committed (r14:
+    # ann_serve_ratio) evaluates invalid-unmeasured against the old
+    # record by construction, which is correct, not a divergence
+    known = set(rec["targets"])
+    assert [n for n in fresh["targets_failed"] if n in known] == rec["targets_failed"]
+    assert [n for n in fresh["targets_invalid"] if n in known] == rec["targets_invalid"]
+    for n in set(fresh["targets_failed"] + fresh["targets_invalid"]) - known:
+        assert fresh["targets"][n]["pass"] is None  # unmeasured, never failed
 
 
 # ---------------------------------------------------------------------------

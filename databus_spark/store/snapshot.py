@@ -53,12 +53,41 @@ class ParquetSnapshotStore:
         root: str,
         key_cols: Sequence[str] = ("source", "key_str"),
         n_buckets: int = 16,
+        broadcast_merge_max_rows: int = 200_000,
+        broadcast_merge_min_state_bytes: int = 256 << 20,
     ) -> None:
         self.spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        # The broadcast MERGE engages when BOTH hold: the batch is
+        # small enough to build-map safely on a real cluster
+        # (<= max_rows, ~tens of MB at 200k full rows) AND the table
+        # state is big enough that its shuffle dominates the merge
+        # (>= min_state_bytes on disk). Below that floor the shuffle
+        # path is measurably FASTER: at a ~15 MB sf0.1 state the
+        # broadcast plan's two extra state scans + two broadcast
+        # builds + extra stages read 7.8k rows/s vs the shuffle
+        # path's ~17k — fixed per-stage overheads dominate when the
+        # state shuffle costs nothing. I/O accounting at big state S:
+        # shuffle path ≈ 5S (scan + 2x shuffle write/read + write) vs
+        # broadcast ≈ 3S (2 scans + write), zero exchange, no
+        # O(S/partitions) hash maps.
+        self.broadcast_merge_max_rows = broadcast_merge_max_rows
+        self.broadcast_merge_min_state_bytes = broadcast_merge_min_state_bytes
         os.makedirs(root, exist_ok=True)
+
+    def _state_bytes(self, version: int) -> int:
+        """On-disk size of a version — the cheap state-size signal the
+        merge-path choice reads (no Spark job)."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(self._data_dir(version)):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
 
     # -- version pointer ----------------------------------------------------
     def _version(self) -> int:
@@ -149,12 +178,84 @@ class ParquetSnapshotStore:
         merge()."""
         return self._bucket_col()
 
+    def _broadcast_merge(
+        self, current: DataFrame, batch: DataFrame, touched: list[int]
+    ) -> DataFrame:
+        """MERGE with ZERO shuffle of table state — the micro-batch
+        regime (batch rows ≤ broadcast_merge_max_rows, the streaming
+        applier's steady state). The old path compacted
+        latest_by_key(current ∪ batch) and re-partitioned by bucket:
+        two full shuffles of the touched state PER MICRO-BATCH, i.e.
+        merge cost O(state) in shuffle bytes even for a 1-row batch
+        (r13 verdict next-#4: stream_apply was the worst-scaling soak
+        leg, exponent 0.625 / 9.5 GB shuffle at x100).
+
+        Construction (winner per key = argmax scn over {current row,
+        batch rows}, identical to the old path by max_by associativity;
+        SCNs are unique per key):
+          batch_latest = latest_by_key(batch)        # batch-sized shuffle
+          winners  = current(touched) ⟕ BROADCAST(batch_latest):
+                     take the batch row iff it exists and b.scn > s.scn
+                     — map-side only, state never moves
+          present  = current(touched) ⋉ BROADCAST(batch keys)           (≤ batch rows)
+          inserts  = batch_latest anti BROADCAST(present)
+          merged   = winners ∪ inserts
+        Two map-side scans of the touched buckets replace two full
+        shuffles of them; every join builds on the batch side. The
+        write needs no repartition: winner tasks are per input file,
+        so each task already holds exactly one bucket's rows."""
+        cols = list(batch.columns)
+        cur_touched = current.where(F.col("_bucket").isin(touched)).select(*cols)
+        batch_latest = latest_by_key(
+            batch, self.key_cols + ["_bucket"]
+        ).localCheckpoint(eager=False)
+        renamed = batch_latest.select(
+            *[F.col(c).alias(f"_b_{c}") for c in cols]
+        )
+        cond = None
+        for c in self.key_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = cur_touched.join(F.broadcast(renamed), cond, "left")
+        take_batch = F.col("_b_scn").isNotNull() & (F.col("_b_scn") > F.col("scn"))
+        winners = joined.select(
+            *[
+                F.when(take_batch, F.col(f"_b_{c}")).otherwise(F.col(c)).alias(c)
+                for c in cols
+            ]
+        )
+        present = (
+            cur_touched.join(
+                F.broadcast(
+                    renamed.select(*[F.col(f"_b_{c}") for c in self.key_cols])
+                ),
+                cond,
+                "left_semi",
+            )
+            .select(*self.key_cols)
+        )
+        icond = None
+        for c in self.key_cols:
+            eq = F.col(f"src.{c}").eqNullSafe(F.col(f"p.{c}"))
+            icond = eq if icond is None else (icond & eq)
+        inserts = batch_latest.alias("src").join(
+            F.broadcast(present.alias("p")), icond, "left_anti"
+        )
+        # coalesce bounds output files per version: winner tasks are
+        # 1:1 with current-state files, so without this every merge
+        # multiplies the file count (v3 reads v2's winners+inserts
+        # files, and so on). coalesce is shuffle-free and each task
+        # still writes per-bucket via partitionBy.
+        width = max(1, min(64, len(touched) * 4))
+        return winners.unionByName(inserts.select(*cols)).coalesce(width)
+
     def merge(
         self,
         batch: DataFrame,
         precheckpointed: bool = False,
         touched: list[int] | None = None,
         prebucketed: bool = False,
+        batch_rows: int | None = None,
     ) -> int:
         """Upsert a changelog batch: latest (key, scn) wins, DELETE removes.
 
@@ -162,11 +263,27 @@ class ParquetSnapshotStore:
         buckets are carried forward by cheap directory hard-links, so
         merge cost scales with batch keyspan, not table size.
 
-        One shuffle per merge: intra-batch last-wins is FUSED into the
-        (current ∪ batch) compaction below — max_by over the union picks
-        the same winners a separate intra-batch pass would, so
-        pre-compacting the batch only added a second shuffle per
-        micro-batch. The batch is checkpointed eagerly so the bucket
+        Two physical strategies, selected by batch size (``batch_rows``
+        — the streaming applier passes its fused-stats count, otherwise
+        one count over the checkpointed batch):
+
+        * batch ≤ broadcast_merge_max_rows and a current version
+          exists: the BROADCAST path (``_broadcast_merge``) — zero
+          shuffle of table state, every join builds on the batch side.
+          This is the streaming micro-batch regime, where the old
+          always-shuffle path paid O(state) shuffle bytes per batch.
+        * otherwise: intra-batch last-wins FUSED into the
+          (current ∪ batch) compaction — max_by over the union picks
+          the same winners a separate intra-batch pass would. ONE
+          shuffle of the touched state: the old second exchange
+          (repartition by _bucket before the partitioned write) bought
+          nothing but fewer output files — partitionBy routes rows
+          per-task without co-location, so dropping it halves merge
+          shuffle bytes at the cost of more (bounded:
+          shuffle.partitions × touched) files per version, which the
+          next compaction's scan absorbs.
+
+        The batch is checkpointed eagerly so the bucket
         probe and the merged write evaluate the (streaming-source) plan
         once, not twice. ``precheckpointed=True`` tells merge the caller
         ALREADY materialized the batch (the streaming applier eager-
@@ -221,17 +338,40 @@ class ParquetSnapshotStore:
                         os.path.join(new_dir, entry),
                     )
 
-        # 2. merge the touched buckets: latest of (current ∪ batch). Tombstones
-        # are KEPT (read() hides them) so replayed older upserts lose to them.
-        merged = batch
-        if current is not None:
-            cur_touched = current.where(F.col("_bucket").isin(touched))
-            cols = [c for c in batch.columns]
-            merged = cur_touched.select(*cols).unionByName(batch)
-        merged = latest_by_key(merged, self.key_cols + ["_bucket"])
+        # 2. merge the touched buckets. Tombstones are KEPT (read()
+        # hides them) so replayed older upserts lose to them.
+        if current is not None and batch_rows is None:
+            batch_rows = batch.count()  # checkpointed: a cheap local count
+        state_big = (
+            current is not None
+            and self._state_bytes(cur_version) >= self.broadcast_merge_min_state_bytes
+        )
+        if (
+            state_big
+            and batch_rows <= self.broadcast_merge_max_rows
+        ):
+            merged = self._broadcast_merge(current, batch, touched)
+        else:
+            merged = batch
+            if current is not None:
+                cur_touched = current.where(F.col("_bucket").isin(touched))
+                cols = [c for c in batch.columns]
+                merged = cur_touched.select(*cols).unionByName(batch)
+            merged = latest_by_key(merged, self.key_cols + ["_bucket"])
+            if not state_big:
+                # small state / first version: the bucket exchange is
+                # ~free here and buys the one-file-per-bucket layout +
+                # 16-way write parallelism (dropping it let AQE
+                # coalesce the write to 3-10 tasks and cost ~30% of
+                # the micro-batch rate at sf0.1)
+                merged = merged.repartition(max(1, len(touched)), "_bucket")
+            # big state: the exchange would re-shuffle the whole
+            # touched state a second time purely for file layout —
+            # write through the compaction's own partitioning and let
+            # the per-bucket file count ride (bounded by
+            # shuffle.partitions)
         (
-            merged.repartition(max(1, len(touched)), "_bucket")
-            .write.mode("append")
+            merged.write.mode("append")
             .partitionBy("_bucket")
             .parquet(new_dir)
         )

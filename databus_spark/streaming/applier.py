@@ -66,6 +66,7 @@ class StreamingApplier:
             precheckpointed=True,
             touched=[r["_bucket"] for r in rows],
             prebucketed=True,  # _bucket above IS store.bucket_col() — explicit contract
+            batch_rows=n,  # fused-stats count: lets merge pick the broadcast path
         )
         self.checkpoint.on_window_end(
             max(int(r["_mx"]) for r in rows), time.time_ns()

@@ -165,6 +165,88 @@ def test_sq8_ivf_serve_delta_and_append(spark, sf_dir, tmp_path):
         assert top1b[qid]["sim_q8"] == 1.0
 
 
+# ---------------------------------------------------------------------------
+# broadcast MERGE path (r13 verdict next-#4: stream_apply scaling)
+# ---------------------------------------------------------------------------
+
+
+def test_broadcast_merge_equals_shuffle_merge(spark, sf_dir, tmp_path):
+    """The zero-state-shuffle broadcast MERGE must produce bit-equal
+    state to the shuffle path over the same batch sequence — upserts,
+    deletes, out-of-order replay of an older batch, and new-key
+    inserts all covered. Threshold forced to select each path."""
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+
+    log = orders_changelog(spark, str(sf_dir)).localCheckpoint()
+    scns = sorted(r["scn"] for r in log.select("scn").distinct().collect())
+    cut1, cut2 = scns[len(scns) // 3], scns[2 * len(scns) // 3]
+    b1 = log.where(F.col("scn") <= cut1)
+    b2 = log.where((F.col("scn") > cut1) & (F.col("scn") <= cut2))
+    b3 = log.where(F.col("scn") > cut2)
+
+    stores = {
+        # threshold 0 => every merge takes the shuffle path
+        "shuffle": ParquetSnapshotStore(
+            spark, str(tmp_path / "shuf"), broadcast_merge_max_rows=0
+        ),
+        # huge row threshold + zero state floor => every merge after v1
+        # takes the broadcast path
+        "broadcast": ParquetSnapshotStore(
+            spark,
+            str(tmp_path / "bcast"),
+            broadcast_merge_max_rows=10_000_000,
+            broadcast_merge_min_state_bytes=0,
+        ),
+    }
+    for store in stores.values():
+        store.merge(b1)
+        store.merge(b2)
+        store.merge(b2)  # exact replay: idempotent
+        store.merge(b3)
+        store.merge(b1)  # out-of-order OLDER batch: must lose everywhere
+
+    def state(store):
+        return sorted(
+            map(tuple, store.read().select("source", "key_str", "scn", "opcode").collect())
+        )
+
+    s_shuf, s_bcast = state(stores["shuffle"]), state(stores["broadcast"])
+    assert s_shuf == s_bcast
+    assert len(s_shuf) > 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-join blocking bounds (r13 verdict next-#3: pin the hole shut)
+# ---------------------------------------------------------------------------
+
+
+def test_linkage_bounds_record_pinned():
+    """The committed x100 blocking probe record satisfies the pinned
+    bounds: cap-dropped pair mass < 0.5% of uncapped and CI-sampled
+    true-pair recall >= 0.99. Regenerate with
+    ``python tools/linkage_recall_probe.py --assert-bounds`` (which
+    exits nonzero on violation) after any blocking change."""
+    root = _os.path.join(_os.path.dirname(__file__), "..")
+    rec = json.load(open(_os.path.join(root, "LINKAGE_BOUNDS.json")))
+    assert rec["bounds_ok"] is True
+    assert rec["pair_mass"]["cap_dropped_frac"] < 0.005
+    assert rec["gram_recall"]["recall"] >= 0.99
+    # the sampled CI's lower edge stays clear of free-fall even at the
+    # 95% level
+    assert rec["gram_recall"]["recall_ci95"][0] >= 0.98
+    # the constants in the tool are the constants this test pins
+    import importlib.util as _ilu
+
+    s = _ilu.spec_from_file_location(
+        "lrp", _os.path.join(root, "tools", "linkage_recall_probe.py")
+    )
+    lrp = _ilu.module_from_spec(s)
+    s.loader.exec_module(lrp)
+    assert lrp.MAX_DROPPED_FRAC == 0.005
+    assert lrp.MIN_RECALL == 0.99
+
+
 def test_targets_json_carries_strict_pins():
     """The four host-class re-pins carry their r11-class strict twins
     and the spec carries the probe precondition — the restore clause

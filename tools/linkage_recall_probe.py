@@ -79,7 +79,19 @@ def _c2(n: int) -> int:
     return n * (n - 1) // 2
 
 
-def pair_mass() -> None:
+# THE pinned blocking bounds (r13 verdict next-#3): cap-dropped pair
+# mass stays under 0.5% of uncapped mass and the CI-sampled true-pair
+# recall stays at or above 0.99 on the x100 probe. --assert-bounds
+# enforces both with a nonzero exit, and the run's numbers are
+# committed as LINKAGE_BOUNDS.json (tests/test_round14_ops.py re-checks
+# the committed record against these constants, so a blocking
+# regression cannot silently reopen the hole the r13 clone collapse +
+# tertiary split closed: 8.8% -> 0.279% dropped, recall 0.993).
+MAX_DROPPED_FRAC = 0.005
+MIN_RECALL = 0.99
+
+
+def pair_mass() -> dict:
     """Member-pair-mass accounting per (blk, bkt) top block, with the
     clone collapse AND the tertiary reversed-min-gram split:
     populations/caps apply to DISTINCT-PREFIX groups, within-group
@@ -149,6 +161,16 @@ def pair_mass() -> None:
         f"cap_dropped={cross_drop} ({cross_drop / max(unc, 1):.3%}) "
         f"split_separated={cross_split} ({cross_split / max(unc, 1):.3%})"
     )
+    return {
+        "blocks": len(top),
+        "oversized_blocks": over_blocks,
+        "overcap_subblocks": over_subs,
+        "overcap_after_tertiary": over_subs2,
+        "uncapped_pairs": unc,
+        "generated_pairs": gen,
+        "cap_dropped_pairs": cross_drop,
+        "cap_dropped_frac": round(cross_drop / max(unc, 1), 6),
+    }
 
 
 def _wilson(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
@@ -161,7 +183,7 @@ def _wilson(k: int, n: int, z: float = 1.96) -> tuple[float, float]:
     return (max(0.0, mid - half), min(1.0, mid + half))
 
 
-def gram_recall(max_members: int, max_dist: int, n_samples: int, seed: int) -> None:
+def gram_recall(max_members: int, max_dist: int, n_samples: int, seed: int) -> dict:
     """True-pair retention over EVERY oversized (rep-pop > CAP) block.
 
     A pair is KEPT under the r13 semantics iff the two prefixes are
@@ -289,17 +311,52 @@ def gram_recall(max_members: int, max_dist: int, n_samples: int, seed: int) -> N
         f"true={tot_true} kept={tot_kept} "
         f"recall={tot_kept / max(tot_true, 1):.3f} ci95=[{lo:.3f},{hi:.3f}]"
     )
+    return {
+        "oversized_blocks": len(sizes),
+        "exact_blocks": n_exact,
+        "sampled_blocks": n_sampled,
+        "true_pairs": tot_true,
+        "kept_pairs": tot_kept,
+        "recall": round(tot_kept / max(tot_true, 1), 6),
+        "recall_ci95": [round(lo, 6), round(hi, 6)],
+    }
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--pair-mass", action="store_true")
     ap.add_argument("--gram-recall", action="store_true")
+    ap.add_argument(
+        "--assert-bounds", action="store_true",
+        help="run BOTH probes, write LINKAGE_BOUNDS.json at the repo "
+             "root, exit 1 if dropped mass or recall violates the "
+             "pinned bounds",
+    )
     ap.add_argument("--max-members", type=int, default=1500)
     ap.add_argument("--max-dist", type=int, default=12)
     ap.add_argument("--samples", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=13)
     args = ap.parse_args()
+    if args.assert_bounds:
+        import json
+        import os
+        import sys
+
+        rec = {"pair_mass": pair_mass(), "scale_corpus": SOAK_DOCS,
+               "max_dropped_frac": MAX_DROPPED_FRAC, "min_recall": MIN_RECALL}
+        rec["gram_recall"] = gram_recall(
+            args.max_members, args.max_dist, args.samples, args.seed
+        )
+        ok = (
+            rec["pair_mass"]["cap_dropped_frac"] < MAX_DROPPED_FRAC
+            and rec["gram_recall"]["recall"] >= MIN_RECALL
+        )
+        rec["bounds_ok"] = ok
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "LINKAGE_BOUNDS.json"), "w") as f:
+            json.dump(rec, f, indent=2, sort_keys=True)
+        print(json.dumps({k: v for k, v in rec.items() if k != "scale_corpus"}))
+        sys.exit(0 if ok else 1)
     if args.pair_mass or not args.gram_recall:
         pair_mass()
     if args.gram_recall:

@@ -303,20 +303,90 @@ def fam_batch_apply(spark, docs, emb, sf_dir):
     latest_by_key(log).write.format("noop").mode("overwrite").save()
 
 
+# Streaming-family measurement fixes (r14, both bit the r13 record):
+# 1. stage_changelog is one-time test staging (its own docstring: a
+#    driver-width ntile/coalesce(1) funnel, "not a production write
+#    path") yet it ran INSIDE the timed wall and — worse — inside the
+#    job group, while the actual micro-batch MERGE jobs ran on the
+#    stream-execution thread, OUTSIDE the thread-local job group. The
+#    committed pre-r14 stream_apply soak rows therefore timed staging +
+#    drain but attributed ONLY the staging shuffle (x1 79 MB / x100
+#    9.5 GB — byte-identical across engine changes because staging
+#    never changed). Staging now prestages untimed under a content
+#    marker, and apply_batch is wrapped to claim the job group ON the
+#    micro-batch thread, so the recorded shuffle/mem is the applier's.
+_STREAM_STAGE = "/tmp/databus_soak_streamstage"
+
+
+def _stream_stage_dir(sf_dir: str) -> str:
+    """CONTENT-keyed stage tag: /tmp/databus_soak10x holds the x10
+    corpus one run and the x100 corpus the next (build_soak_fixture
+    rebuilds in place per --scale), so a path-keyed marker serves a
+    stale smaller-scale staging to the bigger leg — measured: an
+    'x100' stream_apply run drained the x10 staging and read 15.5 s /
+    507 MB, the x10 numbers. The orders.parquet directory signature
+    (name, size, mtime_ns per file) changes with every rebuild."""
+    import hashlib
+
+    sig = [sf_dir]
+    src = os.path.join(sf_dir, "orders.parquet")
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            sig.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return os.path.join(
+        _STREAM_STAGE, hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    )
+
+
+def _prestage_stream(spark, docs, emb, sf_dir):
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.streaming.source import stage_changelog
+
+    out = _stream_stage_dir(sf_dir)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    stage_changelog(orders_changelog(spark, sf_dir), f"{out}/stage", n_chunks=8)
+    open(os.path.join(out, "_DONE"), "w").write("1")
+
+
+def _traced_applier(spark, store):
+    """StreamingApplier whose apply_batch claims the caller's job group
+    on the STREAM-EXECUTION thread (setJobGroup is thread-local; the
+    group set around fn() in main() lives on the driver main thread and
+    micro-batch jobs never inherit it)."""
+    from databus_spark.streaming.applier import StreamingApplier
+
+    applier = StreamingApplier(store)
+    group = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+    orig = applier.apply_batch
+
+    def traced(batch, epoch_id):
+        if group:
+            spark.sparkContext.setJobGroup(group, group)
+        orig(batch, epoch_id)
+
+    applier.apply_batch = traced
+    return applier
+
+
 def fam_stream_apply(spark, docs, emb, sf_dir):
     import tempfile
 
     from databus_spark.envelope import orders_changelog
     from databus_spark.store.snapshot import ParquetSnapshotStore
-    from databus_spark.streaming.applier import StreamingApplier
-    from databus_spark.streaming.source import changelog_stream, stage_changelog
+    from databus_spark.streaming.source import changelog_stream
 
-    tmp = tempfile.mkdtemp(prefix="soak_stream_")
     olog = orders_changelog(spark, sf_dir)
-    stage_changelog(olog, f"{tmp}/stage", n_chunks=8)
-    applier = StreamingApplier(ParquetSnapshotStore(spark, f"{tmp}/snap"))
-    q = applier.run(changelog_stream(spark, f"{tmp}/stage", olog.schema), f"{tmp}/ck")
+    stage = f"{_stream_stage_dir(sf_dir)}/stage"
+    tmp = tempfile.mkdtemp(prefix="soak_stream_")
+    applier = _traced_applier(spark, ParquetSnapshotStore(spark, f"{tmp}/snap"))
+    q = applier.run(changelog_stream(spark, stage, olog.schema), f"{tmp}/ck")
     q.awaitTermination(1800)
+
+
+fam_stream_apply.prestage = _prestage_stream
 
 
 def fam_stream_apply_unbucketed(spark, docs, emb, sf_dir):
@@ -327,17 +397,97 @@ def fam_stream_apply_unbucketed(spark, docs, emb, sf_dir):
 
     from databus_spark.envelope import orders_changelog
     from databus_spark.store.snapshot import ParquetSnapshotStore
-    from databus_spark.streaming.applier import StreamingApplier
-    from databus_spark.streaming.source import changelog_stream, stage_changelog
+    from databus_spark.streaming.source import changelog_stream
 
-    tmp = tempfile.mkdtemp(prefix="soak_stream_ub_")
     olog = orders_changelog(spark, sf_dir)
-    stage_changelog(olog, f"{tmp}/stage", n_chunks=8)
-    applier = StreamingApplier(
-        ParquetSnapshotStore(spark, f"{tmp}/snap", n_buckets=1)
+    stage = f"{_stream_stage_dir(sf_dir)}/stage"
+    tmp = tempfile.mkdtemp(prefix="soak_stream_ub_")
+    applier = _traced_applier(
+        spark, ParquetSnapshotStore(spark, f"{tmp}/snap", n_buckets=1)
     )
-    q = applier.run(changelog_stream(spark, f"{tmp}/stage", olog.schema), f"{tmp}/ck")
+    q = applier.run(changelog_stream(spark, stage, olog.schema), f"{tmp}/ck")
     q.awaitTermination(1800)
+
+
+fam_stream_apply_unbucketed.prestage = _prestage_stream
+
+
+# -- big-state streaming MERGE: the broadcast path's design regime ---------
+# The x1/xN stream_apply legs replay a FIXED 8-chunk log, so batch size
+# grows with scale and the large (shuffle) path is what xN measures. The
+# production steady state is the opposite shape: a trigger-bounded SMALL
+# batch merging into a LARGE accumulated snapshot. These two families
+# pin that regime: both drain the SAME small sf0.1-sized changelog (8 x
+# ~23k-row batches, rep-0 keys ⊂ the big corpus keyspace so updates are
+# real) into a link-copied clone of a big prestaged snapshot; the
+# control forces the shuffle path (broadcast_merge_max_rows=0), so the
+# pair is the measured value of the zero-state-shuffle broadcast MERGE.
+_BIGSTATE_ROOT = "/tmp/databus_soak_bigstate"
+
+
+def _bigstate_dir(sf_dir: str) -> str:
+    import hashlib
+
+    sig = [sf_dir]
+    src = os.path.join(sf_dir, "orders.parquet")
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            sig.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return os.path.join(
+        _BIGSTATE_ROOT, hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    )
+
+
+def _prestage_bigstate(spark, docs, emb, sf_dir):
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+    from databus_spark.streaming.source import stage_changelog
+
+    _prestage_stream(spark, docs, emb, SF_DIR)  # the small drain log
+    out = _bigstate_dir(sf_dir)
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    store = ParquetSnapshotStore(spark, os.path.join(out, "base"))
+    store.merge(orders_changelog(spark, sf_dir))  # one big v1 seed
+    open(os.path.join(out, "_DONE"), "w").write("1")
+
+
+def _run_bigstate(spark, sf_dir, force_shuffle: bool) -> None:
+    import tempfile
+
+    from databus_spark.envelope import orders_changelog
+    from databus_spark.store.snapshot import ParquetSnapshotStore
+    from databus_spark.streaming.source import changelog_stream
+
+    tmp = tempfile.mkdtemp(prefix="soak_bigstate_")
+    ParquetSnapshotStore._link_tree(
+        os.path.join(_bigstate_dir(sf_dir), "base"), f"{tmp}/snap"
+    )
+    store = ParquetSnapshotStore(
+        spark, f"{tmp}/snap",
+        broadcast_merge_max_rows=0 if force_shuffle else 200_000,
+    )
+    applier = _traced_applier(spark, store)
+    olog = orders_changelog(spark, SF_DIR)
+    stage = f"{_stream_stage_dir(SF_DIR)}/stage"
+    q = applier.run(changelog_stream(spark, stage, olog.schema), f"{tmp}/ck")
+    q.awaitTermination(1800)
+
+
+def fam_stream_bigstate(spark, docs, emb, sf_dir):
+    _run_bigstate(spark, sf_dir, force_shuffle=False)
+
+
+fam_stream_bigstate.prestage = _prestage_bigstate
+
+
+def fam_stream_bigstate_shuffle(spark, docs, emb, sf_dir):
+    _run_bigstate(spark, sf_dir, force_shuffle=True)
+
+
+fam_stream_bigstate_shuffle.prestage = _prestage_bigstate
 
 
 def fam_media_dhash(spark, docs, emb, sf_dir):
@@ -480,6 +630,8 @@ FAMILIES = {
     "bm25_serve": fam_bm25_serve,
     "semdedup_incremental": fam_semdedup_incremental,
     "stream_apply_unbucketed": fam_stream_apply_unbucketed,
+    "stream_bigstate": fam_stream_bigstate,
+    "stream_bigstate_shuffle": fam_stream_bigstate_shuffle,
     "media_dhash": fam_media_dhash,
     "stream_apply": fam_stream_apply,
     "semdedup": fam_semdedup,

@@ -139,13 +139,11 @@ def main() -> None:
     # box-health probes from the CURRENT bench (the probe definition is
     # versioned with the tool, not the pinned commit, so A/Bs across
     # rounds stay comparable)
+    # plain import (not importlib-from-path): the 32-way parallel probe
+    # pickles _probe_work into fork'd workers, which must re-import it
+    # by module name — a synthetic module name fails there
     sys.path.insert(0, ROOT)
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_ab", os.path.join(ROOT, "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    import bench
 
     probe_start = bench._calibration_probe_s()
     par_start = bench._parallel_probe_s()

@@ -40,75 +40,33 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 13: the THREE new queries (weighted_sample_topk — A-ES
-    # weighted sampling without replacement — filter_keymod_staged_hash,
-    # the any-modulus stored-hash subscription tier, and
-    # ann_sq8_ivf_topk, the IVF+SQ8 serving composition) plus the rows
-    # the mechanical
-    # freshness check (tools/window_manifest.py, affected_queries vs
-    # the r12 manifest) marks as engine-path-changed this round:
-    # filter_keymod_subscribe (subscribe_key_mod grew the staged-hash
-    # middle tier), ann_sq8_topk (check_recall parameter), the
-    # fuzzy-join/linkage quartet (clone collapse — rep-level blocks,
-    # clone-map expansion, both twins), and release_gate (null-safe
-    # k_anonymity_gate join + IS NOT DISTINCT FROM twin). The remaining
-    # slots rotate the oldest external greens — the whole r8 cohort
-    # plus the r9 rows at the top of last round's _REST, top-down.
+    # round 14: the THREE new queries first (ann_sq8_ivf_serve — top-k
+    # served from the staged cell-partitioned IVF+SQ8 index — and
+    # release_gate_utility, the per-language suppression-cost report,
+    # and ann_sq8_ivf_serve_delta — the staged serve with an unindexed
+    # delta merged into every query's candidates),
+    # then every row the mechanical freshness check
+    # (tools/window_manifest.py, affected_queries vs the r13 manifest)
+    # marks engine-path-changed this round: weighted_sample_topk (the
+    # u=(h+0.5)/2^60 range fix, both engines), the keymod pair (the
+    # staged-hash consistency guard in subscribe_key_mod), the DSIR
+    # quartet (_dsir_tokens size-aware rebalance), release_gate and
+    # curation_decisions_v3 (shared SQL-builder closure with the new
+    # utility query). The remaining 39 slots rotate the oldest
+    # external greens: the ENTIRE r10 cohort (37 rows) plus the r11 row
+    # at the top of last round's _REST.
+    "ann_sq8_ivf_serve",
+    "release_gate_utility",
+    "ann_sq8_ivf_serve_delta",
     "weighted_sample_topk",
     "filter_keymod_staged_hash",
     "filter_keymod_subscribe",
-    "ann_sq8_ivf_topk",
-    "ann_sq8_topk",
-    "fuzzy_join_docs",
-    "fuzzy_join_incremental",
-    "record_linkage_clusters",
-    "record_linkage_incremental",
-    "release_gate",
-    "decontaminate_vs_benchmark",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_sketch_eval",
     "dsir_doc_scores",
     "dsir_feature_weights",
+    "dsir_incremental",
     "dsir_select_topk",
-    "filter_composite_json",
-    "keyset_page",
-    "lag_percentiles",
-    "mixture_temperature_sample",
-    "mixture_waterfill",
-    "mixture_waterfill_sample",
-    "per_group_quota",
-    "per_source_stats",
-    "pricing_summary",
-    "schema_evolution_decode",
-    "schema_key_compaction",
-    "sequence_packing",
-    "skew_salted_agg",
-    "snapshot_diff",
-    "sql_surface_window_stats",
-    "stratified_sample",
-    "stream_fetch_bounded",
-    "text_fingerprint",
-    "tfidf_top_terms",
-    "txn_window_stats",
-    "value_histogram",
-    "repetition_filter",
-    "retention_cohorts",
-    "scalar_functions",
-    "snapshot_orders",
-    "text_lang_id",
-    "text_quality",
-    "topk_orders_per_segment",
-    "xml_trail_parse",
-    "ann_cosine_topk",
-    "bootstrap_snapshot_catchup",
-]
-
-# below the 50-row window this round (all still verified locally),
-# oldest external green first — next round's rotation reads top-down:
-_REST = [
+    "release_gate",
+    "curation_decisions_v3",
     "ann_lsh_topk",
     "bpe_learn_merges",
     "bpe_learn_merges_batched",
@@ -147,6 +105,13 @@ _REST = [
     "vocab_top_terms",
     "zorder_events_key",
     "ann_filtered_topk",
+]
+
+# below the 50-row window this round (all still verified locally),
+# oldest external green first — next round's rotation reads top-down
+# (remaining r11/r12 cohorts in their standing order, then the r13
+# greens that rotated out of the r13 window, newest last):
+_REST = [
     "ann_ivf_topk",
     "ann_ivfpq_rerank_topk",
     "ann_ivfpq_topk",
@@ -164,7 +129,6 @@ _REST = [
     "dedup_incremental_near",
     "dedup_span_windows",
     "dedup_survivor_corpus",
-    "dsir_incremental",
     "exactsubstr_dedup",
     "exactsubstr_incremental",
     "exactsubstr_spans",
@@ -183,7 +147,6 @@ _REST = [
     "snapshot_customer",
     "trail_file_seek",
     "zorder_box_read",
-    # the r12 window cohort (newest external greens, r12):
     "bm25_incremental",
     "semdedup_survivors_v2",
     "semdedup_incremental",
@@ -193,7 +156,6 @@ _REST = [
     "semdedup_recall_eval",
     "k_anonymity_audit",
     "bm25_topk",
-    "curation_decisions_v3",
     "approx_quantiles_binned",
     "approx_stats",
     "avro_binary_decode",
@@ -228,6 +190,49 @@ _REST = [
     "train_split_assign",
     "urgent_orders_shipped",
     "as_of_join_events",
+    "ann_sq8_ivf_topk",
+    "ann_sq8_topk",
+    "fuzzy_join_docs",
+    "fuzzy_join_incremental",
+    "record_linkage_clusters",
+    "record_linkage_incremental",
+    "decontaminate_vs_benchmark",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_sketch_eval",
+    "filter_composite_json",
+    "keyset_page",
+    "lag_percentiles",
+    "mixture_temperature_sample",
+    "mixture_waterfill",
+    "mixture_waterfill_sample",
+    "per_group_quota",
+    "per_source_stats",
+    "pricing_summary",
+    "schema_evolution_decode",
+    "schema_key_compaction",
+    "sequence_packing",
+    "skew_salted_agg",
+    "snapshot_diff",
+    "sql_surface_window_stats",
+    "stratified_sample",
+    "stream_fetch_bounded",
+    "text_fingerprint",
+    "tfidf_top_terms",
+    "txn_window_stats",
+    "value_histogram",
+    "repetition_filter",
+    "retention_cohorts",
+    "scalar_functions",
+    "snapshot_orders",
+    "text_lang_id",
+    "text_quality",
+    "topk_orders_per_segment",
+    "xml_trail_parse",
+    "ann_cosine_topk",
+    "bootstrap_snapshot_catchup",
 ]
 
 _PRIORITY = _WINDOW + _REST

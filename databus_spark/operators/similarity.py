@@ -839,6 +839,102 @@ def sq8_ivf_serve_sql(
     """
 
 
+def sq8_ivf_serve_delta_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = SQ8IVF_NPROBE,
+    assign_r: int = SQ8IVF_ASSIGN,
+    delta_n: int = 25,
+    delta_off: int = 100_000,
+) -> str:
+    """DuckDB twin of the serve-with-unindexed-delta path: the delta
+    (reversed copies of the first ``delta_n`` vectors, id-shifted by
+    ``delta_off`` — decorrelated 'new' data both engines derive
+    identically) is quantized on the same grid and joins EVERY query's
+    candidate set unconditionally, exactly as sq8_ivf_serve merges
+    vectors ingested since the last index build; cand_frac's
+    denominator grows by the delta count."""
+    from databus_spark.functions.hashes import portable_hash64_sql
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    idot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    dqc = idot.format(a="q.qv", b="c.qv")
+    dqq = idot.format(a="q.qv", b="q.qv")
+    dcc = idot.format(a="c.qv", b="c.qv")
+    return f"""
+        WITH sqsd_cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {N_CELLS}),
+        sqsd_ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS cell_rank
+            FROM embeddings v CROSS JOIN sqsd_cent c),
+        sqsd_delta AS (
+            SELECT vec_id + {delta_off} AS vec_id,
+                   list_reverse(embedding) AS embedding
+            FROM embeddings WHERE vec_id < {delta_n}),
+        sqsd_all AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id, embedding FROM sqsd_delta),
+        sqsd_q8 AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                        e -> CAST(floor(e / m * {SQ8_SCALE}.0 + 0.5)
+                                  AS BIGINT)) AS qv
+            FROM (SELECT vec_id, embedding,
+                         greatest(list_max(list_transform(embedding,
+                                  e -> abs(e))), 1e-30) AS m
+                  FROM sqsd_all)),
+        sqsd_cand AS (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell_id FROM sqsd_ranked
+                  WHERE vec_id < {n_queries} AND cell_rank <= {nprobe}) p
+            JOIN (SELECT vec_id, cell_id FROM sqsd_ranked
+                  WHERE cell_rank <= {assign_r}) a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id
+            UNION
+            SELECT DISTINCT p.vec_id AS query_id, d.vec_id AS neighbor_id
+            FROM (SELECT DISTINCT vec_id FROM sqsd_ranked
+                  WHERE vec_id < {n_queries}) p
+            CROSS JOIN sqsd_delta d
+            WHERE d.vec_id <> p.vec_id),
+        sqsd_scored AS (
+            SELECT query_id, neighbor_id,
+                   round(CAST({dqc} AS DOUBLE)
+                         / (sqrt(CAST({dqq} AS DOUBLE))
+                            * sqrt(CAST({dcc} AS DOUBLE))), 6) AS sim_q8
+            FROM sqsd_cand
+            JOIN sqsd_q8 q ON q.vec_id = query_id
+            JOIN sqsd_q8 c ON c.vec_id = neighbor_id),
+        sqsd_cc AS (
+            SELECT query_id, count(*) AS nc FROM sqsd_scored GROUP BY query_id),
+        sqsd_n AS (
+            SELECT (SELECT count(*) FROM embeddings)
+                   + (SELECT count(*) FROM sqsd_delta) AS n_corpus),
+        sqsd_rk AS (
+            SELECT query_id, neighbor_id, sim_q8,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim_q8 DESC, neighbor_id ASC
+                   ) AS rank
+            FROM sqsd_scored)
+        SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank,
+               r.sim_q8,
+               round(CAST(cc.nc AS DOUBLE) / n.n_corpus, 6) AS cand_frac
+        FROM sqsd_rk r
+        JOIN sqsd_cc cc USING (query_id)
+        CROSS JOIN sqsd_n n
+        WHERE r.rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH bucketing (the scale path)
 # ---------------------------------------------------------------------------

@@ -1004,6 +1004,31 @@ def ann_sq8_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_sq8_ivf_serve_delta", similarity.sq8_ivf_serve_delta_sql(n_queries=10, k=5)
+)
+def ann_sq8_ivf_serve_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged-index serve with an UNINDEXED DELTA merged in — the
+    steady-state shape between index builds: the base answers from the
+    probed cells of the staged artifact, and vectors ingested since
+    the build (here: reversed, id-shifted copies of the first 25 —
+    decorrelated 'new' data both engines derive identically) are
+    quantized inline and score against EVERY query. cand_frac's
+    denominator counts base + delta. Exercises the
+    sq8_ivf_serve(delta_emb=...) path under the driver's oracle; the
+    append path (folding the delta into the staged cells) is pinned by
+    tests/test_round14_ops.py."""
+    idx = _staged_sq8ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    delta = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    return similarity.sq8_ivf_serve(
+        spark, idx, emb.where(F.col("vec_id") < 10), k=5, delta_emb=delta
+    )
+
+
 @query("ann_lsh_topk", similarity.lsh_topk_sql(n_queries=10, k=5))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table sign-LSH (OR-amplified recall, scale path)."""

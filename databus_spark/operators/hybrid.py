@@ -1,0 +1,207 @@
+"""Hybrid lexical+vector retrieval: BM25 ∪ ANN fused by Reciprocal
+Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009 — "Reciprocal
+rank fusion outperforms Condorcet and individual rank learning
+methods").
+
+The serving composition every RAG-ish corpus pipeline ends up needing:
+a lexical leg (exact-term recall: rare tokens, codes, names) and a
+vector leg (semantic recall) answer the same query batch, and the
+fused ranking is a pure function of the two LEG RANKS — no score
+calibration across legs, which is what makes RRF robust and, here,
+cross-engine exact: rrf = Σ_legs floor(SCALE / (K + rank)) in bigint
+arithmetic, identical in Spark and DuckDB by construction.
+
+Scale shape: each leg is already a bounded top-leg_n per query (BM25
+over partition-pruned postings + broadcast query terms; cosine top-k
+as TakeOrdered-style windowed selection), so the fusion input is
+O(n_queries * leg_n) rows — driver-free, one small full-outer join on
+(query_id, doc_id), ranks fused map-side. At 100 TB the legs serve
+from their staged indexes (BM25 bucket-partitioned postings,
+IVF+SQ8 cell-partitioned codes) and the fusion cost is unchanged.
+
+The fixture's documents and embeddings tables are id-aligned
+(doc_id == vec_id), so both legs share the ANN query convention
+(ids < n_queries) and the lexical leg's self-hit is excluded to match
+the vector leg's neighbor_id != query_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from databus_spark.operators.similarity import _cosine_sql, cosine_topk
+from databus_spark.operators.text import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_LEN,
+    TOKENS_SQL,
+    bm25_corpus_stats,
+    bm25_postings,
+    bm25_serve,
+    tokens_col,
+)
+
+RRF_K = 60  # the paper's constant: small ranks dominate, tail still counts
+RRF_SCALE = 1_000_000_000  # micro-ish units: floor(SCALE/(K+rank)) exact bigint
+HYB_LEG_N = 20  # per-leg candidate depth feeding the fusion
+
+
+def hybrid_query_terms(
+    docs: DataFrame, n_queries: int = 10, q_len: int = BM25_QUERY_LEN
+) -> DataFrame:
+    """(query_id, tok): lexical query workload under the ANN id
+    convention — tokens 2..q_len+1 of docs with id < n_queries (docs
+    shorter than q_len+1 tokens have no lexical leg; the vector leg
+    still answers them)."""
+    toks = tokens_col("text")
+    base = docs.select("doc_id", toks.alias("_t"))
+    return (
+        base.where((F.col("doc_id") < n_queries) & (F.size("_t") >= q_len + 1))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("_t", 2, q_len)).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    leg_n: int = HYB_LEG_N,
+    q_len: int = BM25_QUERY_LEN,
+) -> DataFrame:
+    """(query_id, doc_id, rank, rrf_micro, lex_rank, vec_rank): top-k
+    by RRF over the BM25 and exact-cosine legs. Leg ranks ride the
+    output (nullable: a doc surfaced by only one leg scores only that
+    leg's term), so the fused row is auditable without re-running the
+    legs."""
+    # lexical leg: one extra row so dropping the self-hit still leaves
+    # leg_n candidates; re-rank after the exclusion (monotone in the
+    # same (score desc, doc_id) key bm25_serve ranked by)
+    qt = hybrid_query_terms(docs, n_queries, q_len)
+    lex_raw = bm25_serve(
+        bm25_postings(docs), bm25_corpus_stats(docs), qt, topk=leg_n + 1
+    ).where(F.col("doc_id") != F.col("query_id"))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        lex_raw.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .where(F.col("lex_rank") <= leg_n)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    vec = cosine_topk(emb, n_queries=n_queries, k=leg_n).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rank)"), F.lit(0).cast("long")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_micro", rrf)
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "rrf_micro",
+            "lex_rank",
+            "vec_rank",
+        )
+    )
+
+
+def hybrid_rrf_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    leg_n: int = HYB_LEG_N,
+    q_len: int = BM25_QUERY_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin: the bm25_topk_sql score pipeline under the ANN id
+    convention (query ids < n_queries, self-hit excluded before the
+    leg rank), the 6dp cosine ranking, and the same bigint RRF."""
+    toks = TOKENS_SQL.format(col="text")
+    sim = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+        WITH hy_base AS (SELECT doc_id, {toks} AS t FROM documents),
+        hy_stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST((sum(len(t)) * 1000000) // count(*) AS DOUBLE) / 1000000.0
+                       AS avgdl
+            FROM hy_base),
+        hy_qt AS (
+            SELECT DISTINCT doc_id AS query_id, unnest(t[2:{q_len + 1}]) AS tok
+            FROM hy_base
+            WHERE doc_id < {n_queries} AND len(t) >= {q_len + 1}),
+        hy_tf AS (
+            SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+            FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM hy_base)
+            WHERE tok IN (SELECT tok FROM hy_qt)
+            GROUP BY 1, 2),
+        hy_dft AS (SELECT tok, count(*) AS df FROM hy_tf GROUP BY 1),
+        hy_terms AS (
+            SELECT q.query_id, f.doc_id,
+                   CAST(round(
+                       ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * (f.tf * {1.0 + k1})
+                       / (f.tf + {k1} * ({1.0 - b} + {b} * f.dl / s.avgdl)),
+                   6) AS DECIMAL(18,6)) AS w
+            FROM hy_tf f
+            JOIN hy_qt q USING (tok)
+            JOIN hy_dft d USING (tok)
+            CROSS JOIN hy_stats s),
+        hy_sc AS (
+            SELECT query_id, doc_id, sum(w) AS score
+            FROM hy_terms WHERE doc_id <> query_id GROUP BY 1, 2),
+        hy_lex AS (
+            SELECT query_id, doc_id, lex_rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, doc_id
+                       ) AS lex_rank
+                FROM hy_sc)
+            WHERE lex_rank <= {leg_n}),
+        hy_vec AS (
+            SELECT query_id, doc_id, vec_rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({sim}, 6) DESC, c.vec_id ASC
+                       ) AS vec_rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {n_queries})
+            WHERE vec_rank <= {leg_n}),
+        hy_fused AS (
+            SELECT query_id, doc_id,
+                   coalesce({RRF_SCALE} // ({RRF_K} + lex_rank), 0)
+                   + coalesce({RRF_SCALE} // ({RRF_K} + vec_rank), 0)
+                       AS rrf_micro,
+                   lex_rank, vec_rank
+            FROM hy_lex FULL JOIN hy_vec USING (query_id, doc_id)),
+        hy_rk AS (
+            SELECT query_id, doc_id, rrf_micro, lex_rank, vec_rank,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id
+                   ) AS rank
+            FROM hy_fused)
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+               CAST(rrf_micro AS BIGINT) AS rrf_micro,
+               CAST(lex_rank AS BIGINT) AS lex_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM hy_rk WHERE rank <= {k}
+    """

@@ -537,6 +537,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from databus_spark.operators import (  # noqa: E402
     dedup,
+    hybrid,
     multimodal,
     shards,
     similarity,
@@ -1026,6 +1027,27 @@ def ann_sq8_ivf_serve_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.sq8_ivf_serve(
         spark, idx, emb.where(F.col("vec_id") < 10), k=5, delta_emb=delta
+    )
+
+
+@query("hybrid_rrf_topk", hybrid.hybrid_rrf_topk_sql(n_queries=10, k=5))
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack/Clarke/Büttcher SIGIR 2009): a BM25 leg (exact-term
+    recall over the documents table) and an exact-cosine ANN leg
+    (semantic recall over the id-aligned embeddings table) each rank
+    top-20 per query; the fused score is Σ floor(1e9/(60+rank)) in
+    exact bigint — no cross-leg score calibration, cross-engine exact
+    by construction. Leg ranks ride the output nullable so single-leg
+    hits are auditable. At scale both legs serve from their staged
+    indexes (bucket-partitioned postings / cell-partitioned SQ8
+    codes); fusion input is O(n_queries x leg_n) regardless of corpus
+    size."""
+    return hybrid.hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=10,
+        k=5,
     )
 
 

@@ -217,6 +217,43 @@ def test_broadcast_merge_equals_shuffle_merge(spark, sf_dir, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# hybrid BM25 + ANN retrieval (RRF)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """Every fused row's rrf_micro is exactly the bigint RRF of the leg
+    ranks it carries (single-leg hits score one term, both-leg hits
+    two), self-hits never surface, and both legs actually contribute
+    on the fixture."""
+    from databus_spark.registry import QUERIES
+
+    rows = QUERIES["hybrid_rrf_topk"](spark, str(sf_dir)).collect()
+    assert rows
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= 20
+            expect += 10**9 // (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            assert 1 <= r["vec_rank"] <= 20
+            expect += 10**9 // (60 + r["vec_rank"])
+        assert expect > 0  # at least one leg surfaced the doc
+        assert r["rrf_micro"] == expect
+        assert r["doc_id"] != r["query_id"]
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["vec_rank"] is not None for r in rows)
+    # within each query, rank order follows (rrf desc, doc_id asc)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        keys = [(-r["rrf_micro"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys), q
+
+
+# ---------------------------------------------------------------------------
 # fuzzy-join blocking bounds (r13 verdict next-#3: pin the hole shut)
 # ---------------------------------------------------------------------------
 

@@ -283,13 +283,15 @@ class ParquetSnapshotStore:
           shuffle.partitions × touched) files per version, which the
           next compaction's scan absorbs.
 
-        The batch is checkpointed eagerly so the bucket
-        probe and the merged write evaluate the (streaming-source) plan
-        once, not twice. ``precheckpointed=True`` tells merge the caller
-        ALREADY materialized the batch (the streaming applier eager-
-        checkpoints for its stats pass): re-checkpointing then would copy
-        every batch a second time, and the _bucket projection re-derived
-        from the caller's cached blocks is nearly free.
+        Without ``precheckpointed``, the batch is checkpointed eagerly
+        so the bucket probe and the merged write evaluate an arbitrary
+        caller plan once, not twice. ``precheckpointed=True`` is the
+        caller's vouch that a second evaluation of the batch plan is
+        BOTH stable and cheap — either the caller already materialized
+        it, or (the streaming applier's default since r14) the batch
+        is a deterministic file-source chunk whose re-read costs less
+        than copying every batch into block storage did (the eager
+        copy was a third serialized job per micro-batch).
 
         ``prebucketed=True`` declares the batch already carries a
         ``_bucket`` column computed with THIS store's bucket_col() (the

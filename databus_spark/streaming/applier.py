@@ -37,6 +37,7 @@ class StreamingApplier:
         store: ParquetSnapshotStore,
         subscription: Column | None = None,
         on_checkpoint: Callable[[Checkpoint], None] | None = None,
+        checkpoint_batches: bool = False,
     ) -> None:
         self.store = store
         self.subscription = subscription
@@ -44,17 +45,27 @@ class StreamingApplier:
         self.on_checkpoint = on_checkpoint
         self.batches_applied = 0
         self.rows_applied = 0
+        # True re-enables the pre-r14 eager localCheckpoint of every
+        # micro-batch before the stats/merge passes. The default skips
+        # it: the engine's batch sources (staged parquet chunks, rate
+        # ranges) re-evaluate deterministically, and the checkpoint
+        # copy was a third serialized JOB per micro-batch (~25% of the
+        # ~1.2 s micro-batch budget; measured 16.9k -> 17.7k rows/s at
+        # sf0.1 without it). Set True for a source whose batch plan is
+        # NOT stable under re-evaluation.
+        self.checkpoint_batches = checkpoint_batches
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         if self.subscription is not None:
             batch = batch.where(self.subscription)
-        # bucket BEFORE the checkpoint so ONE job yields stats AND the
-        # store's touched-bucket set: count/max-scn/bucket-probe were
-        # two separate driver round-trips per micro-batch on top of the
+        # bucket first so ONE job yields stats AND the store's
+        # touched-bucket set: count/max-scn/bucket-probe were two
+        # separate driver round-trips per micro-batch on top of the
         # MERGE — measurable against a ~1 s micro-batch budget (this
         # fusion closed the r8 >= 20k rows/s watchpoint)
         batch = batch.withColumn("_bucket", self.store.bucket_col())
-        batch = batch.localCheckpoint(eager=True)  # stabilize for two passes
+        if self.checkpoint_batches:
+            batch = batch.localCheckpoint(eager=True)
         rows = batch.groupBy("_bucket").agg(
             F.count(F.lit(1)).alias("_n"), F.max("scn").alias("_mx")
         ).collect()
@@ -63,6 +74,11 @@ class StreamingApplier:
             return
         self.store.merge(
             batch,
+            # "precheckpointed" to merge() means "do not checkpoint
+            # again — the caller vouches the batch plan is stable for
+            # a second evaluation" (a file-source micro-batch is a
+            # fixed file list; re-reading it is cheaper than copying
+            # every batch into block storage)
             precheckpointed=True,
             touched=[r["_bucket"] for r in rows],
             prebucketed=True,  # _bucket above IS store.bucket_col() — explicit contract

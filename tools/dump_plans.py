@@ -45,6 +45,10 @@ HEADLINE = [
     ("corpus_drift", "drift KL: one corpus explode+agg; vocab/bins/totals all broadcast back onto a slices x bins grid"),
     ("bm25_incremental", "BM25 serve: bucket-pruned postings scan + broadcast term set; delta explode pruned map-side; base never rescanned"),
     ("release_gate", "curation + k-anonymity: QI group counts shuffle once, verdict joins back on the QI key"),
+    ("ann_sq8_ivf_serve", "staged IVF+SQ8 serve: path-scoped read of probed cell partitions only, broadcast query probes, exact integer dots"),
+    ("weighted_sample_topk", "A-ES weighted sample: TakeOrderedAndProject top-n, never a global sort"),
+    ("hybrid_rrf_topk", "hybrid RRF: two bounded top-20 legs (bucket-pruned BM25, broadcast-query cosine) fused by one tiny full-outer join; bigint rank arithmetic"),
+    ("release_gate_utility", "suppression-cost report: one map-combinable per-lang agg over the gate verdict, exact scaled-div fractions"),
 ]
 
 spark = build_session("plans", cpus=8)

@@ -40,12 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 14: the FOUR new queries first (ann_sq8_ivf_serve — top-k
+    # round 14: the FIVE new queries first (ann_sq8_ivf_serve — top-k
     # served from the staged cell-partitioned IVF+SQ8 index — and
     # release_gate_utility, the per-language suppression-cost report,
     # and ann_sq8_ivf_serve_delta — the staged serve with an unindexed
     # delta merged into every query's candidates — and hybrid_rrf_topk,
-    # BM25 + ANN legs fused by exact-bigint Reciprocal Rank Fusion),
+    # BM25 + ANN legs fused by exact-bigint Reciprocal Rank Fusion, and
+    # hybrid_rrf_serve — the same fusion answered entirely from the two
+    # staged indexes, quantized IVF-pruned vector leg),
     # then every row the mechanical freshness check
     # (tools/window_manifest.py, affected_queries vs the r13 manifest)
     # marks engine-path-changed this round: weighted_sample_topk (the
@@ -54,11 +56,13 @@ _WINDOW = [
     # quartet (_dsir_tokens size-aware rebalance), release_gate and
     # curation_decisions_v3 (shared SQL-builder closure with the new
     # utility query). The remaining 39 slots rotate the oldest
-    # external greens: the ENTIRE r10 cohort (37 rows).
+    # external greens: the r10 cohort top-down (36 of its 37 rows fit;
+    # zorder_events_key heads next round's rotation from _REST).
     "ann_sq8_ivf_serve",
     "release_gate_utility",
     "ann_sq8_ivf_serve_delta",
     "hybrid_rrf_topk",
+    "hybrid_rrf_serve",
     "weighted_sample_topk",
     "filter_keymod_staged_hash",
     "filter_keymod_subscribe",
@@ -104,7 +108,6 @@ _WINDOW = [
     "simhash_sketch",
     "sparse_tfidf_pairs",
     "vocab_top_terms",
-    "zorder_events_key",
 ]
 
 # below the 50-row window this round (all still verified locally),
@@ -112,6 +115,7 @@ _WINDOW = [
 # (remaining r11/r12 cohorts in their standing order, then the r13
 # greens that rotated out of the r13 window, newest last):
 _REST = [
+    "zorder_events_key",
     "ann_filtered_topk",
     "ann_ivf_topk",
     "ann_ivfpq_rerank_topk",

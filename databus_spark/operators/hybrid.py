@@ -67,39 +67,34 @@ def hybrid_query_terms(
     )
 
 
-def hybrid_rrf_topk(
-    docs: DataFrame,
-    emb: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
+def _lex_leg(
+    postings: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
     leg_n: int = HYB_LEG_N,
-    q_len: int = BM25_QUERY_LEN,
 ) -> DataFrame:
-    """(query_id, doc_id, rank, rrf_micro, lex_rank, vec_rank): top-k
-    by RRF over the BM25 and exact-cosine legs. Leg ranks ride the
-    output (nullable: a doc surfaced by only one leg scores only that
-    leg's term), so the fused row is auditable without re-running the
-    legs."""
-    # lexical leg: one extra row so dropping the self-hit still leaves
-    # leg_n candidates; re-rank after the exclusion (monotone in the
-    # same (score desc, doc_id) key bm25_serve ranked by)
-    qt = hybrid_query_terms(docs, n_queries, q_len)
-    lex_raw = bm25_serve(
-        bm25_postings(docs), bm25_corpus_stats(docs), qt, topk=leg_n + 1
-    ).where(F.col("doc_id") != F.col("query_id"))
+    """(query_id, doc_id, lex_rank): the BM25 leg over an index (inline
+    or staged — bm25_serve is exact over either by the additivity the
+    bm25_incremental oracle re-proves). One extra row requested so
+    dropping the self-hit still leaves leg_n candidates; re-ranked
+    after the exclusion (monotone in the same (score desc, doc_id)
+    key bm25_serve ranked by)."""
+    lex_raw = bm25_serve(postings, stats, qt, topk=leg_n + 1).where(
+        F.col("doc_id") != F.col("query_id")
+    )
     wl = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    lex = (
+    return (
         lex_raw.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
         .where(F.col("lex_rank") <= leg_n)
         .select("query_id", "doc_id", "lex_rank")
     )
-    vec = cosine_topk(emb, n_queries=n_queries, k=leg_n).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("vec_rank"),
-    )
+
+
+def rrf_fuse(lex: DataFrame, vec: DataFrame, k: int = 5) -> DataFrame:
+    """Fuse two (query_id, doc_id, <leg>_rank) legs: exact-bigint RRF,
+    rank by (rrf desc, doc_id), top-k per query."""
     fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
     rrf = F.coalesce(
         F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rank)"), F.lit(0).cast("long")
@@ -124,21 +119,71 @@ def hybrid_rrf_topk(
     )
 
 
-def hybrid_rrf_topk_sql(
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     leg_n: int = HYB_LEG_N,
     q_len: int = BM25_QUERY_LEN,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> str:
-    """DuckDB twin: the bm25_topk_sql score pipeline under the ANN id
-    convention (query ids < n_queries, self-hit excluded before the
-    leg rank), the 6dp cosine ranking, and the same bigint RRF."""
+) -> DataFrame:
+    """(query_id, doc_id, rank, rrf_micro, lex_rank, vec_rank): top-k
+    by RRF over the BM25 and exact-cosine legs. Leg ranks ride the
+    output (nullable: a doc surfaced by only one leg scores only that
+    leg's term), so the fused row is auditable without re-running the
+    legs."""
+    qt = hybrid_query_terms(docs, n_queries, q_len)
+    lex = _lex_leg(bm25_postings(docs), bm25_corpus_stats(docs), qt, leg_n)
+    vec = cosine_topk(emb, n_queries=n_queries, k=leg_n).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    return rrf_fuse(lex, vec, k)
+
+
+def hybrid_rrf_serve(
+    spark,
+    bm25_postings_df: DataFrame,
+    bm25_stats_df: DataFrame,
+    sq8_index_dir: str,
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    leg_n: int = HYB_LEG_N,
+    q_len: int = BM25_QUERY_LEN,
+) -> DataFrame:
+    """The DEPLOYMENT hybrid: both legs answer from their staged
+    artifacts — bucket-pruned BM25 postings (bm25_serve) and the
+    cell-partitioned IVF+SQ8 index (sq8_ivf_serve, path-scoped cell
+    read) — so per-batch cost is query-bound on both sides and the
+    corpus is never rescanned. The vector leg ranks by the quantized
+    IVF-pruned sim (the serving tier's actual ranking), so this is a
+    DIFFERENT — cheaper — composition than hybrid_rrf_topk's exact
+    cosine leg, with its own oracle."""
+    from databus_spark.operators.similarity import sq8_ivf_serve
+
+    qt = hybrid_query_terms(docs, n_queries, q_len)
+    lex = _lex_leg(bm25_postings_df, bm25_stats_df, qt, leg_n)
+    vec = sq8_ivf_serve(
+        spark, sq8_index_dir, emb.where(F.col("vec_id") < n_queries), k=leg_n
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    return rrf_fuse(lex, vec, k)
+
+
+def _hy_lex_ctes(n_queries: int, leg_n: int, q_len: int, k1: float, b: float) -> str:
+    """The shared lexical-leg CTE chain (bm25_topk_sql's score pipeline
+    under the ANN id convention, self-hit excluded before the leg
+    rank). Used verbatim by both hybrid oracles: the staged-postings
+    serve is EXACT vs this from-scratch rebuild (the additivity the
+    bm25_incremental oracle re-proves every round)."""
     toks = TOKENS_SQL.format(col="text")
-    sim = _cosine_sql("q.embedding", "c.embedding")
-    return f"""
-        WITH hy_base AS (SELECT doc_id, {toks} AS t FROM documents),
+    return f"""hy_base AS (SELECT doc_id, {toks} AS t FROM documents),
         hy_stats AS (
             SELECT count(*) AS n_docs,
                    CAST((sum(len(t)) * 1000000) // count(*) AS DOUBLE) / 1000000.0
@@ -175,18 +220,11 @@ def hybrid_rrf_topk_sql(
                            PARTITION BY query_id ORDER BY score DESC, doc_id
                        ) AS lex_rank
                 FROM hy_sc)
-            WHERE lex_rank <= {leg_n}),
-        hy_vec AS (
-            SELECT query_id, doc_id, vec_rank FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY round({sim}, 6) DESC, c.vec_id ASC
-                       ) AS vec_rank
-                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-                WHERE q.vec_id < {n_queries})
-            WHERE vec_rank <= {leg_n}),
-        hy_fused AS (
+            WHERE lex_rank <= {leg_n})"""
+
+
+def _hy_fusion_tail(k: int) -> str:
+    return f"""hy_fused AS (
             SELECT query_id, doc_id,
                    coalesce({RRF_SCALE} // ({RRF_K} + lex_rank), 0)
                    + coalesce({RRF_SCALE} // ({RRF_K} + vec_rank), 0)
@@ -203,5 +241,109 @@ def hybrid_rrf_topk_sql(
                CAST(rrf_micro AS BIGINT) AS rrf_micro,
                CAST(lex_rank AS BIGINT) AS lex_rank,
                CAST(vec_rank AS BIGINT) AS vec_rank
-        FROM hy_rk WHERE rank <= {k}
+        FROM hy_rk WHERE rank <= {k}"""
+
+
+def hybrid_rrf_serve_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    leg_n: int = HYB_LEG_N,
+    q_len: int = BM25_QUERY_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of the staged-artifact hybrid: the shared lexical
+    CTEs + the IVF+SQ8 serve ranking (quantized sim over probed
+    cells, the sqsv chain) as the vector leg + the identical fusion."""
+    from databus_spark.functions.hashes import portable_hash64_sql
+    from databus_spark.operators.similarity import (
+        N_CELLS,
+        SQ8_SCALE,
+        SQ8IVF_ASSIGN,
+        SQ8IVF_NPROBE,
+    )
+
+    h = portable_hash64_sql("vec_id", "'ivf'")
+    cell_sim = _cosine_sql("v.embedding", "c.cell_vec")
+    idot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+    dqc = idot.format(a="q.qv", b="c.qv")
+    dqq = idot.format(a="q.qv", b="q.qv")
+    dcc = idot.format(a="c.qv", b="c.qv")
+    return f"""
+        WITH {_hy_lex_ctes(n_queries, leg_n, q_len, k1, b)},
+        hs_cent AS (
+            SELECT vec_id AS cell_id, embedding AS cell_vec
+            FROM embeddings ORDER BY {h}, vec_id LIMIT {N_CELLS}),
+        hs_ranked AS (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({cell_sim}, 6) DESC, c.cell_id ASC
+                   ) AS cell_rank
+            FROM embeddings v CROSS JOIN hs_cent c),
+        hs_q8 AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                        e -> CAST(floor(e / m * {SQ8_SCALE}.0 + 0.5)
+                                  AS BIGINT)) AS qv
+            FROM (SELECT vec_id, embedding,
+                         greatest(list_max(list_transform(embedding,
+                                  e -> abs(e))), 1e-30) AS m
+                  FROM embeddings)),
+        hs_cand AS (
+            SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM (SELECT vec_id, cell_id FROM hs_ranked
+                  WHERE vec_id < {n_queries} AND cell_rank <= {SQ8IVF_NPROBE}) p
+            JOIN (SELECT vec_id, cell_id FROM hs_ranked
+                  WHERE cell_rank <= {SQ8IVF_ASSIGN}) a
+              ON a.cell_id = p.cell_id AND a.vec_id <> p.vec_id),
+        hs_scored AS (
+            SELECT query_id, neighbor_id,
+                   round(CAST({dqc} AS DOUBLE)
+                         / (sqrt(CAST({dqq} AS DOUBLE))
+                            * sqrt(CAST({dcc} AS DOUBLE))), 6) AS sim_q8
+            FROM hs_cand
+            JOIN hs_q8 q ON q.vec_id = query_id
+            JOIN hs_q8 c ON c.vec_id = neighbor_id),
+        hy_vec AS (
+            SELECT query_id, doc_id, vec_rank FROM (
+                SELECT query_id, neighbor_id AS doc_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim_q8 DESC, neighbor_id ASC
+                       ) AS vec_rank
+                FROM hs_scored)
+            WHERE vec_rank <= {leg_n}),
+        {_hy_fusion_tail(k)}
+    """
+
+
+def hybrid_rrf_topk_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    leg_n: int = HYB_LEG_N,
+    q_len: int = BM25_QUERY_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin: the shared lexical CTEs (bm25_topk_sql score
+    pipeline under the ANN id convention, self-hit excluded before the
+    leg rank), the 6dp cosine ranking, and the shared bigint RRF."""
+    sim = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+        WITH {_hy_lex_ctes(n_queries, leg_n, q_len, k1, b)},
+        hy_vec AS (
+            SELECT query_id, doc_id, vec_rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({sim}, 6) DESC, c.vec_id ASC
+                       ) AS vec_rank
+                FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {n_queries})
+            WHERE vec_rank <= {leg_n}),
+        {_hy_fusion_tail(k)}
     """

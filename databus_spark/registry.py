@@ -1051,6 +1051,31 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hybrid_rrf_serve", hybrid.hybrid_rrf_serve_sql(n_queries=10, k=5))
+def hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT hybrid: both legs answer from their staged
+    artifacts — bucket-pruned BM25 postings and the cell-partitioned
+    IVF+SQ8 index (path-scoped cell read) — fused by the same exact
+    bigint RRF. The vector leg ranks by the quantized IVF-pruned sim
+    (the serving tier's real ranking), so this row's oracle differs
+    from hybrid_rrf_topk's exact-cosine leg: together the pair pins
+    both the quality-reference and the cheap-deployment composition.
+    Per-batch cost is query-bound on both sides; the corpus is never
+    rescanned at serve time."""
+    bmidx = _staged_bm25_index(spark, sf_dir)
+    sqidx = _staged_sq8ivf_index(spark, sf_dir)
+    return hybrid.hybrid_rrf_serve(
+        spark,
+        spark.read.parquet(os.path.join(bmidx, "postings")),
+        spark.read.parquet(os.path.join(bmidx, "stats")),
+        sqidx,
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=10,
+        k=5,
+    )
+
+
 @query("ann_lsh_topk", similarity.lsh_topk_sql(n_queries=10, k=5))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-table sign-LSH (OR-amplified recall, scale path)."""

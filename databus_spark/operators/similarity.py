@@ -1971,14 +1971,29 @@ def _semdedup_within_cells(
             .withColumn("_nrm", nrm)
             .localCheckpoint(eager=False)
         )
+    # Explicit keyed repartition on BOTH pair sides, pinned at full
+    # width (the fuzzy_join_pairs escape, measured here in r14): the
+    # assigned table is small in BYTES (~6 MB at sf0.1), so AQE
+    # coalesces the self-join's cell_id exchanges to 1-2 partitions —
+    # and the per-PAIR interpreted HOF cosine in the join's filter then
+    # runs nearly serial (measured on survivors_v2: 10.6 CPU-s of pair
+    # sim + partial edge-distinct on 2 tasks = 5.3 s of an 8.5 s wall).
+    # AQE sizes stages by map-output bytes and cannot see a join whose
+    # OUTPUT and filter cost grow quadratically; a user-specified
+    # numPartitions is the documented escape (AQE never coalesces it).
+    # The repartitions must sit directly under the join: a checkpointed
+    # RDD scans back as UnknownPartitioning, so repartitioning ABOVE
+    # the checkpoint is erased and the planner re-exchanges (measured:
+    # still a 2-task sim stage in that variant).
+    par = assigned.sparkSession.sparkContext.defaultParallelism
     a = paired.select(
         "cell_id", F.col(id_col).alias("ida"), F.col(vec_col).alias("va"),
         F.col("_nrm").alias("na"),
-    )
+    ).repartition(par, "cell_id")
     b = paired.select(
         "cell_id", F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"),
         F.col("_nrm").alias("nb"),
-    )
+    ).repartition(par, "cell_id")
     pairs = (
         a.join(b, "cell_id")
         .where(F.col("ida") < F.col("idb"))

@@ -160,6 +160,9 @@ def _shingles(docs: DataFrame, k: int) -> DataFrame:
     # zip_with gram chain (text._ngrams) — measured ~16x cheaper per row
     # than sequence+transform+slice; short docs keep the whole-doc gram
     # (matches the oracle's range()+slice form).
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # gram build is per-row CPU on the scan task
     sh = F.array_distinct(_ngrams(tokens_col("text"), k, short_doc_whole=True))
     return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
@@ -1993,6 +1996,9 @@ def exactsubstr_dedup(
     candidate — see _exsub_candidates); the cut tail still runs over
     ALL docs, so non-candidates come back verbatim with n_removed=0,
     exactly as the brute path returns them."""
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # window hashing + HOF cut are per-row CPU
     occ_docs = (
         docs.join(_exsub_candidates(docs, win), "doc_id")
         if _exsub_prefilter_on(prefilter, win)

@@ -2801,14 +2801,23 @@ def semdedup_recall_eval(
         )
     )
     side = samp.select("vid", "vec").join(probes, "vid").localCheckpoint(eager=False)
-    a = side.select(
+    # stream side repartitioned, build side broadcast (r14): the sample
+    # descends from .limit(), which collapses to ONE partition, so the
+    # C(sample,2) interpreted unrolled-cosine pair filter ran as a
+    # single 4.4 CPU-s task (measured: the whole stage = 4.5 s of a
+    # 5.7 s wall). Spreading the 512-row stream side over
+    # defaultParallelism and broadcasting the identical 512-row build
+    # side turns the cartesian into a full-width BroadcastNestedLoop
+    # with the same pair set.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = side.repartition(par).select(
         F.col("vid").alias("ida"), F.col("vec").alias("va"), F.col("cells").alias("ca")
     )
     b = side.select(
         F.col("vid").alias("idb"), F.col("vec").alias("vb"), F.col("cells").alias("cb")
     )
     pairs = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("ida") < F.col("idb"))
         .select(
             F.round(

@@ -96,7 +96,9 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Features mirror the usual pretraining-corpus filters: document
     length, mean word length, stopword ratio, alpha ratio.
     """
-    return docs.select("doc_id", *quality_exprs(text_col))
+    from databus_spark.plans.hints import widen_scan
+
+    return widen_scan(docs).select("doc_id", *quality_exprs(text_col))
 
 
 def _quality_sql() -> str:
@@ -153,7 +155,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Deterministic tie-break by language code; 'und' when nothing hits.
     """
-    return docs.select("doc_id", *lang_exprs(text_col))
+    from databus_spark.plans.hints import widen_scan
+
+    return widen_scan(docs).select("doc_id", *lang_exprs(text_col))
 
 
 def _lang_id_sql() -> str:
@@ -194,6 +198,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     per-row work it saves; the zip_with gram chain in _ngrams cut that
     per-row work a further ~6x over sequence+slice.)
     """
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # per-row gram+hash chain: 2.98->0.42 s
     toks = tokens_col(text_col)
     shingles = _ngrams(toks, k, short_doc_whole=True)
     hashes = F.transform(shingles, lambda s: portable_hash64(s, 0))
@@ -271,6 +278,9 @@ def repetition_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     map-side-combinable explode+count aggregation — at 100 TB that is a
     single shuffle keyed by (doc_id, token), no skew (doc_id spreads it).
     """
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # n-gram build is per-row CPU: 2.36->0.73 s
     toks = tokens_col(text_col)
     n = F.size(toks)
 
@@ -368,6 +378,9 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     typed placeholders; per-doc match counts kept for audit. Pure regexp
     expressions — JVM-side (Java-regex ∩ RE2 common dialect), order:
     ssn before phone (ssn is a phone substring otherwise), ip last."""
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # 8 regex passes per row on the scan task
     redacted = F.col(text_col)
     counts = []
     for kind in _PII_ORDER:
@@ -417,6 +430,9 @@ LM_BROADCAST_VOCAB_CAP = 4_000_000  # rows; a (tok, decimal) row is ~30 B,
 
 
 def lm_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # tokenize+explode map side of the tf agg
     # lazy checkpoint: the token explode feeds BOTH the tf table and the
     # per-doc scoring join — materialize it once instead of re-splitting
     # every document twice (same pattern as oov_rate below)

@@ -52,3 +52,43 @@ def gated_broadcast(
     if broadcast is None:
         df, broadcast = measure_under_cap(df, cap_rows)
     return F.broadcast(df) if broadcast else df.hint("merge")
+
+
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Input-parallelism guard for CPU-heavy per-row operators (guide
+    §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read").
+
+    The fixture tables are single-file single-row-group parquet, so a
+    bare scan is ONE task — and every per-row text/vector stage fused
+    onto it (tokenize, n-gram build, marker filters, window hashing,
+    quantization) runs serial on a 32-core box. Measured at sf0.1
+    (best-of-2, otherwise-idle): v1 curation 3.92 s -> 1.13 s,
+    decontaminate 3.93 s -> 0.80 s, fingerprint 2.98 s -> 0.42 s,
+    repetition profile 2.36 s -> 0.73 s from a 32-way round-robin
+    repartition directly above the scan.
+
+    Width: min(defaultParallelism, 8), NOT full core count — every
+    extra map task multiplies the DOWNSTREAM shuffles' block count
+    (M x R, guide §2.2), and the composite pipelines (curation v3 /
+    release_gate, ~50 exchanges) measurably pay it in shuffle-write
+    time (node metrics: 18.4 s total shuffle write at W=32 on one
+    exchange). Fresh-JVM width matrix at sf0.1 (best-of-2 each):
+    v1 1.34/1.23/1.35, curation_v3 5.32/5.66/5.73, release_gate
+    5.40/5.75/6.12 for W=8/16/32 — W=8 keeps ~all of the compute
+    spread while bounding block growth.
+
+    Scale behavior: a no-op whenever the input already has >= W
+    partitions — the 100 TB case, where scans arrive in thousands of
+    splits and an unconditional repartition would be a full shuffle of
+    the corpus for nothing. The round-robin exchange it inserts at
+    fixture scale moves <1 MB.
+    """
+    sc = df.sparkSession.sparkContext
+    par = min(sc.defaultParallelism, 8)
+    try:
+        if df.rdd.getNumPartitions() >= par:
+            return df
+    except Exception:
+        return df
+    return df.repartition(par)

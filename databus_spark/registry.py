@@ -1624,7 +1624,12 @@ def _v1_decisions(docs: DataFrame) -> DataFrame:
     both families) — the only join is against the repetition profile,
     whose top-token mode genuinely needs an explode+agg."""
     from databus_spark.functions.hashes import portable_hash64
+    from databus_spark.plans.hints import widen_scan
 
+    # single-split scan guard: the fused quality+lang projection is
+    # ~60 marker/stopword compares per token of per-row CPU (measured
+    # 3.9 s -> 1.1 s for the v1 composite at sf0.1 when spread)
+    docs = widen_scan(docs)
     per_row = docs.select(
         "doc_id",
         *text.quality_exprs(),
@@ -1706,9 +1711,15 @@ def curation_decisions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus slice directly (all its signals are per-doc, so filter-first
     equals filter-after); the LM tf table still trains on the FULL doc
     set, matching the oracle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").localCheckpoint(
-        eager=False
-    )
+    from databus_spark.plans.hints import widen_scan
+
+    # widen BEFORE the shared checkpoint: the materialized blocks then
+    # carry 32 partitions and every consumer's per-row stage (v1
+    # signals, shingles, LM tokens) inherits full width — one exchange
+    # for the whole fan-out instead of one per consumer
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint(eager=False)
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     benchmark = docs.where(F.col("doc_id") % 17 == 0)
 

@@ -390,9 +390,19 @@ def sq8_ivf_topk(
     # three, with bit-identical output (the same doubles, multiplied
     # in the same order).
     c_scored = _ivf_scored(emb, cent, id_col, vec_col)
+    # keyed repartition instead of the window's ENSURE exchange (r14):
+    # the corpus x centroid score table is tiny in bytes, so AQE
+    # coalesced the window exchange to ONE partition and the fused
+    # rank + int8-quantize + candidate-join stage ran serial (measured
+    # 3.0 CPU-s on 1 task = the bulk of this query's wall). Same
+    # byte-blind-AQE escape as the SemDeDup pair join; the user
+    # repartition satisfies the window's required distribution, so no
+    # second exchange is added.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     wc = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     assigned = (
-        c_scored.withColumn("cell_rank", F.row_number().over(wc))
+        c_scored.repartition(par, id_col)
+        .withColumn("cell_rank", F.row_number().over(wc))
         .where(F.col("cell_rank") <= assign_r)
         .select(
             F.col(id_col).alias("neighbor_id"),

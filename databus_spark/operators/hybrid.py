@@ -162,17 +162,32 @@ def hybrid_rrf_serve(
     IVF-pruned sim (the serving tier's actual ranking), so this is a
     DIFFERENT — cheaper — composition than hybrid_rrf_topk's exact
     cosine leg, with its own oracle."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from databus_spark.operators.similarity import sq8_ivf_serve
 
     qt = hybrid_query_terms(docs, n_queries, q_len)
-    lex = _lex_leg(bm25_postings_df, bm25_stats_df, qt, leg_n)
-    vec = sq8_ivf_serve(
-        spark, sq8_index_dir, emb.where(F.col("vec_id") < n_queries), k=leg_n
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").cast("long").alias("vec_rank"),
-    )
+
+    def _vec_leg() -> DataFrame:
+        return sq8_ivf_serve(
+            spark, sq8_index_dir, emb.where(F.col("vec_id") < n_queries), k=leg_n
+        ).select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("vec_rank"),
+        )
+
+    # build the legs concurrently (guide §2.6): each leg's construction
+    # runs bounded driver collects (lex: the query-vocabulary bucket
+    # list; vec: the probed-cell list), and those jobs are independent —
+    # serially they cost two job round-trips of driver latency per serve
+    # batch, overlapped they cost one. Plain threads are safe here: only
+    # driver-side plan construction and small FIFO-scheduled jobs run
+    # inside.
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _lex_f = _ex.submit(_lex_leg, bm25_postings_df, bm25_stats_df, qt, leg_n)
+        _vec_f = _ex.submit(_vec_leg)
+        lex, vec = _lex_f.result(), _vec_f.result()
     return rrf_fuse(lex, vec, k)
 
 

@@ -725,10 +725,17 @@ def sq8_ivf_serve(
         )
     else:  # every probed cell empty (possible on a tiny delta-only index)
         cand = None
-    n_corpus = (
-        spark.read.parquet(_o.path.join(index_dir, "stats"))
-        .agg(F.sum("n_rows"))
-        .collect()[0][0]
+    # driver-side pyarrow read instead of a Spark job (r14): the stats
+    # artifact is a handful of one-row files (one per build/append);
+    # summing it was a whole scheduled job + its planning gap per serve
+    # batch. Same value, zero jobs — the serve batch's driver latency
+    # drops by one job round-trip.
+    import pyarrow.parquet as _pq
+
+    n_corpus = sum(
+        _pq.read_table(
+            _o.path.join(index_dir, "stats"), columns=["n_rows"]
+        )["n_rows"].to_pylist()
     )
     if delta_emb is not None:
         dq = delta_emb.select(

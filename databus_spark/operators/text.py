@@ -736,8 +736,14 @@ def bpe_pair_counts(docs: DataFrame, text_col: str = "text", top_n: int = 50) ->
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda x, y: F.concat_ws(" ", x, y),
     )
+    from databus_spark.plans.hints import widen_scan
+
+    # widen the raw docs BEFORE the tokenize+explode so the per-row
+    # work spreads (single-split fixture scan -> 1 task otherwise);
+    # projecting text first keeps the exchange bytes minimal
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        widen_scan(docs.select(F.col(text_col)))
+        .select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
@@ -798,9 +804,24 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 3, text_col: str = "text")
     # boundary in the delimited string, and merge rules would be
     # learned over tokens that don't exist in the corpus
     clean = F.expr(f"translate({text_col}, chr(1), '')")
-    s = docs.select(
-        F.concat(F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d)).alias("s")
-    ).localCheckpoint(eager=False)
+    # widen BEFORE the tokenize and the checkpoint (r14): the corpus-
+    # string table descends from a single-split scan, so the initial
+    # tokenize+join AND every round's pair explode+count AND every
+    # replace-fold ran as ONE task (stage metrics: 0.5-1.0 CPU-s
+    # single-task stages, one per round). Widening the raw text first
+    # spreads the build; the checkpointed blocks keep the width for
+    # every round after.
+    from databus_spark.plans.hints import widen_scan
+
+    s = (
+        widen_scan(docs.select(F.col(text_col)))
+        .select(
+            F.concat(
+                F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d)
+            ).alias("s")
+        )
+        .localCheckpoint(eager=False)
+    )
 
     rules = []
     for rank in range(1, n_merges + 1):
@@ -889,9 +910,19 @@ def bpe_learn_merges_batched(
     spark = docs.sparkSession
     d = BPE_D
     clean = F.expr(f"translate({text_col}, chr(1), '')")
-    s = docs.select(
-        F.concat(F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d)).alias("s")
-    ).localCheckpoint(eager=False)
+    # same single-split widen as the serial learner above: the build
+    # and all n_rounds of count + replace-fold inherit the width
+    from databus_spark.plans.hints import widen_scan
+
+    s = (
+        widen_scan(docs.select(F.col(text_col)))
+        .select(
+            F.concat(
+                F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d)
+            ).alias("s")
+        )
+        .localCheckpoint(eager=False)
+    )
 
     n_rounds = -(-n_merges // k_per_round)
     rules: list[tuple[int, str, int]] = []

@@ -538,6 +538,16 @@ def _dsir_tokens(docs: DataFrame) -> DataFrame:
     target = min(sc.defaultParallelism * 8, nbytes // (256 << 10))
     if target >= sc.defaultParallelism * 2 and target > docs.rdd.getNumPartitions():
         docs = docs.repartition(int(target))
+    else:
+        # r14: the byte-sized rebalance above is the x100 lever and
+        # deliberately skips small corpora — but a SINGLE-SPLIT small
+        # corpus still runs the dominant tokenize+hash serial (stage
+        # metrics at sf0.1: one 2.0 CPU-s 1-task stage per run).
+        # widen_scan is the floor: min(cores, 8) wide, no-op when the
+        # input already has that many splits.
+        from databus_spark.plans.hints import widen_scan
+
+        docs = widen_scan(docs)
     toks = tokens_col("text")
     feats = F.concat(toks, _ngrams(toks, 2))
     return (

@@ -3034,11 +3034,22 @@ def semdedup_incremental(
         base_index = semdedup_base_index(
             base, k=k, id_col=id_col, vec_col=vec_col, centroids=centroids, dim=dim
         )
-    embq = incoming.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("_vec"),
-        _km_quant(F.col(vec_col)).alias("qv"),
-    ).localCheckpoint(eager=False)
+    # widen the (single-split at fixture scale) delta before the
+    # quantize + cell-probe cross join: the per-row HOF distance work
+    # ran as ONE task otherwise (r14 stage metrics: four sequential
+    # 1-task stages of 0.9-2.1 CPU-s). No-op when the delta arrives
+    # already split.
+    from databus_spark.plans.hints import widen_scan
+
+    embq = (
+        widen_scan(incoming.select(id_col, vec_col))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("_vec"),
+            _km_quant(F.col(vec_col)).alias("qv"),
+        )
+        .localCheckpoint(eager=False)
+    )
     dist = (
         _sqdist_u(F.col("qv"), F.col("cent"), dim)
         if _use_unroll(dim)

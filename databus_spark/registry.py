@@ -3251,6 +3251,11 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     error 1/accuracy=0.001 checked at rank +-0.05 — see
     hll_distinct_users / approx_quantiles_binned for the fully
     hash-checked sketch estimates)."""
+    # NOT widened (r14, measured): the partial agg runs single-task on
+    # the fixture split, but widening to 8 doubled total CPU (each
+    # partial holds its own percentile sort buffer + sketch set and the
+    # merge pays their union) for a flat wall (2.35 -> 2.33) — the
+    # buffer-heavy agg is the rare case where the widen trade loses.
     e = load_table(spark, sf_dir, "events")
     # ONE sketch buffer and ONE exact-percentile sort buffer per group
     # (array percentiles), not five independent aggregation buffers —

@@ -24,6 +24,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from databus_spark.plans.hints import widen_scan
+
+# r14: every ANN / semdedup / kmeans operator widens its embedding
+# input at entry (widen_scan: round-robin to min(cores, 8), no-op when
+# the input already arrives in >= 8 splits — the 100 TB case). The
+# fixture tables are single-file single-row-group parquet, so the
+# per-row vector work (quantize, norms, broadcast-crossjoin scoring,
+# Lloyd assignment rounds) otherwise fuses onto a ONE-task scan; the
+# registry-wide stage sweep (tools/opt_sweep.py) flagged 0.4-2.1 CPU-s
+# single-task stages across the whole family.
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -115,6 +126,7 @@ def cosine_topk(
     The query set is broadcast; ranking is deterministic:
     (round(sim,6) DESC, neighbor id ASC).
     """
+    emb = widen_scan(emb)
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -217,7 +229,8 @@ def sq8_topk(
     # self-norms ride each ROW (one HOF dot per vector, not three per
     # pair): bit-identical output, same doubles in the same order
     qz = (
-        emb.select(F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_qv"))
+        widen_scan(emb)
+        .select(F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_qv"))
         .withColumn("_n", F.sqrt(_idot(F.col("_qv"), F.col("_qv")).cast("double")))
         .localCheckpoint(eager=False)  # quantize once, feed both join sides
     )
@@ -1014,7 +1027,7 @@ def lsh_topk(
     N_TABLES co-partitioned joins instead of a cross product; candidates
     per query ~ N_TABLES * n / 2^N_PLANES.
     """
-    banded = _multi_table_buckets(emb, id_col, vec_col, "neighbor_id")
+    banded = _multi_table_buckets(widen_scan(emb), id_col, vec_col, "neighbor_id")
     q = banded.where(F.col("neighbor_id") < n_queries).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("neighbor_id_vec").alias("q_vec"),
@@ -1174,6 +1187,7 @@ def ivf_topk(
     lists, the filter-aware-search shape), never to the query side,
     and the index itself is built over the full corpus so it is shared
     across differently-filtered queries."""
+    emb = widen_scan(emb)
     cent = _ivf_centroids(emb, id_col, vec_col)
     corpus = emb.where(candidate_pred) if candidate_pred is not None else emb
     assigned = _ivf_assign(corpus, cent, id_col, vec_col).select(
@@ -1270,9 +1284,9 @@ def embedding_near_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     # lazy checkpoint: banded feeds THREE consumers (the bucket-pop agg
     # and both self-join sides) — the N_TABLES interpreted sign-fold
     # bucket expressions would otherwise run 3x per vector
-    banded = _multi_table_buckets(emb, "vec_id", "embedding", "vec").localCheckpoint(
-        eager=False
-    )
+    banded = _multi_table_buckets(
+        widen_scan(emb), "vec_id", "embedding", "vec"
+    ).localCheckpoint(eager=False)
     ok = (
         banded.groupBy("table_id", "bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -1427,6 +1441,7 @@ def pq_topk(
     whole PQ query family, so production (and the bench registry) builds
     it once — the FAISS build-once/serve-many shape — instead of
     re-encoding per query."""
+    emb = widen_scan(emb)
     if pq_index is not None:
         cb, codes = pq_index
     else:
@@ -1549,6 +1564,7 @@ def ivfpq_topk(
     """
     if nprobe is None:
         nprobe = IVFPQ_NPROBE
+    emb = widen_scan(emb)
     cent = _ivf_centroids(emb, id_col, vec_col)
     assigned = _ivf_assign(emb, cent, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cell_id"
@@ -1927,6 +1943,7 @@ def semdedup_survivors(
     the 100x soak: x100 "finished" 3x faster than x10 because zero
     cells survived the cap). The default stays SEM_CELLS for oracle
     parity at test SFs."""
+    emb = widen_scan(emb)
     cent = _ivf_centroids(emb, id_col, vec_col, n_cells=n_cells)
     # lazy checkpoint: `assigned` feeds FOUR consumers (ok-cells agg,
     # pair sides a and b, the final corpus join) — without it the
@@ -2197,6 +2214,7 @@ def semdedup_multiprobe_survivors(
     (bounded, map-side-combinable); pair-gen fan-out doubles (2 rows
     per vector) but stays population-capped per cell; pairs sharing
     both probed cells dedup before clustering."""
+    emb = widen_scan(emb)
     cent = _ivf_centroids(emb, id_col, vec_col, n_cells=n_cells)
     scored = _ivf_scored(emb, cent, id_col, vec_col, dim=dim)
     top = (
@@ -2262,7 +2280,8 @@ def semdedup_survivors_v2(
     if n_probe is None:
         n_probe = semdedup_probe_for_cells(k)
     embq = (
-        emb.select(
+        widen_scan(emb)
+        .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("_vec"),
             _km_quant(F.col(vec_col)).alias("qv"),
@@ -2521,7 +2540,8 @@ def kmeans_lloyd(
     """Final centroids (cell_id, cent: array<bigint>) after n_iter exact
     Lloyd rounds from the hash-sample init."""
     embq = (
-        emb.select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
+        widen_scan(emb)
+        .select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
         .localCheckpoint(eager=False)  # quantization runs ONCE, not per round
     )
     cent = _km_init(embq, k)
@@ -2546,7 +2566,8 @@ def kmeans_assign(
     model trains once at ingest and assigns everywhere; results are
     identical because training is deterministic)."""
     embq = (
-        emb.select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
+        widen_scan(emb)
+        .select(F.col(id_col).alias("vid"), _km_quant(F.col(vec_col)).alias("qv"))
         .localCheckpoint(eager=False)
     )
     cent = centroids
@@ -2646,7 +2667,8 @@ def semdedup_trained_survivors(
     broadcast+map-side with bounded shuffles, the tail is
     population-capped pair-gen."""
     embq = (
-        emb.select(
+        widen_scan(emb)
+        .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).alias("_vec"),
             _km_quant(F.col(vec_col)).alias("qv"),
@@ -3039,8 +3061,6 @@ def semdedup_incremental(
     # ran as ONE task otherwise (r14 stage metrics: four sequential
     # 1-task stages of 0.9-2.1 CPU-s). No-op when the delta arrives
     # already split.
-    from databus_spark.plans.hints import widen_scan
-
     embq = (
         widen_scan(incoming.select(id_col, vec_col))
         .select(

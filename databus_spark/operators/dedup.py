@@ -1960,6 +1960,9 @@ def exactsubstr_spans(
     fraction. prefilter=False is the brute path the differential test
     pins equivalence against; the default (None) auto-engages at
     win >= EXSUB_PREFILTER_MIN_WIN, where the measured trade wins."""
+    from databus_spark.plans.hints import widen_scan
+
+    docs = widen_scan(docs)  # window hashing is per-row CPU (r14 sweep)
     if _exsub_prefilter_on(prefilter, win):
         docs = docs.join(_exsub_candidates(docs, win), "doc_id")
     occ = _exsub_occurrences(docs, win)

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from databus_spark.plans.hints import widen_scan
+
 
 # ---------------------------------------------------------------------------
 # Blocked fuzzy join (approximate string join / record linkage)
@@ -330,8 +332,19 @@ def _fuzzy_groups(
     from pyspark.sql.window import Window
 
     wg = Window.partitionBy("_blk", "_b0", "_pfx")
+    # widen before _fuzzy_pre: the per-row min-gram keys are interpreted
+    # array transforms over the 64-char prefix, and on a single-split
+    # scan they ran as ONE task BEFORE the window exchange could spread
+    # anything (r14 stage metrics: 1.45 CPU-s 1-task stage on
+    # record_linkage_clusters). No-op at >= 8 input splits; the
+    # streaming per-batch leaves use _fuzzy_blocks directly and are NOT
+    # widened (micro-batches would pay an exchange per batch for
+    # nothing).
     return (
-        _fuzzy_pre(docs, text_col, block_col, len_col, prefix_len, bucket, id_alias)
+        _fuzzy_pre(
+            widen_scan(docs), text_col, block_col, len_col, prefix_len, bucket,
+            id_alias,
+        )
         .withColumn("_rep", F.min(id_alias).over(wg))
         .withColumn("_m", F.count(F.lit(1)).over(wg))
         .localCheckpoint(eager=False)

@@ -275,7 +275,10 @@ def chunk_documents(
     explode; no shuffle, no UDF, linear in corpus bytes. The step
     between curation and sequence_packing in a pretraining pipeline.
     """
+    from databus_spark.plans.hints import widen_scan
+
     assert 0 <= overlap < max_tokens
+    docs = widen_scan(docs)  # tokenize + chunk transform are per-row CPU
     stride = max_tokens - overlap
     toks = tokens_col(text_col)
     n = F.size(toks)

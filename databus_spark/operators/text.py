@@ -1020,12 +1020,18 @@ def bpe_encode(
         if rules is not None
         else bpe_encode_rules(docs, n_merges, k_per_round, text_col)
     )
+    from databus_spark.plans.hints import widen_scan
+
     rule_rows = [(r["rank"], r["a"], r["b"]) for r in rules_df.collect()]
     clean = F.expr(f"translate({text_col}, chr(1), '')")
     enc = F.concat(F.lit(d), F.array_join(tokens_col(clean), d), F.lit(d))
     for _rank, a, b in sorted(rule_rows):
         pat, rep = F.lit(d + a + d + b + d), F.lit(d + a + " " + b + d)
         enc = F.replace(F.replace(enc, pat, rep), pat, rep)
+    # the 128-nested-replace APPLY projection is pure per-row CPU and
+    # ran on the single-split scan's one task (r14: two 1-task ~0.9
+    # CPU-s stages); the learner's corpus table is widened separately
+    docs = widen_scan(docs)
     return docs.select(
         "doc_id", enc.alias("_enc")
     ).select(
@@ -1345,8 +1351,17 @@ LM2_LAMBDA = 0.7
 
 def lm2_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, avg_nll2): mean interpolated-bigram NLL."""
+    from databus_spark.plans.hints import widen_scan
+
     toks_arr = tokens_col(text_col)
-    base = docs.select("doc_id", toks_arr.alias("_t")).localCheckpoint(eager=False)
+    # widen BEFORE the shared tokenize checkpoint so the explode /
+    # bigram-zip consumers inherit width from the materialized blocks
+    # (r14: the tokenize + both explode map sides ran 1-task)
+    base = (
+        widen_scan(docs)
+        .select("doc_id", toks_arr.alias("_t"))
+        .localCheckpoint(eager=False)
+    )
 
     unis = base.select("doc_id", F.explode("_t").alias("w"))
     tf = unis.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
@@ -1707,8 +1722,13 @@ def bm25_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(tok, bkt, doc_id, tf, dl): the full inverted index of a corpus.
     One explode + one (doc, tok) count agg — map-side combinable, the
     same cost as a single bm25_topk rebuild, paid once at ingest."""
+    from databus_spark.plans.hints import widen_scan
+
     toks = tokens_col(text_col)
-    base = docs.select("doc_id", toks.alias("_t"))
+    # tokenize+explode map side ran on the single-split scan's one task
+    # (r14: hybrid_rrf_topk's 1-task 1.1 CPU-s stage); the agg partials
+    # are plain counts, so the widen trade wins (unlike approx_stats)
+    base = widen_scan(docs).select("doc_id", toks.alias("_t"))
     return (
         base.select("doc_id", F.size("_t").alias("dl"), F.explode("_t").alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1725,8 +1745,15 @@ def bm25_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def bm25_corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row (n_docs, total_len) — the additive corpus scalars."""
-    return docs.select(F.size(tokens_col(text_col)).alias("_dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("total_len")
+    from databus_spark.plans.hints import widen_scan
+
+    # the full-corpus tokenize feeding the two scalars is per-row CPU on
+    # the scan task (widen BEFORE the projection or the tokenize stays
+    # fused on the 1-task scan); count/sum partials are free to widen
+    return (
+        widen_scan(docs.select(text_col))
+        .select(F.size(tokens_col(text_col)).alias("_dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("total_len"))
     )
 
 

@@ -2261,7 +2261,10 @@ def filter_payload_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload field extraction + predicate (Encoding.JSON analog)."""
-    e = load_table(spark, sf_dir, "events")
+    from databus_spark.plans.hints import widen_scan
+
+    # per-row JSON path parse ran on the scan's one task (r14 sweep)
+    e = widen_scan(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("int")
     return e.select("event_id", k.alias("k"), "event_type").where(F.col("k") >= 90)
 
@@ -2738,7 +2741,12 @@ def schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.register(v1)
     reg.register(v2)
 
-    o = load_table(spark, sf_dir, "orders")
+    from databus_spark.plans.hints import widen_scan
+
+    # per-row JSON render + decode otherwise runs on the single-split
+    # scan's one task (r14 stage metrics: two 1-task 1.2-1.5 CPU-s
+    # stages); no-op when orders arrives already split
+    o = widen_scan(load_table(spark, sf_dir, "orders"))
     # serialize each row with its writer schema (v1 for even keys, v2 odd)
     payload_v1 = F.concat(
         F.lit('{"o_orderkey":'), F.col("o_orderkey").cast("string"),
@@ -2800,8 +2808,14 @@ def avro_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema_id_of,
     )
 
+    from databus_spark.plans.hints import widen_scan
+
     v1_id, v2_id = schema_id_of(AVRO_ORDERS_V1), schema_id_of(AVRO_ORDERS_V2)
-    o = load_table(spark, sf_dir, "orders")
+    # the Arrow-batched encode+decode chain is Python-worker-bound and
+    # ran in ONE worker off the single-split scan (r14: 1-task stage,
+    # run 4.1 s vs 1.2 s executor CPU = worker time); widening spreads
+    # the batches over 8 workers
+    o = widen_scan(load_table(spark, sf_dir, "orders"))
     is_v1 = F.col("o_orderkey") % 2 == 0
     enc_v1 = avro_encode_udf(AVRO_ORDERS_V1)
     enc_v2 = avro_encode_udf(AVRO_ORDERS_V2)

@@ -49,11 +49,14 @@ def test_png_probe_pure_map(spark, sf_dir):
 
 def test_bloom_corpus_side_broadcast_join(spark, sf_dir):
     """The position-set join must broadcast (the corpus probe stream
-    never shuffles to meet the filter) and the whole plan stays within
-    its four exchanges (two agg pairs)."""
+    never shuffles to meet the filter) and the KEYED exchanges stay at
+    the four agg pairs. widen_scan's round-robin input guards (r14: one
+    per _shingles call, no-ops at production split counts) are allowed
+    on top — they spread the gram build, they are not data shuffles."""
     plan = _executed(spark, "decontaminate_bloom", sf_dir)
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange") <= 4, plan[:900]
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
+    assert plan.count("Exchange hashpartitioning") <= 4, plan[:900]
 
 
 def test_span_dedup_bounded_exchanges(spark, sf_dir):

@@ -257,7 +257,20 @@ def read_ocf_splits(
         for off in range(0, max(size, 1), split_bytes):
             splits.append((p, off, min(off + split_bytes, size)))
     out_names = [c.strip().split()[0] for c in out_ddl.split(",")]
-    sdf = spark.createDataFrame(splits, "path STRING, start BIGINT, end BIGINT")
+    # pure-JVM VALUES LocalRelation, not createDataFrame-from-rows: the
+    # split list is tiny driver metadata, but a pickled-Python local RDD
+    # materializes as defaultParallelism near-empty tasks that each spin
+    # a non-Arrow Python worker (r14 stage metrics: a 32-task stage of
+    # 0.19 s total CPU but 42 s total run — ~1.3 s of worker spin-up per
+    # task). Same trap as the zorder manifest / sources_registry dims.
+    def _sql_str(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    rows_sql = ", ".join(f"('{_sql_str(p)}', {s}, {e})" for p, s, e in splits)
+    sdf = spark.sql(
+        "SELECT col1 AS path, CAST(col2 AS BIGINT) AS start,"
+        f" CAST(col3 AS BIGINT) AS `end` FROM (VALUES {rows_sql})"
+    )
     sdf = sdf.repartition(min(len(splits), spark.sparkContext.defaultParallelism))
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

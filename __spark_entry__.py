@@ -40,46 +40,80 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 14: the FIVE new queries first (ann_sq8_ivf_serve — top-k
-    # served from the staged cell-partitioned IVF+SQ8 index — and
-    # release_gate_utility, the per-language suppression-cost report,
-    # and ann_sq8_ivf_serve_delta — the staged serve with an unindexed
-    # delta merged into every query's candidates — and hybrid_rrf_topk,
-    # BM25 + ANN legs fused by exact-bigint Reciprocal Rank Fusion, and
-    # hybrid_rrf_serve — the same fusion answered entirely from the two
-    # staged indexes, quantized IVF-pruned vector leg),
-    # then every row the mechanical freshness check
-    # (tools/window_manifest.py, affected_queries vs the r13 manifest)
-    # marks engine-path-changed this round: weighted_sample_topk (the
-    # u=(h+0.5)/2^60 range fix, both engines), the keymod pair (the
-    # staged-hash consistency guard in subscribe_key_mod), the DSIR
-    # quartet (_dsir_tokens size-aware rebalance), release_gate and
-    # curation_decisions_v3 (shared SQL-builder closure with the new
-    # utility query). The remaining 39 slots rotate the oldest
-    # external greens: the r10 cohort top-down (36 of its 37 rows fit;
-    # zorder_events_key heads next round's rotation from _REST).
+    # round 14 (optimization round): the widen/pin sweep changed the
+    # engine path of 71 queries (tools/window_manifest.py affected_queries
+    # vs the committed r13-era manifest) — more than the window holds, so
+    # the mechanical rule spends EVERY slot on a changed row: first the
+    # five queries never externally checked (the r14 staged-serve /
+    # hybrid additions), then changed rows oldest-external-green first —
+    # the r10 cohort's 7 changed rows (ann_lsh/bpe learners via the entry
+    # widen, decontaminate/tfidf via _shingles), the r11 cohort's 24
+    # (ANN family, curation v1/v2, exactsubstr, kmeans, LM scorers), and
+    # 14 of the r12 cohort (semdedup family, curation_v3, avro decode,
+    # chunking/json/pii per-row widens). The r10 rows whose paths did
+    # NOT change (checkpoint_mult_fetch, dtail_json, max_scn_probe, ...)
+    # stay in _REST: with 71 changed rows the overflow rule forbids
+    # spending slots on untouched queries; they head next round's
+    # rotation instead.
     "ann_sq8_ivf_serve",
-    "release_gate_utility",
     "ann_sq8_ivf_serve_delta",
-    "hybrid_rrf_topk",
     "hybrid_rrf_serve",
-    "weighted_sample_topk",
-    "filter_keymod_staged_hash",
-    "filter_keymod_subscribe",
-    "dsir_doc_scores",
-    "dsir_feature_weights",
-    "dsir_incremental",
-    "dsir_select_topk",
-    "release_gate",
-    "curation_decisions_v3",
+    "hybrid_rrf_topk",
+    "release_gate_utility",
     "ann_lsh_topk",
     "bpe_learn_merges",
     "bpe_learn_merges_batched",
-    "checkpoint_mult_fetch",
     "contamination_fraction",
+    "decontaminate_bloom",
+    "quality_topk_per_lang",
+    "sparse_tfidf_pairs",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "avro_ocf_roundtrip",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "curation_decisions",
+    "curation_decisions_v2",
+    "dedup_cluster_star",
+    "dedup_cluster_survivors",
+    "dedup_decision_log",
+    "dedup_incremental_near",
+    "dedup_survivor_corpus",
+    "dsir_incremental",
+    "exactsubstr_dedup",
+    "exactsubstr_spans",
+    "exactsubstr_stats",
+    "kmeans_assign_summary",
+    "kmeans_centroids",
+    "lm2_quality_score",
+    "lm_quality_score",
+    "as_of_join_events",
+    "avro_binary_decode",
+    "bm25_incremental",
+    "chunk_documents",
+    "curation_decisions_v3",
+    "dedup_embedding_cosine",
+    "json_props_extract",
+    "pii_redact",
+    "semdedup_incremental",
+    "semdedup_multiprobe",
+    "semdedup_recall_eval",
+    "semdedup_survivors",
+    "semdedup_survivors_v2",
+    "semdedup_trained",
+]
+
+# below the 50-row window this round (all still verified locally by the
+# full sf0.01 oracle sweep), never-checked first then oldest external
+# green first — next round's rotation reads top-down:
+_REST = [
+    "checkpoint_mult_fetch",
     "cube_rollup",
     "data_expectations",
-    "decontaminate_bloom",
     "dedup_canonical",
     "dedup_incremental",
     "dtail_json",
@@ -103,47 +137,15 @@ _WINDOW = [
     "oov_rate",
     "partition_router",
     "pivot_events_daily",
-    "quality_topk_per_lang",
     "schema_key_filter",
     "simhash_sketch",
-    "sparse_tfidf_pairs",
     "vocab_top_terms",
-]
-
-# below the 50-row window this round (all still verified locally),
-# oldest external green first — next round's rotation reads top-down
-# (remaining r11/r12 cohorts in their standing order, then the r13
-# greens that rotated out of the r13 window, newest last):
-_REST = [
     "zorder_events_key",
-    "ann_filtered_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "avro_ocf_roundtrip",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
     "corpus_drift",
-    "curation_decisions",
-    "curation_decisions_v2",
-    "dedup_cluster_star",
-    "dedup_cluster_survivors",
-    "dedup_decision_log",
-    "dedup_incremental_near",
     "dedup_span_windows",
-    "dedup_survivor_corpus",
-    "exactsubstr_dedup",
     "exactsubstr_incremental",
-    "exactsubstr_spans",
-    "exactsubstr_stats",
     "jdbc_txlog_pull",
     "jsonl_ingest_audit",
-    "kmeans_assign_summary",
-    "kmeans_centroids",
-    "lm2_quality_score",
-    "lm_quality_score",
     "media_audio_fp_dedup",
     "media_dhash_dedup",
     "media_dhash_near_pairs",
@@ -152,33 +154,21 @@ _REST = [
     "snapshot_customer",
     "trail_file_seek",
     "zorder_box_read",
-    "bm25_incremental",
-    "semdedup_survivors_v2",
-    "semdedup_incremental",
-    "semdedup_survivors",
-    "semdedup_trained",
-    "semdedup_multiprobe",
-    "semdedup_recall_eval",
-    "k_anonymity_audit",
-    "bm25_topk",
     "approx_quantiles_binned",
     "approx_stats",
-    "avro_binary_decode",
+    "bm25_topk",
     "boilerplate_strip",
     "buffer_info",
-    "chunk_documents",
     "cm_frequency_profile",
     "dedup_cdc_chunks",
-    "dedup_embedding_cosine",
     "event_metadata_extract",
     "events_as_changelog_state",
     "hll_distinct_users",
-    "json_props_extract",
+    "k_anonymity_audit",
     "media_jpeg_probe",
     "null_rate_profile",
     "opcode_transitions",
     "partition_spread_per_source",
-    "pii_redact",
     "returned_items_topk",
     "revenue_by_nation",
     "running_account_balance",
@@ -194,20 +184,24 @@ _REST = [
     "time_window_tumbling",
     "train_split_assign",
     "urgent_orders_shipped",
-    "as_of_join_events",
+    "ann_cosine_topk",
     "ann_sq8_ivf_topk",
     "ann_sq8_topk",
-    "fuzzy_join_docs",
-    "fuzzy_join_incremental",
-    "record_linkage_clusters",
-    "record_linkage_incremental",
+    "bootstrap_snapshot_catchup",
     "decontaminate_vs_benchmark",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "dedup_sketch_eval",
+    "dsir_doc_scores",
+    "dsir_feature_weights",
+    "dsir_select_topk",
     "filter_composite_json",
+    "filter_keymod_staged_hash",
+    "filter_keymod_subscribe",
+    "fuzzy_join_docs",
+    "fuzzy_join_incremental",
     "keyset_page",
     "lag_percentiles",
     "mixture_temperature_sample",
@@ -216,28 +210,30 @@ _REST = [
     "per_group_quota",
     "per_source_stats",
     "pricing_summary",
+    "record_linkage_clusters",
+    "record_linkage_incremental",
+    "release_gate",
+    "repetition_filter",
+    "retention_cohorts",
+    "scalar_functions",
     "schema_evolution_decode",
     "schema_key_compaction",
     "sequence_packing",
     "skew_salted_agg",
     "snapshot_diff",
+    "snapshot_orders",
     "sql_surface_window_stats",
     "stratified_sample",
     "stream_fetch_bounded",
     "text_fingerprint",
-    "tfidf_top_terms",
-    "txn_window_stats",
-    "value_histogram",
-    "repetition_filter",
-    "retention_cohorts",
-    "scalar_functions",
-    "snapshot_orders",
     "text_lang_id",
     "text_quality",
+    "tfidf_top_terms",
     "topk_orders_per_segment",
+    "txn_window_stats",
+    "value_histogram",
+    "weighted_sample_topk",
     "xml_trail_parse",
-    "ann_cosine_topk",
-    "bootstrap_snapshot_catchup",
 ]
 
 _PRIORITY = _WINDOW + _REST

@@ -466,41 +466,71 @@ def main() -> None:
     _stage(biglog, routed_dir, n_chunks=4, route_buckets=8, part_dirs=True, key_hash=True)
     staged = spark.read.option("basePath", routed_dir).parquet(routed_dir + "/chunk=*")
 
-    def best_of(df, n: int = 4) -> float:
-        # These scans finish in ~0.1 s, so a single GC pause doubles a
+    def best_of_each(dfs, n: int = 4) -> list[float]:
+        # These scans finish in ~1 s, so a single GC pause doubles a
         # sample; best-of-4 keeps the RATIO metrics below out of the noise.
-        best = float("inf")
+        # INTERLEAVED rounds (r14 measurement fix): every leg here feeds a
+        # ratio whose denominator is unfiltered_s. The seven rejected r14
+        # records pinned a failure mode sequential sampling cannot survive:
+        # the host throws short multi-second scheduling storms at random
+        # points (OPTIMIZATION_r14.md, burst-position analysis), and with
+        # per-leg sequential best-of-4 one storm covers ALL of a leg's
+        # samples while the denominator's window stays clean — the ratio
+        # then fails its target with in-band bracketing probes (rejected
+        # a1/a3: keymod_staged_hash 2.5-3.0 vs 0.93-0.96 warm). Sampling
+        # the legs round-robin bounds a storm to one sample per leg, and
+        # the per-leg min survives. Per-leg sample count and the reported
+        # fields are unchanged.
+        best = [float("inf")] * len(dfs)
         for _ in range(n):
-            clear_caches()
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            for i, df in enumerate(dfs):
+                clear_caches()
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best[i] = min(best[i], time.time() - t0)
         return best
 
-    best_of(staged, 2)  # warm-up (JIT + file listing)
-    unfiltered_s = best_of(staged)
-    filtered_s = best_of(staged.where(physical_partition_filter([0, 1])))
-    keymod_s = best_of(staged.where(key_mod_subscription(8, 0, 4, route_buckets=8)))
-    keymod_hash_s = best_of(staged.where(key_mod_filter(8, 0, 4)))
+    best_of_each([staged], 2)  # warm-up (JIT + file listing)
     # the staged-hash middle tier (r13): same buckets over the key_hash
     # column materialized at ingest — one stored-column pmod per row,
-    # zero hashing. This is the TARGET row for string-keyed key-mod
-    # subscriptions without a routed layout; the reflect fallback above
-    # stays an ungated informational field (its numerator is a 32-wide
-    # pure-CPU scan, maximally sensitive to host phase — readings
-    # 1.9-3.7 straddled the band on probes-healthy runs).
-    keymod_staged_s = best_of(staged.where(key_mod_filter_staged(8, 0, 4)))
+    # zero hashing. That is the TARGET row for string-keyed key-mod
+    # subscriptions without a routed layout; the reflect fallback
+    # (key_mod_filter) stays an ungated informational field (its
+    # numerator is a 32-wide pure-CPU scan, maximally sensitive to host
+    # phase — readings 1.9-3.7 straddled the band on probes-healthy runs).
+    (
+        unfiltered_s,
+        filtered_s,
+        keymod_s,
+        keymod_hash_s,
+        keymod_staged_s,
+    ) = best_of_each(
+        [
+            staged,
+            staged.where(physical_partition_filter([0, 1])),
+            staged.where(key_mod_subscription(8, 0, 4, route_buckets=8)),
+            staged.where(key_mod_filter(8, 0, 4)),
+            staged.where(key_mod_filter_staged(8, 0, 4)),
+        ]
+    )
     shutil.rmtree(routed_dir, ignore_errors=True)
 
     # 2. bootstrap snapshot+catchup wall time at this SF
     from databus_spark.operators.bootstrap import bootstrap_state
 
-    clear_caches()
-    t0 = time.time()
-    bootstrap_state(log, 1_000_000_500, 6_000_000_000).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    bootstrap_s = time.time() - t0
+    # best-of-2 (r14 measurement fix): this was the one single-shot
+    # target row; a host scheduling storm landing inside its ~1.2 s
+    # window failed the <=2.0 s target with in-band bracketing probes
+    # (rejected record a1: 2.53 vs 1.21 committed). Same rationale as
+    # the documented best-of-3 apply throughput above.
+    bootstrap_s = float("inf")
+    for _ in range(2):
+        clear_caches()
+        t0 = time.time()
+        bootstrap_state(log, 1_000_000_500, 6_000_000_000).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        bootstrap_s = min(bootstrap_s, time.time() - t0)
 
     # 3. streaming micro-batch latency: drain a staged changelog via the
     # foreachBatch MERGE applier, p50 trigger-to-commit from the listener
@@ -593,17 +623,27 @@ def main() -> None:
             _text.bm25_postings(_unionx), _text.bm25_corpus_stats(_unionx), _qt
         )
 
-    def _best2(mk) -> float:
-        best = float("inf")
-        for _ in range(2):
+    def _best_pair(mk_a, mk_b, n: int = 3) -> tuple[float, float]:
+        # interleaved serve/rebuild sampling (r14 measurement fix, same
+        # storm rationale as best_of_each): with the two legs sampled
+        # sequentially, a storm covering one leg's whole window pushed
+        # ann_serve_ratio to 1.172 in rejected record a6 (the serve leg
+        # read 2.3x its warm probe while the rebuild leg stayed clean;
+        # warm-probe ratio 0.93). Round-robin bounds a storm to one
+        # sample per leg; n=3 so the pair tolerates one storm per leg.
+        best_a = best_b = float("inf")
+        for _ in range(n):
             clear_caches()
             t0 = time.time()
-            mk().write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        return best
+            mk_a().write.format("noop").mode("overwrite").save()
+            best_a = min(best_a, time.time() - t0)
+            clear_caches()
+            t0 = time.time()
+            mk_b().write.format("noop").mode("overwrite").save()
+            best_b = min(best_b, time.time() - t0)
+        return best_a, best_b
 
-    bm25_serve_s = _best2(_bm25_serve_leg)
-    bm25_rebuild_s = _best2(_bm25_rebuild_leg)
+    bm25_serve_s, bm25_rebuild_s = _best_pair(_bm25_serve_leg, _bm25_rebuild_leg)
 
     # 5. ANN staged-index serve vs inline rebuild on the SAME workload
     # (r13 verdict next-#2, mirroring the bm25_serve_ratio discipline):
@@ -631,8 +671,7 @@ def main() -> None:
     def _ann_rebuild_leg():
         return _sim.sq8_ivf_topk(_embf, n_queries=10, k=5, check_recall=False)
 
-    ann_serve_s = _best2(_ann_serve_leg)
-    ann_rebuild_s = _best2(_ann_rebuild_leg)
+    ann_serve_s, ann_rebuild_s = _best_pair(_ann_serve_leg, _ann_rebuild_leg)
 
     out = {
         "metric": "headline_suite_wall",

@@ -357,25 +357,21 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 5, threshold: float = 0.5) -> Da
     signature table per query) just to recover what the bucket already
     held. Payload cost is N_HASHES longs per posting entry, bounded by
     MAX_BAND_DOCS per bucket."""
-    # signatures feed the band union (xN_BANDS) — checkpoint once
-    # instead of recomputing the explode+agg per branch
+    # signatures feed every band — checkpoint once instead of
+    # recomputing the explode+agg per band
     sig = minhash_signatures(docs, k).localCheckpoint(eager=False)
-    rows_per_band = N_HASHES // N_BANDS
     # doc_id FIRST: sort_array orders by it, so pair-gen emits doc_a < doc_b
     ds = F.struct(F.col("doc_id"), *[F.col(f"mh_{i}") for i in range(N_HASHES)])
-    bands = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                ds.alias("ds"),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # ONE scan of the signatures with the N_BANDS keys exploded inline
+    # (r14 verdict #4): the previous N_BANDS-branch union scanned the
+    # checkpoint blocks once PER BAND, so the postings shuffle's map
+    # side was N_BANDS x partitions near-empty tasks (128 at fixture
+    # scale, ~0.2 s scheduling each) — and at any scale it reads the
+    # signature blocks N_BANDS times instead of once. Same rows, same
+    # (band, band_key) keys, strictly fewer tasks and block reads.
+    banded = sig.select(ds.alias("ds"), F.explode(_band_keys()).alias("_bk")).select(
+        "ds", F.col("_bk.band").alias("band"), F.col("_bk.band_key").alias("band_key")
+    )
     postings = (
         banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set("ds")).alias("docs"))
@@ -523,15 +519,16 @@ def bithash_near_pairs(
     sig = sig.select(F.col("doc_id"), F.col(hash_col).alias("_h")).localCheckpoint(
         eager=False
     )
-    bands = []
-    for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming)):
-        key = F.shiftright(F.col("_h"), off).bitwiseAND(F.lit((1 << width) - 1))
-        bands.append(
-            sig.select("doc_id", "_h", F.lit(b).alias("band"), key.alias("band_key"))
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # one scan + explode instead of a band-count union of checkpoint
+    # scans (the minhash_lsh_pairs narrow-union fix, same rationale)
+    banded = sig.select(
+        "doc_id", "_h", F.explode(_bithash_band_keys("_h", n_bits, max_hamming)).alias("_bk")
+    ).select(
+        "doc_id",
+        "_h",
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.band_key").alias("band_key"),
+    )
     postings = (
         banded.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set(F.struct(F.col("doc_id"), F.col("_h")))).alias("docs"))
@@ -575,27 +572,40 @@ def bithash_near_pairs_sql(
     """
 
 
+def _bithash_band_keys(hash_col: str, n_bits: int, max_hamming: int):
+    """array<struct<band,band_key>> of a bit-hash column under
+    hash_band_layout — the single-projection (explode) form of the
+    banded keys; see _band_keys for why explode beats a per-band
+    union."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftright(F.col(hash_col), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_key"),
+            )
+            for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming))
+        ]
+    )
+
+
 def bithash_bands(
     sig: DataFrame, hash_col: str, n_bits: int, max_hamming: int, id_out: str
 ) -> DataFrame:
     """Band rows (band, band_key, {id_out}, {id_out}_h) for a bit-hash
     signature frame — the materialize-at-ingest index an incremental
     probe joins against (persist as parquet, append per ingest batch)."""
-    out = []
-    for b, (off, width) in enumerate(hash_band_layout(n_bits, max_hamming)):
-        key = F.shiftright(F.col(hash_col), off).bitwiseAND(F.lit((1 << width) - 1))
-        out.append(
-            sig.select(
-                F.col("doc_id").alias(id_out),
-                F.col(hash_col).alias(f"{id_out}_h"),
-                F.lit(b).alias("band"),
-                key.alias("band_key"),
-            )
-        )
-    banded = out[0]
-    for extra in out[1:]:
-        banded = banded.unionByName(extra)
-    return banded
+    return sig.select(
+        F.col("doc_id").alias(id_out),
+        F.col(hash_col).alias(f"{id_out}_h"),
+        F.explode(_bithash_band_keys(hash_col, n_bits, max_hamming)).alias("_bk"),
+    ).select(
+        id_out,
+        f"{id_out}_h",
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.band_key").alias("band_key"),
+    )
 
 
 _HAMMING_KEY_SHIFT = 40  # (hamming << 40) | doc_id: one scalar min both engines agree on
@@ -1311,23 +1321,42 @@ def span_dedup_sql(from_sql: str, win: int = SPAN_WIN) -> str:
 # exactly like the join — the incremental complement of
 # minhash_lsh_pairs' in-corpus pair-gen.
 
+def _band_keys():
+    """array<struct<band,band_key>> over a signature row — the banded
+    LSH keys emitted by ONE projection (explode) instead of an
+    N_BANDS-branch union. The union shape scanned its input once per
+    band: N_BANDS x partitions map tasks feeding every downstream
+    shuffle (128 near-empty tasks at fixture scale) and N_BANDS reads
+    of the signature blocks at any scale."""
+    rows_per_band = N_HASHES // N_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def _sig_bands(sig: DataFrame, id_out: str) -> DataFrame:
     """Banded LSH keys of a signature frame: (id_out, band, band_key)."""
-    rows_per_band = N_HASHES // N_BANDS
-    parts = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sig.select(
-                F.col("doc_id").alias(id_out),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sig.select(
+        F.col("doc_id").alias(id_out), F.explode(_band_keys()).alias("_bk")
+    ).select(
+        id_out,
+        F.col("_bk.band").alias("band"),
+        F.col("_bk.band_key").alias("band_key"),
+    )
 
 
 def build_near_index(base: DataFrame, k: int = 5):

@@ -93,10 +93,18 @@ def fuzzy_join_pairs(
     max_dist: int = LINK_MAX_DIST,
     bucket: int = LINK_LEN_BUCKET,
     max_block: int = LINK_MAX_BLOCK,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, dist): record pairs with prefix edit distance
     <= max_dist, doc_a < doc_b, found via exact-key + length blocking
     with clone collapse (see the module note).
+
+    ``grouped``: a precomputed _fuzzy_groups(docs, ...) frame — callers
+    that ALSO probe an index with the same corpus (record_linkage_
+    incremental runs this and fuzzy_join_incremental on one incoming
+    batch) pass the shared frame so the clone-collapse window + gram
+    build materializes once instead of once per leg (r15 driver-latency
+    work; the frame is identical by construction, so results are too).
 
     Distance semantics are Spark's ``levenshtein`` — CHARACTER
     (codepoint) edit distance, well-defined for any input. The DuckDB
@@ -132,7 +140,8 @@ def fuzzy_join_pairs(
         )
     from pyspark.sql.window import Window
 
-    grouped = _fuzzy_groups(docs, text_col, block_col, len_col, prefix_len, bucket)
+    if grouped is None:
+        grouped = _fuzzy_groups(docs, text_col, block_col, len_col, prefix_len, bucket)
     clone_map = grouped.where(F.col("_m") >= 2).select("_rep", "doc_id")
     reps = grouped.where(F.col("doc_id") == F.col("_rep")).select(
         "doc_id",
@@ -477,6 +486,7 @@ def fuzzy_join_incremental(
     max_dist: int = LINK_MAX_DIST,
     bucket: int = LINK_LEN_BUCKET,
     max_block: int = LINK_MAX_BLOCK,
+    grouped: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, base_id, dist): incoming records linked to base records
     within max_dist — rolling-ingest record linkage. The base side is
@@ -514,9 +524,12 @@ def fuzzy_join_incremental(
     # while the DP work per OUTPUT row is not — an explicit keyed
     # repartition keeps the probe stage at full width
     par = incoming.sparkSession.sparkContext.defaultParallelism
-    grouped = _fuzzy_groups(
-        incoming, text_col, block_col, len_col, prefix_len, bucket
-    )
+    if grouped is None:
+        # ``grouped``: see fuzzy_join_pairs — shared by callers running
+        # both legs over one incoming batch
+        grouped = _fuzzy_groups(
+            incoming, text_col, block_col, len_col, prefix_len, bucket
+        )
     inc_map = grouped.where(F.col("_m") >= 2).select("_rep", "doc_id")
     # an incoming row cannot know how deep its base block was split, so
     # it probes the three key shapes a base row can carry: the sentinel

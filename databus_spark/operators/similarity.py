@@ -674,6 +674,32 @@ def sq8_ivf_index_append(
     ).parquet(_o.path.join(index_dir, "stats"))
 
 
+def _is_local_path(path: str) -> bool:
+    """True when ``path`` is reachable through the driver's LOCAL
+    filesystem (bare paths and file:// URIs): the precondition for the
+    driver-side pyarrow stats read below. Any other scheme (hdfs://,
+    s3a://, ...) must go through Spark's Hadoop filesystem layer."""
+    scheme, sep, _ = path.partition("://")
+    return not sep or scheme == "file"
+
+
+def _stats_n_rows(spark, stats_path: str) -> int:
+    """Total n_rows of a stats artifact (a handful of one-row parquet
+    files). Local paths: one driver-side pyarrow read, zero Spark jobs.
+    Non-local paths: the Spark read (one small job) — pyarrow's local
+    fs cannot reach them, Spark's Hadoop conf can."""
+    if _is_local_path(stats_path):
+        import pyarrow.parquet as _pq
+
+        scheme, sep, rest = stats_path.partition("://")
+        p = rest if sep else stats_path
+        return sum(_pq.read_table(p, columns=["n_rows"])["n_rows"].to_pylist())
+    return sum(
+        r["n_rows"]
+        for r in spark.read.parquet(stats_path).select("n_rows").collect()
+    )
+
+
 def sq8_ivf_serve(
     spark,
     index_dir: str,
@@ -706,8 +732,15 @@ def sq8_ivf_serve(
     asserts on (tests/test_round14_ops.py)."""
     import os as _o
 
+    from pyspark.sql import Observation
+
     cent = spark.read.parquet(_o.path.join(index_dir, "centroids"))
     wq = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    # the probed-cell list rides the checkpoint job via Observation
+    # (the star-signature pattern): ONE eager job replaces the previous
+    # lazy checkpoint + separate distinct+collect — one fewer job
+    # round-trip per serve batch (r15; guide §2.6/§5 driver latency)
+    obs = Observation()
     probes = (
         _ivf_scored(queries, cent, id_col, vec_col)
         .withColumn("cell_rank", F.row_number().over(wq))
@@ -718,11 +751,10 @@ def sq8_ivf_serve(
             "cell_id",
         )
         .withColumn("_qn", F.sqrt(_idot(F.col("_qq"), F.col("_qq")).cast("double")))
-        .localCheckpoint(eager=False)  # feeds the cell collect AND the join
+        .observe(obs, F.collect_set("cell_id").alias("cells"))
+        .localCheckpoint(eager=True)  # feeds the cell list AND the join
     )
-    cells = sorted(
-        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
-    )
+    cells = sorted(obs.get["cells"])
     postings_root = _o.path.join(index_dir, "postings")
     paths = [
         p
@@ -742,14 +774,11 @@ def sq8_ivf_serve(
     # artifact is a handful of one-row files (one per build/append);
     # summing it was a whole scheduled job + its planning gap per serve
     # batch. Same value, zero jobs — the serve batch's driver latency
-    # drops by one job round-trip.
-    import pyarrow.parquet as _pq
-
-    n_corpus = sum(
-        _pq.read_table(
-            _o.path.join(index_dir, "stats"), columns=["n_rows"]
-        )["n_rows"].to_pylist()
-    )
+    # drops by one job round-trip. Scheme-guarded (r14 verdict): pyarrow
+    # only reads paths its local filesystem can reach, so a non-local
+    # index_dir (hdfs://, s3a://, ...) falls back to the Spark read the
+    # pre-r14 path used — that works anywhere Spark can read.
+    n_corpus = _stats_n_rows(spark, _o.path.join(index_dir, "stats"))
     if delta_emb is not None:
         dq = delta_emb.select(
             F.col(id_col).alias("neighbor_id"), _sq8(F.col(vec_col)).alias("_qc")

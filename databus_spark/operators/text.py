@@ -1800,17 +1800,26 @@ def bm25_serve(
     (+ one delta-sized explode when a delta rides along); never a
     corpus rescan. The bucket list is a driver-side scalar collect
     bounded by the query vocabulary size."""
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
-    qset = qtoks.select("tok").distinct().localCheckpoint(eager=False)
-    buckets = [
-        r.bkt
-        for r in qset.select(
-            (F.crc32(F.col("tok")) % BM25_BUCKETS).cast("int").alias("bkt")
-        )
+    # the bucket list rides the query-vocabulary checkpoint job via
+    # Observation (the star-signature pattern): ONE eager job replaces
+    # the previous lazy checkpoint + separate distinct+collect — one
+    # fewer job round-trip per serve batch (r15; guide §2.6/§5)
+    obs = Observation()
+    qset = (
+        qtoks.select("tok")
         .distinct()
-        .collect()
-    ]
+        .observe(
+            obs,
+            F.collect_set(
+                (F.crc32(F.col("tok")) % BM25_BUCKETS).cast("int")
+            ).alias("bkts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    buckets = sorted(obs.get["bkts"])
     hits = (
         postings.where(F.col("bkt").isin(buckets))
         .join(F.broadcast(qset), "tok")

@@ -1062,15 +1062,33 @@ def hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the quality-reference and the cheap-deployment composition.
     Per-batch cost is query-bound on both sides; the corpus is never
     rescanned at serve time."""
-    bmidx = _staged_bm25_index(spark, sf_dir)
-    sqidx = _staged_sq8ivf_index(spark, sf_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # overlap the two artifact stagings (fingerprint memo probes / agg
+    # jobs on a cold process) and the four input reads: the r15 before-
+    # timeline showed SEVEN sequential parquet footer jobs over
+    # t=0-0.7 s before either leg could start (guide §2.6)
+    def _bm_reads():
+        d = _staged_bm25_index(spark, sf_dir)
+        return (
+            spark.read.parquet(os.path.join(d, "postings")),
+            spark.read.parquet(os.path.join(d, "stats")),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as _ex:
+        _fbm = _ex.submit(_bm_reads)
+        _fsq = _ex.submit(_staged_sq8ivf_index, spark, sf_dir)
+        _fd = _ex.submit(load_table, spark, sf_dir, "documents")
+        _fe = _ex.submit(load_table, spark, sf_dir, "embeddings")
+        (postings, stats), sqidx = _fbm.result(), _fsq.result()
+        docs, emb = _fd.result(), _fe.result()
     return hybrid.hybrid_rrf_serve(
         spark,
-        spark.read.parquet(os.path.join(bmidx, "postings")),
-        spark.read.parquet(os.path.join(bmidx, "stats")),
+        postings,
+        stats,
         sqidx,
-        load_table(spark, sf_dir, "documents"),
-        load_table(spark, sf_dir, "embeddings"),
+        docs,
+        emb,
         n_queries=10,
         k=5,
     )
@@ -1792,16 +1810,28 @@ def curation_decisions_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mixing decision, not a quality verdict). Composes the three
     oracle-checked pipelines doc_id-keyed; every expensive stage is the
     respective family's own scale-shaped plan."""
-    v2 = curation_decisions_v2(spark, sf_dir).select(
-        "doc_id", F.col("decision").alias("v2_decision")
-    )
-    ex = exactsubstr_dedup(spark, sf_dir).select(
+    from concurrent.futures import ThreadPoolExecutor
+
+    # build the three signal pipelines concurrently (guide §2.6): each
+    # leg's CONSTRUCTION runs small eager driver jobs (exactsubstr's
+    # broadcast-gate count, parquet footer reads) between long py4j
+    # plan-building stretches; serially those jobs strung out over
+    # ~2.9 s of scheduling gaps in the r15 before-timeline (49 jobs).
+    # Overlapping construction changes nothing about WHAT is computed —
+    # the plans are identical — only when the construction jobs run.
+    with ThreadPoolExecutor(max_workers=3) as _ex:
+        _fv2 = _ex.submit(curation_decisions_v2, spark, sf_dir)
+        _fex = _ex.submit(exactsubstr_dedup, spark, sf_dir)
+        _fds = _ex.submit(dsir_doc_scores, spark, sf_dir)
+        v2_df, ex_df, ds_df = _fv2.result(), _fex.result(), _fds.result()
+    v2 = v2_df.select("doc_id", F.col("decision").alias("v2_decision"))
+    ex = ex_df.select(
         "doc_id",
         F.expr("1000000 * n_removed div greatest(n_tokens, 1)").alias(
             "dup_frac_micro"
         ),
     )
-    ds = dsir_doc_scores(spark, sf_dir).select("doc_id", "per_feat_micro")
+    ds = ds_df.select("doc_id", "per_feat_micro")
     combo = v2.join(ex, "doc_id").join(ds, "doc_id")
     decision = (
         F.when(F.col("v2_decision") != "keep", F.col("v2_decision"))
@@ -4540,17 +4570,35 @@ def record_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracted representation is the whole point at corpus scale.
     Differentially pinned against a from-scratch recompute on the
     unioned corpus (tests/test_linkage_drift.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     incoming = dedup.documents_with_dups(spark, sf_dir).where(
         F.col("doc_id") >= 1_000_000
     )
     idx_dir = _staged_link_index(spark, sf_dir)
-    blocks = spark.read.parquet(os.path.join(idx_dir, "blocks"))
-    base_map = spark.read.parquet(os.path.join(idx_dir, "clone_map"))
-    base_cl = spark.read.parquet(os.path.join(idx_dir, "clusters"))
+    # the three artifact reads each run a driver footer/schema job;
+    # serially they cost three job round-trips of latency per call
+    # (r15 stage timeline: five sequential parquet jobs over t=0-0.6 s),
+    # overlapped they cost one (guide §2.6)
+    with ThreadPoolExecutor(max_workers=3) as _ex:
+        _fb = _ex.submit(spark.read.parquet, os.path.join(idx_dir, "blocks"))
+        _fm = _ex.submit(spark.read.parquet, os.path.join(idx_dir, "clone_map"))
+        _fc = _ex.submit(spark.read.parquet, os.path.join(idx_dir, "clusters"))
+        blocks, base_map, base_cl = _fb.result(), _fm.result(), _fc.result()
+    # ONE clone-collapse window over the incoming batch feeds BOTH pair
+    # legs (cross-probe and within-batch): the two legs built identical
+    # _fuzzy_groups subtrees and materialized each behind its own
+    # checkpoint — twice the window/gram work and an extra job round-
+    # trip per call (r15; results identical by construction)
+    shared = joins._fuzzy_groups(
+        incoming, "text", "lang", "n_chars", joins.LINK_PREFIX, joins.LINK_LEN_BUCKET
+    )
     cross = joins.fuzzy_join_incremental(
-        incoming, base_blocks=blocks, base_map=base_map
+        incoming, base_blocks=blocks, base_map=base_map, grouped=shared
     ).select(F.col("doc_id").alias("doc_a"), F.col("base_id").alias("doc_b"))
-    within = joins.fuzzy_join_pairs(incoming).select("doc_a", "doc_b")
+    within = joins.fuzzy_join_pairs(incoming, grouped=shared).select(
+        "doc_a", "doc_b"
+    )
     star = base_cl.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
     )

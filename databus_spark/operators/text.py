@@ -1878,7 +1878,24 @@ def bm25_serve(
             F.round(w, 6).cast("decimal(18,6)").alias("w"),
         )
     )
-    scored = terms.groupBy("query_id", "doc_id").agg(F.sum("w").alias("_score"))
+    # keyed repartition replacing the agg's ENSURE exchange (the house
+    # AQE escape, r15 sweep flag): terms is byte-small (two ids + one
+    # decimal) so AQE coalesced the scoring exchange to ONE partition
+    # and the per-(query,doc) decimal sum + rank window ran serial
+    # (0.4-0.6 CPU-s at sf0.1 on every serve row). Rows here are
+    # query-bound at any corpus size (n_queries x candidates x terms),
+    # so the forfeited map-side partial combine costs a bounded small
+    # shuffle while the agg + window spread across the box.
+    # width 8, not full defaultParallelism: the widen_scan trade — the
+    # serial stage is ~0.5 CPU-s, so 8 tasks recover ~all of it while a
+    # 32-way exchange pays more scheduling than it spreads (measured:
+    # hybrid_rrf_serve +0.4 s at par=32)
+    par = min(terms.sparkSession.sparkContext.defaultParallelism, 8)
+    scored = (
+        terms.repartition(par, "query_id", "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("_score"))
+    )
     rk = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), F.col("doc_id").asc()
     )

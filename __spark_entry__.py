@@ -40,77 +40,46 @@ def entry(spark: SparkSession) -> DataFrame:
 _WINDOW_SIZE = 50
 
 _WINDOW = [
-    # round 14 (optimization round): the widen/pin sweep changed the
-    # engine path of 71 queries (tools/window_manifest.py affected_queries
-    # vs the committed r13-era manifest) — more than the window holds, so
-    # the mechanical rule spends EVERY slot on a changed row: first the
-    # five queries never externally checked (the r14 staged-serve /
-    # hybrid additions), then changed rows oldest-external-green first —
-    # the r10 cohort's 7 changed rows (ann_lsh/bpe learners via the entry
-    # widen, decontaminate/tfidf via _shingles), the r11 cohort's 24
-    # (ANN family, curation v1/v2, exactsubstr, kmeans, LM scorers), and
-    # 14 of the r12 cohort (semdedup family, curation_v3, avro decode,
-    # chunking/json/pii per-row widens). The r10 rows whose paths did
-    # NOT change (checkpoint_mult_fetch, dtail_json, max_scn_probe, ...)
-    # stay in _REST: with 71 changed rows the overflow rule forbids
-    # spending slots on untouched queries; they head next round's
-    # rotation instead.
+    # round 15 (optimization round 2): tools/window_manifest.py
+    # affected_queries vs the committed r14 manifest reads 25 changed
+    # query paths (the LSH band explode: minhash/simhash/bithash/near-
+    # index family; the serve-collect Observation batching: sq8_ivf /
+    # bm25 / hybrid serve rows; the shared-groups + overlapped-
+    # construction work: record_linkage / release_gate / curation_v3
+    # compositions). Rule (a): all 25 changed rows take slots, ordered
+    # oldest-external-green first (the 13 sitting in _REST since r13 or
+    # earlier, then the 12 re-checked in r14). Rule (b): the remaining
+    # 25 slots go to the head of the r14 _REST — the r10 cohort
+    # (checkpoint_mult_fetch, dtail_json, max_scn_probe, ...) that r14's
+    # 71-row overflow could not fit, exactly as that round's log
+    # promised. Unchanged r14-window rows (ann family, bpe, curation
+    # v1/v2, exactsubstr, kmeans, semdedup) are the NEWEST external
+    # greens and rotate to the back of _REST.
+    "media_audio_near_pairs",
+    "media_decision_log",
+    "media_dhash_clusters",
+    "media_dhash_incremental",
+    "media_dhash_near_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_sketch_eval",
+    "fuzzy_join_docs",
+    "fuzzy_join_incremental",
+    "record_linkage_clusters",
+    "record_linkage_incremental",
+    "release_gate",
     "ann_sq8_ivf_serve",
     "ann_sq8_ivf_serve_delta",
     "hybrid_rrf_serve",
     "hybrid_rrf_topk",
     "release_gate_utility",
-    "ann_lsh_topk",
-    "bpe_learn_merges",
-    "bpe_learn_merges_batched",
-    "contamination_fraction",
-    "decontaminate_bloom",
-    "quality_topk_per_lang",
-    "sparse_tfidf_pairs",
-    "ann_filtered_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "ann_recall_eval",
-    "avro_ocf_roundtrip",
-    "bpe_encode_corpus",
-    "bpe_pair_counts",
-    "curation_decisions",
-    "curation_decisions_v2",
     "dedup_cluster_star",
     "dedup_cluster_survivors",
     "dedup_decision_log",
     "dedup_incremental_near",
     "dedup_survivor_corpus",
-    "dsir_incremental",
-    "exactsubstr_dedup",
-    "exactsubstr_spans",
-    "exactsubstr_stats",
-    "kmeans_assign_summary",
-    "kmeans_centroids",
-    "lm2_quality_score",
-    "lm_quality_score",
-    "as_of_join_events",
-    "avro_binary_decode",
     "bm25_incremental",
-    "chunk_documents",
     "curation_decisions_v3",
-    "dedup_embedding_cosine",
-    "json_props_extract",
-    "pii_redact",
-    "semdedup_incremental",
-    "semdedup_multiprobe",
-    "semdedup_recall_eval",
-    "semdedup_survivors",
-    "semdedup_survivors_v2",
-    "semdedup_trained",
-]
-
-# below the 50-row window this round (all still verified locally by the
-# full sf0.01 oracle sweep), never-checked first then oldest external
-# green first — next round's rotation reads top-down:
-_REST = [
     "checkpoint_mult_fetch",
     "cube_rollup",
     "data_expectations",
@@ -127,10 +96,6 @@ _REST = [
     "key_skew_profile",
     "length_histogram",
     "max_scn_probe",
-    "media_audio_near_pairs",
-    "media_decision_log",
-    "media_dhash_clusters",
-    "media_dhash_incremental",
     "media_features",
     "media_png_probe",
     "media_wav_probe",
@@ -140,6 +105,12 @@ _REST = [
     "schema_key_filter",
     "simhash_sketch",
     "vocab_top_terms",
+]
+
+# below the 50-row window this round (all still verified locally by the
+# full sf0.01 oracle sweep), never-checked first then oldest external
+# green first — next round's rotation reads top-down:
+_REST = [
     "zorder_events_key",
     "corpus_drift",
     "dedup_span_windows",
@@ -148,7 +119,6 @@ _REST = [
     "jsonl_ingest_audit",
     "media_audio_fp_dedup",
     "media_dhash_dedup",
-    "media_dhash_near_pairs",
     "media_png_resize",
     "media_video_frames",
     "snapshot_customer",
@@ -190,18 +160,13 @@ _REST = [
     "bootstrap_snapshot_catchup",
     "decontaminate_vs_benchmark",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "dedup_sketch_eval",
     "dsir_doc_scores",
     "dsir_feature_weights",
     "dsir_select_topk",
     "filter_composite_json",
     "filter_keymod_staged_hash",
     "filter_keymod_subscribe",
-    "fuzzy_join_docs",
-    "fuzzy_join_incremental",
     "keyset_page",
     "lag_percentiles",
     "mixture_temperature_sample",
@@ -210,9 +175,6 @@ _REST = [
     "per_group_quota",
     "per_source_stats",
     "pricing_summary",
-    "record_linkage_clusters",
-    "record_linkage_incremental",
-    "release_gate",
     "repetition_filter",
     "retention_cohorts",
     "scalar_functions",
@@ -234,6 +196,44 @@ _REST = [
     "value_histogram",
     "weighted_sample_topk",
     "xml_trail_parse",
+    "ann_lsh_topk",
+    "bpe_learn_merges",
+    "bpe_learn_merges_batched",
+    "contamination_fraction",
+    "decontaminate_bloom",
+    "quality_topk_per_lang",
+    "sparse_tfidf_pairs",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "avro_ocf_roundtrip",
+    "bpe_encode_corpus",
+    "bpe_pair_counts",
+    "curation_decisions",
+    "curation_decisions_v2",
+    "dsir_incremental",
+    "exactsubstr_dedup",
+    "exactsubstr_spans",
+    "exactsubstr_stats",
+    "kmeans_assign_summary",
+    "kmeans_centroids",
+    "lm2_quality_score",
+    "lm_quality_score",
+    "as_of_join_events",
+    "avro_binary_decode",
+    "chunk_documents",
+    "dedup_embedding_cosine",
+    "json_props_extract",
+    "pii_redact",
+    "semdedup_incremental",
+    "semdedup_multiprobe",
+    "semdedup_recall_eval",
+    "semdedup_survivors",
+    "semdedup_survivors_v2",
+    "semdedup_trained",
 ]
 
 _PRIORITY = _WINDOW + _REST
